@@ -1,0 +1,60 @@
+"""Optimiser progress checkpoint/resume.
+
+Replaces the reference's rank-0 h5py `DAL_PROGRESS.h5` rewrite
+(`Sphere_Grad_Descent.py:821-829`) and its sketched (commented-out)
+resume path (`FWD_Solve_SH23.py:787-800`) with a portable .npz format and
+a real `load_progress` that reconstructs an OptimiseResult so
+optimisation can warm-start from `x_opt`.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+
+
+def save_progress(path: str, result) -> None:
+    """Atomically write the optimiser state to `path` (.npz)."""
+    payload = {
+        "n_components": result.n_components,
+        "iterations": result.iterations,
+        "function_evals": result.function_evals,
+        "gradient_evals": result.gradient_evals,
+        "step_sizes": np.asarray(result.step_sizes, dtype=np.float64),
+        "function_values": np.asarray(result.function_values, dtype=np.float64),
+        "wall_times": np.asarray(result.wall_times, dtype=np.float64),
+        "converged": result.converged,
+    }
+    for i, r in enumerate(result.residuals):
+        payload[f"residual_{i}"] = np.asarray(r, dtype=np.float64)
+    if result.x_opt is not None:
+        payload["n_x"] = len(result.x_opt)
+        for i, x in enumerate(result.x_opt):
+            payload[f"x_opt_{i}"] = np.asarray(x)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **payload)
+    os.replace(tmp, path if path.endswith(".npz") else path + ".npz")
+
+
+def load_progress(path: str):
+    """Load a progress checkpoint back into an OptimiseResult."""
+    from spheremanopt_tpu.optim.optimiser import OptimiseResult
+
+    if not path.endswith(".npz") and not os.path.exists(path):
+        path = path + ".npz"
+    with np.load(path) as data:
+        n = int(data["n_components"])
+        R = OptimiseResult(n_components=n)
+        R.iterations = int(data["iterations"])
+        R.function_evals = int(data["function_evals"])
+        R.gradient_evals = int(data["gradient_evals"])
+        R.step_sizes = list(data["step_sizes"])
+        R.function_values = list(data["function_values"])
+        R.wall_times = list(data["wall_times"])
+        R.converged = bool(data["converged"])
+        R.residuals = [list(data[f"residual_{i}"]) for i in range(n)]
+        if "n_x" in data:
+            R.x_opt = [data[f"x_opt_{i}"] for i in range(int(data["n_x"]))]
+    return R

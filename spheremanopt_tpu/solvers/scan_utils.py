@@ -1,0 +1,83 @@
+"""Timestepping scan helpers: checkpointed adjoints and compensated sums.
+
+The reference stores the complete forward trajectory in RAM for adjoint
+replay (`GEN_BUFFER`, `FWD_Solve_SH23.py:238-272`). Here the adjoint is
+autodiff of the discrete forward; memory policy is expressed through
+`jax.checkpoint`:
+
+  * `checkpointed_scan`   — remat each step: the backward pass stores one
+    carry per step (exactly the reference's snapshot buffer, but managed
+    by XLA in HBM) and recomputes the step internals (FFTs, products).
+  * `nested_checkpoint_scan` — sqrt(N) binomial-style nesting: stores
+    O(sqrt(N)) carries and recomputes each chunk once, for trajectories
+    whose full snapshot buffer would not fit in HBM (the reference prints
+    a GB estimate and hopes, `FWD_Solve_KDyn.py:341-345`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def checkpointed_scan(step: Callable, carry, xs=None, length: Optional[int] = None):
+    """lax.scan with per-step rematerialisation."""
+    return lax.scan(jax.checkpoint(step), carry, xs=xs, length=length)
+
+
+def nested_checkpoint_scan(
+    step: Callable,
+    carry,
+    length: int,
+    inner: Optional[int] = None,
+):
+    """Two-level checkpointed scan over `length` steps with no per-step xs.
+
+    `step(carry) -> (carry, y)` where y must be a scalar/small pytree that
+    is summed across steps (sufficient for cost-functional accumulation).
+    Returns (final_carry, summed_y).
+    """
+    if inner is None:
+        inner = max(1, int(length ** 0.5))
+    outer, rem = divmod(length, inner)
+
+    def one(c, _):
+        c, y = step(c)
+        return c, y
+
+    @jax.checkpoint
+    def chunk(c):
+        c, ys = lax.scan(jax.checkpoint(one), c, xs=None, length=inner)
+        return c, jax.tree_util.tree_map(lambda a: jnp.sum(a, axis=0), ys)
+
+    def outer_body(c, _):
+        return chunk(c)
+
+    carry, ys = lax.scan(outer_body, carry, xs=None, length=outer)
+    total = jax.tree_util.tree_map(lambda a: jnp.sum(a, axis=0), ys)
+    for _ in range(rem):
+        carry, y = step(carry)
+        total = jax.tree_util.tree_map(jnp.add, total, y)
+    return carry, total
+
+
+def kahan_add(acc: Tuple[jnp.ndarray, jnp.ndarray], value):
+    """Compensated (Kahan) accumulation step: acc = (sum, compensation).
+
+    Keeps cost integrals accurate over thousands of f32 steps on TPU,
+    where f64 is unavailable (axon TPUs reject f64 kernels).
+    """
+    s, comp = acc
+    y = value - comp
+    t = s + y
+    comp = (t - s) - y
+    return (t, comp)
+
+
+def kahan_zero(dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    z = jnp.zeros((), dtype)
+    return (z, z)

@@ -1,0 +1,108 @@
+"""Transform round-trip and adjoint-identity tests for the Fourier layer
+(SURVEY.md section 4 item b)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spheremanopt_tpu.ops.fourier import (
+    FourierBasis1D,
+    FourierBasis3D,
+    filter_coeff_fraction,
+)
+
+
+@pytest.mark.parametrize("pad", [1.5, 2.0])
+def test_roundtrip_bandlimited_1d(pad):
+    b = FourierBasis1D(64, 2 * np.pi, pad)
+    x = jnp.asarray(b.grid())
+    u = 1.3 * jnp.cos(3 * x) - 0.7 * jnp.sin(10 * x) + 0.25
+    c = b.to_coeff(u)
+    u2 = b.to_grid(c)
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(u), atol=1e-12)
+
+
+def test_truncation_projects_high_modes():
+    b = FourierBasis1D(32, 2 * np.pi, 2.0)
+    x = jnp.asarray(b.grid())
+    # mode 20 > n/2 = 16: must be annihilated by the band limit
+    u = jnp.cos(20 * x)
+    c = b.to_coeff(u)
+    assert float(jnp.abs(c).max()) < 1e-12
+
+
+def test_derivative_factor_matches_analytic():
+    b = FourierBasis1D(64, 2 * np.pi, 2.0)
+    x = jnp.asarray(b.grid())
+    u = jnp.sin(5 * x)
+    du = b.to_grid(b.to_coeff(u) * b.derivative_factor(1))
+    np.testing.assert_allclose(np.asarray(du), np.asarray(5 * jnp.cos(5 * x)), atol=1e-10)
+
+
+def test_transform_adjoint_identity_1d():
+    """<F x, y> == <x, F^H y> for the truncating transform pair — the same
+    algebraic-transpose property the reference verifies by hand for its
+    DCT quartet (`FWD_Solve_SHB23.py:36-67`)."""
+    b = FourierBasis1D(32, 2 * np.pi, 2.0)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (b.n_grid,))
+    # Build the adjoint via jax.linear_transpose and verify the identity
+    # through real inner products on input/output spaces.
+    f = lambda u: b.to_coeff(u)
+    c = f(x)
+    y = jax.random.normal(jax.random.PRNGKey(1), c.shape) + 1j * jax.random.normal(
+        jax.random.PRNGKey(2), c.shape
+    )
+    ft = jax.linear_transpose(f, x)
+    (xt,) = ft(y)
+    lhs = jnp.sum(f(x) * y).real  # bilinear pairing (jax transpose convention)
+    rhs = jnp.sum(x * xt).real
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-10)
+
+
+def test_parseval_energy():
+    b = FourierBasis1D(64, 12 * np.pi, 2.0)
+    key = jax.random.PRNGKey(3)
+    u = jax.random.normal(key, (b.n_grid,))
+    c = b.to_coeff(u)
+    ub = b.to_grid(c)  # band-limited part
+    w = np.full(b.n_coeff, 2.0); w[0] = 1.0
+    energy_spec = float(jnp.sum(jnp.asarray(w) * jnp.abs(c) ** 2))
+    energy_grid = float(jnp.mean(ub * ub))
+    np.testing.assert_allclose(energy_spec, energy_grid, rtol=1e-12)
+
+
+def test_filter_coeff_fraction():
+    b = FourierBasis1D(64, 2 * np.pi, 2.0)
+    c = jnp.ones(b.n_coeff, dtype=complex)
+    cf = filter_coeff_fraction(c, 64, 0.5)
+    # keeps indices <= 0.5 * 32
+    kept = np.asarray(jnp.abs(cf) > 0).sum()
+    assert kept == 17  # indices 0..16
+
+
+@pytest.mark.parametrize("n", [8, 12])
+def test_roundtrip_3d(n):
+    b = FourierBasis3D(n, 2 * np.pi, 1.5)
+    m = b.n_grid
+    xs = np.arange(m) * 2 * np.pi / m
+    X, Y, Z = np.meshgrid(xs, xs, xs, indexing="ij")
+    u = jnp.asarray(np.sin(2 * X) * np.cos(Y) + 0.5 * np.cos(3 * Z))
+    c = b.to_coeff(u)
+    assert c.shape == b.coeff_shape
+    u2 = b.to_grid(c)
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(u), atol=1e-11)
+
+
+def test_3d_derivative_and_divergence():
+    b = FourierBasis3D(16, 2 * np.pi, 1.5)
+    kx, ky, kz = b.wavenumber_grids()
+    m = b.n_grid
+    xs = np.arange(m) * 2 * np.pi / m
+    X, Y, Z = np.meshgrid(xs, xs, xs, indexing="ij")
+    u = jnp.asarray(np.sin(X) * np.cos(2 * Y) * np.sin(Z))
+    c = b.to_coeff(u)
+    dudx = b.to_grid(1j * kx * c)
+    expected = np.cos(X) * np.cos(2 * Y) * np.sin(Z)
+    np.testing.assert_allclose(np.asarray(dudx), expected, atol=1e-10)
