@@ -155,6 +155,7 @@ def optimise_on_multi_sphere(
     log_path: Optional[str] = None,
     wolfe_c1: float = 1e-4,
     wolfe_c2: float = 0.4,
+    f_and_g: Optional[Callable[[List[Any]], Any]] = None,
 ) -> OptimiseResult:
     """Minimise f(X) subject to <X_i, X_i> = radii[i] for each component.
 
@@ -206,8 +207,22 @@ def optimise_on_multi_sphere(
         # --- line search (Armijo on iteration 0, ref :780-784) ---
         derphi0 = float(K.slope(g_k, d_k))
 
+        # One-entry (alpha -> gradient) cache: the Wolfe algorithm always
+        # evaluates derphi(a) right after phi(a) at the same a, so a fused
+        # value_and_grad in phi makes derphi a pure lookup — the JAX
+        # equivalent of the reference's shared forward-trajectory buffer
+        # (FWD fills `X_FWD_DICT`, ADJ consumes it; `FWD_Solve_SH23.py:
+        # 499-503,688`). Each phi is then exactly 1 fwd + 1 bwd sweep.
+        fused = {}
+
         def phi(alpha: float) -> float:
-            return float(f(K.retract(x_k, alpha, d_k)))
+            x_new = K.retract(x_k, alpha, d_k)
+            if use_wolfe and f_and_g is not None and R.iterations > 0:
+                J, nab = f_and_g(x_new)
+                fused.clear()
+                fused[alpha] = (x_new, nab)
+                return float(J)
+            return float(f(x_new))
 
         if R.iterations == 0 or not use_wolfe:
             alpha_k, J_new, n_ev = ls.armijo_search(phi, J_k, derphi0, alpha0=alpha_k)
@@ -221,8 +236,11 @@ def optimise_on_multi_sphere(
             store: dict = {}
 
             def derphi(alpha: float) -> float:
-                x_new = K.retract(x_k, alpha, d_k)
-                nab = grad_f(x_new)
+                if alpha in fused:
+                    x_new, nab = fused[alpha]
+                else:
+                    x_new = K.retract(x_k, alpha, d_k)
+                    nab = grad_f(x_new)
                 g_new, slope = K.project_transport_slope(x_new, nab, d_k)
                 store["g"] = g_new
                 return float(slope)

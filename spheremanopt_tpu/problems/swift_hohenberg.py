@@ -44,7 +44,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from spheremanopt_tpu.ops.fourier import FourierBasis1D, filter_coeff_fraction
+from spheremanopt_tpu.ops.fourier import (
+    FourierBasis1D,
+    filter_coeff_fraction,
+    nyquist_mask_rfft,
+)
 from spheremanopt_tpu.problems.base import riesz_gradient
 from spheremanopt_tpu.solvers.scan_utils import kahan_add, kahan_zero
 
@@ -60,6 +64,7 @@ class SH23Config:
     pad_factor: float = 2.0      # Dedalus dealias=2
     dtype: str = "float64"       # "float32" on TPU
     remat: bool = True           # per-step jax.checkpoint in the scan
+    method: str = "matmul"       # "matmul" (MXU circulant step) | "fft"
 
 
 class SwiftHohenberg:
@@ -73,18 +78,52 @@ class SwiftHohenberg:
         cdtype = jnp.complex128 if rdtype == jnp.float64 else jnp.complex64
         self._rdtype, self._cdtype = rdtype, cdtype
 
-        k = self.basis.wavenumbers(rdtype)
+        # IMPORTANT (axon TPU): operator tensors are kept as *numpy* arrays
+        # so that jit closures embed them as HLO constants. Closing over
+        # jnp device arrays re-ships the buffer through the tunnel on
+        # every call (~33 ms for 1 MB, measured) and degrades subsequent
+        # dispatches; numpy closures compile in and cost nothing.
+        k = 2.0 * np.pi * np.fft.rfftfreq(cfg.npts, 1.0 / cfg.npts) / cfg.length
         # (1 + dx^2)^2 - a  ->  (1 - k^2)^2 - a in Fourier space
         self._L = ((1.0 - k * k) ** 2 - cfg.a).astype(rdtype)
         # Parseval weights for (1/V) int u^2: |c_0|^2 + 2 sum_{k>0} |c_k|^2
         w = np.full(self.basis.n_coeff, 2.0)
         w[0] = 1.0
-        self._parseval = jnp.asarray(w, rdtype)
+        self._parseval = w.astype(rdtype)
+
+        if cfg.method == "matmul":
+            # Fuse irfft . diag(1/(1/dt+L)) . truncate . rfft into one real
+            # circulant matrix: the whole SBDF1 step becomes a single MXU
+            # matmul u' = M (u/dt + G(u)) on the oversampled grid, with
+            # dealiasing/band-limiting included in M. P = D Q is the
+            # band-limit projector applied to raw input vectors.
+            mg, K = self.basis.n_grid, self.basis.n_coeff
+            eye = np.eye(mg)
+            QI = (np.fft.rfft(eye, axis=0)[:K] / mg) * nyquist_mask_rfft(
+                cfg.npts
+            ).astype(float)[:, None]
+
+            def D_np(cm):
+                cp = np.zeros((mg // 2 + 1, mg), complex)
+                cp[:K] = cm
+                return np.fft.irfft(cp * mg, n=mg, axis=0)
+
+            Ainv = 1.0 / (1.0 / cfg.dt + np.asarray(self._L, np.float64))
+            self._M = D_np(Ainv[:, None] * QI).astype(rdtype)   # numpy: HLO const
+            self._P = D_np(QI).astype(rdtype)
+        else:
+            self._M = self._P = None
 
         self._objective = jax.jit(self._objective_impl)
         self._gradient = jax.jit(
             riesz_gradient(self._objective_impl, [1.0 / self.basis.n_grid])
         )
+
+        def _obj_and_grad(xs):
+            J, raw = jax.value_and_grad(self._objective_impl)(xs)
+            return J, [g * self.basis.n_grid for g in raw]
+
+        self._obj_and_grad = jax.jit(_obj_and_grad)
         self._inner = jax.jit(lambda x, y: jnp.mean(x * y))
 
     # ------------------------------------------------------------------
@@ -106,28 +145,46 @@ class SwiftHohenberg:
         rhs = c / dt + self._nonlinear(c)
         return rhs / (1.0 / dt + self._L)
 
-    def _integrate(self, c0: jnp.ndarray, n_steps: int):
+    def _matmul_step(self, u: jnp.ndarray) -> jnp.ndarray:
+        """SBDF1 step as one MXU matmul: u' = M (u/dt + 1.8u^2 - u^3),
+        where M folds both transforms, the diagonal implicit solve, and
+        the band-limit truncation into a single real circulant matrix.
+        Same arithmetic as the fft path (exact reordering)."""
+        rhs = u / self.cfg.dt + 1.8 * u * u - u * u * u
+        return jnp.dot(self._M, rhs, preferred_element_type=self._rdtype)
+
+    def _integrate(self, s0, n_steps: int, use_matmul: bool):
         """Run n_steps of SBDF1, accumulating J = dt * sum_n E(u_n)
-        (energies of u_0..u_{n_steps}; Euler quadrature per ref :528-529)."""
-        step = self._sbdf1_step
+        (energies of u_0..u_{n_steps}; Euler quadrature per ref :528-529).
+
+        State is rfft coefficients ("fft" path) or band-limited
+        oversampled grid values ("matmul" path; E = grid mean of u^2,
+        exact by Parseval for band-limited u)."""
+        step = self._matmul_step if use_matmul else self._sbdf1_step
+        energy = (lambda u: jnp.mean(u * u)) if use_matmul else self._energy
         if self.cfg.remat:
             step = jax.checkpoint(step)
 
         def body(carry, _):
-            c, acc = carry
-            acc = kahan_add(acc, self._energy(c))
-            c = step(c)
-            return (c, acc), None
+            s, acc = carry
+            acc = kahan_add(acc, energy(s))
+            s = step(s)
+            return (s, acc), None
 
         acc0 = kahan_zero(self._rdtype)
-        (c, acc), _ = jax.lax.scan(body, (c0, acc0), xs=None, length=n_steps)
-        acc = kahan_add(acc, self._energy(c))
-        return c, self.cfg.dt * acc[0]
+        (s, acc), _ = jax.lax.scan(body, (s0, acc0), xs=None, length=n_steps)
+        acc = kahan_add(acc, energy(s))
+        return s, self.cfg.dt * acc[0]
 
     def _objective_impl(self, x_list) -> jnp.ndarray:
         """Returns -J (the reference maximises by minimising -J, :545)."""
-        c0 = self.basis.to_coeff(x_list[0].astype(self._rdtype))
-        _, J = self._integrate(c0, self.cfg.n_iters)
+        x = x_list[0].astype(self._rdtype)
+        if self.cfg.method == "matmul":
+            u0 = jnp.dot(self._P, x, preferred_element_type=self._rdtype)
+            _, J = self._integrate(u0, self.cfg.n_iters, True)
+        else:
+            c0 = self.basis.to_coeff(x)
+            _, J = self._integrate(c0, self.cfg.n_iters, False)
         return -J
 
     # ------------------------------------------------------------------
@@ -139,6 +196,13 @@ class SwiftHohenberg:
 
     def gradient(self, x_list):
         return self._gradient(list(x_list))
+
+    def objective_and_gradient(self, x_list):
+        """One fused forward+backward (J, Riesz gradient) — the reference's
+        FWD-then-ADJ-with-shared-trajectory pattern (`X_FWD_DICT`,
+        `FWD_Solve_SH23.py:499-503` fill / `:688` consume) as a single
+        value_and_grad executable."""
+        return self._obj_and_grad(list(x_list))
 
     def inner_product(self, x, y):
         return self._inner(x, y)
@@ -154,7 +218,7 @@ class SwiftHohenberg:
     def final_state(self, x_list) -> jnp.ndarray:
         """u(x, T) on the oversampled grid (for diagnostics/plots)."""
         c0 = self.basis.to_coeff(jnp.asarray(x_list[0], self._rdtype))
-        c, _ = self._integrate(c0, self.cfg.n_iters)
+        c, _ = self._integrate(c0, self.cfg.n_iters, False)
         return self.basis.to_grid(c)
 
     def generate_ic(self, seed: int = 42, e0: float = None) -> List[jnp.ndarray]:
@@ -175,9 +239,9 @@ class SwiftHohenberg:
             SH23Config(
                 npts=self.cfg.npts, length=self.cfg.length, a=self.cfg.a,
                 dt=1e-2, n_iters=100, e0=e0, pad_factor=self.cfg.pad_factor,
-                dtype=self.cfg.dtype, remat=False,
+                dtype=self.cfg.dtype, remat=False, method="fft",
             )
         )
-        c, _ = prep._integrate(c, 100)
+        c, _ = prep._integrate(c, 100, False)
         c = norm(c, e0)
         return [self.basis.to_grid(c)]

@@ -1,0 +1,59 @@
+"""Cross-validation: JAX autodiff gradient vs the numpy hand-rolled
+discrete adjoint, and forward trajectory parity (SURVEY.md section 4
+item d — small-N end-to-end parity runs)."""
+
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, "baselines")
+from sh23_numpy import SH23Numpy, generate_ic_like  # noqa: E402
+
+from spheremanopt_tpu.problems.swift_hohenberg import SH23Config, SwiftHohenberg
+
+
+@pytest.fixture(scope="module")
+def pair():
+    cfg = SH23Config(npts=64, n_iters=80, dt=0.05, e0=0.0725)
+    jx = SwiftHohenberg(cfg)
+    npy = SH23Numpy(npts=64, dt=0.05, n_iters=80)
+    return jx, npy
+
+
+def test_forward_objective_parity(pair):
+    jx, npy = pair
+    u0 = generate_ic_like(npts=64, seed=42, e0=0.0725)
+    J_np = npy.forward(u0)
+    J_jx = float(jx.objective([jnp.asarray(u0)]))
+    np.testing.assert_allclose(J_jx, J_np, rtol=1e-12)
+
+
+def test_gradient_parity_autodiff_vs_handrolled(pair):
+    """jax.grad of the discrete forward must equal the explicitly
+    constructed reverse sweep (the reference's Discrete adjoint path,
+    `FWD_Solve_SH23.py:598-729`, incl. Compatib_Cond and the final
+    inversion undo — all of which are the VJP of the SBDF1 step)."""
+    jx, npy = pair
+    u0 = generate_ic_like(npts=64, seed=42, e0=0.0725)
+    g_np = npy.gradient(u0)
+    g_jx = np.asarray(jx.gradient([jnp.asarray(u0)])[0])
+    np.testing.assert_allclose(g_jx, g_np, rtol=1e-9, atol=1e-12)
+
+
+def test_numpy_adjoint_transpose_identities():
+    """<D c, v> == <c, D^T v> and <Q v, b> == <v, Q^T b> exactly."""
+    npy = SH23Numpy(npts=32, n_iters=1)
+    rng = np.random.RandomState(1)
+    c = rng.randn(npy.K) + 1j * rng.randn(npy.K)
+    c[0] = c[0].real
+    v = rng.randn(npy.mg)
+    lhs = np.sum(npy.D(c) * v)
+    rhs = np.sum((np.conj(c) * npy.DT(v)).real)
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
+
+    b = rng.randn(npy.K) + 1j * rng.randn(npy.K)
+    lhs = np.sum((np.conj(npy.Q(v)) * b).real)
+    rhs = np.sum(v * npy.QT(b))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
