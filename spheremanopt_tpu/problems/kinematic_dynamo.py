@@ -1,0 +1,328 @@
+"""Willis optimal kinematic dynamo: two-sphere optimisation over (B0, U).
+
+Reference: `Example_Problems/Periodic_Domain(Fourier)/Kinematic_Dynamo/
+FWD_Solve_KDyn.py`. The optimisation is
+
+    max_{B0, U} J = (1/V) int |B(T)|^2 dV   ("Final"; or time-integrated)
+    s.t.  (1/V) int |B0|^2 = M0,  (1/V) int |U|^2 = E0,
+          dB/dt - nabla x (U x B) + grad(Pi) - (1/Rm) lap(B) = 0,
+          div B = 0, div U = 0,   triply periodic, 24^3 modes,
+
+CNAB1 timestepping with 3/2-rule dealiasing (ref `:211-216,443`).
+
+TPU-first realisation:
+  * state is a pair of (3, m, m, m) grid arrays (B and U components
+    stacked) — the reference's `Field_to_Vec` triple-concatenation
+    (`FWD_Solve_KDyn.py:91-137`) without the MPI allgather; the optimiser
+    is shape-agnostic so no flattening is needed
+  * the tau-pressure / divergence constraint pair
+    (`FWD_Solve_KDyn.py:431-440`) is mode-wise Leray projection
+    P = I - k k^T/k^2 applied to the CNAB1 right-hand side: exactly what
+    the Dedalus pencil solve computes per Fourier mode, with the mean
+    mode pinned to zero (`:437-440`)
+  * the induction term nabla x (U x B) is evaluated as a padded-grid
+    cross product followed by a spectral curl (i k x E-hat), which is
+    discretely divergence-free
+  * gradients for BOTH spheres come from one `jax.value_and_grad` of the
+    discrete forward — the reference integrates an extra 4-variable
+    velocity-gradient adjoint system `dt(nu_u) + grad P = -(curl G) x B_f`
+    alongside the adjoint induction equation to accumulate dJ/dU
+    (`FWD_Solve_KDyn.py:881-895`); here that entire system is the VJP of
+    U's appearance in every forward step
+  * all wavenumber/mask tensors are numpy (compiled-in HLO constants; see
+    the axon closure rule in problems/swift_hohenberg.py)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spheremanopt_tpu.solvers.scan_utils import kahan_add, kahan_zero
+
+
+@dataclass(frozen=True)
+class KDynConfig:
+    npts: int = 24
+    length: float = 2.0 * np.pi
+    rm: float = 1.0
+    dt: float = 5e-4
+    n_iters: int = 2000          # Rm/dt (ref `__main__` :1028-1031)
+    m0: float = 1.0              # <B0,B0> sphere
+    e0: float = 1.0              # <U,U> sphere
+    cost: str = "Final"          # "Final" | "Integrated" (ref :655-673)
+    pad_factor: float = 1.5      # Dedalus dealias=3/2
+    dtype: str = "float64"
+    remat: bool = True
+    transform: str = "matmul"    # "matmul" (per-axis DFT einsums, MXU-
+                                 # native, GSPMD-shardable) | "fft"
+
+
+class KinematicDynamo:
+    """Two-sphere problem: X = [B (3,m,m,m), U (3,m,m,m)]."""
+
+    def __init__(self, cfg: KDynConfig = KDynConfig()):
+        self.cfg = cfg
+        n = cfg.npts
+        self.mg = int(round(n * cfg.pad_factor))
+        self.radii = [cfg.m0, cfg.e0]
+        rdtype = jnp.dtype(cfg.dtype)
+        self._rdtype = rdtype
+
+        # --- numpy constant tensors (compiled into the executable) ---
+        kfull = 2 * np.pi * np.fft.fftfreq(n, 1.0 / n) / cfg.length
+        kr = 2 * np.pi * np.fft.rfftfreq(n, 1.0 / n) / cfg.length
+        kx = kfull[:, None, None]
+        ky = kfull[None, :, None]
+        kz = kr[None, None, :]
+        self._k = np.stack(
+            [np.broadcast_to(kx, (n, n, n // 2 + 1)),
+             np.broadcast_to(ky, (n, n, n // 2 + 1)),
+             np.broadcast_to(kz, (n, n, n // 2 + 1))]
+        ).astype(rdtype)
+        k2 = (self._k ** 2).sum(axis=0)
+        self._k2 = k2.astype(rdtype)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            inv_k2 = np.where(k2 > 0, 1.0 / k2, 0.0)
+        self._inv_k2 = inv_k2.astype(rdtype)
+
+        # Nyquist-free keep mask (Dedalus keeps |k| < n/2), mean zeroed by
+        # the Leray/mean handling below.
+        nyq = n // 2
+        full_keep = np.abs(np.fft.fftfreq(n) * n) != nyq
+        r_keep = np.ones(n // 2 + 1, bool)
+        if n % 2 == 0:
+            r_keep[-1] = False
+        keep = (full_keep[:, None, None] & full_keep[None, :, None]
+                & r_keep[None, None, :])
+        self._keep = keep  # bool (n,n,n//2+1)
+
+        # rfftn Hermitian double-count weights for Parseval energies
+        wz = np.full(n // 2 + 1, 2.0)
+        wz[0] = 1.0
+        if n % 2 == 0:
+            wz[-1] = 1.0
+        self._pw = np.broadcast_to(wz[None, None, :], (n, n, n // 2 + 1)).astype(rdtype)
+
+        # CNAB1 diagonal factors: (1/dt -+ k^2/(2Rm))
+        a = 1.0 / cfg.dt
+        nu = 1.0 / (2.0 * cfg.rm)
+        self._lhs_inv = (1.0 / (a + nu * k2)).astype(rdtype)
+        self._rhs_fac = (a - nu * k2).astype(rdtype)
+
+        # Per-axis DFT matrices for the matmul transform path. On TPU,
+        # 24^3-scale transforms are faster as three small batched einsums
+        # on the MXU than as FFT kernels, fuse the band truncation for
+        # free, and — unlike XLA FFT thunks — shard cleanly under GSPMD.
+        cdt = np.complex64 if rdtype == jnp.float32 else np.complex128
+        mg = self.mg
+        freqs = np.concatenate([np.arange(0, n // 2 + 1), np.arange(-(n - n // 2 - 1), 0)])
+        j = np.arange(mg)
+        # forward: grid (mg) -> truncated modes, 1/mg per axis
+        self._Ff = (np.exp(-2j * np.pi * np.outer(freqs, j) / mg) / mg).astype(cdt)
+        self._Fz = (np.exp(-2j * np.pi * np.outer(np.arange(n // 2 + 1), j) / mg) / mg).astype(cdt)
+        # inverse: modes -> grid; z-axis carries the Hermitian doubling
+        self._Bf = np.exp(2j * np.pi * np.outer(j, freqs) / mg).astype(cdt)
+        self._Bz = (np.exp(2j * np.pi * np.outer(j, np.arange(n // 2 + 1)) / mg) * wz[None, :]).astype(cdt)
+
+        self._objective = jax.jit(self._objective_impl)
+        w = 1.0 / self.mg ** 3  # IP weight: sum over comps of grid means
+
+        def _grad(xs):
+            raw = jax.grad(self._objective_impl)(list(xs))
+            return [g / w for g in raw]
+
+        def _obj_and_grad(xs):
+            J, raw = jax.value_and_grad(self._objective_impl)(list(xs))
+            return J, [g / w for g in raw]
+
+        self._gradient = jax.jit(_grad)
+        self._obj_and_grad = jax.jit(_obj_and_grad)
+        self._inner = jax.jit(
+            lambda x, y: jnp.sum(jnp.mean(x * y, axis=(-3, -2, -1)))
+        )
+
+    # ------------------------------------------------------------------
+    # transforms (batched over the leading component axis)
+    # ------------------------------------------------------------------
+
+    def to_coeff(self, v_grid: jnp.ndarray) -> jnp.ndarray:
+        """(c, mg, mg, mg) grid -> (c, n, n, n//2+1) truncated coeffs."""
+        if self.cfg.transform == "matmul":
+            c = jnp.einsum("Zk,...abk->...abZ", self._Fz, v_grid)
+            c = jnp.einsum("Yb,...abZ->...aYZ", self._Ff, c)
+            c = jnp.einsum("Xa,...aYZ->...XYZ", self._Ff, c)
+            return jnp.where(jnp.asarray(self._keep), c, 0.0)
+        n, mg = self.cfg.npts, v_grid.shape[-1]
+        c = jnp.fft.rfftn(v_grid, axes=(-3, -2, -1)) / (mg ** 3)
+        h = n // 2
+        c = jnp.concatenate([c[..., : h + 1, :, :], c[..., -(n - h - 1):, :, :]], axis=-3)
+        c = jnp.concatenate([c[..., :, : h + 1, :], c[..., :, -(n - h - 1):, :]], axis=-2)
+        c = c[..., :, :, : n // 2 + 1]
+        return jnp.where(jnp.asarray(self._keep), c, 0.0)
+
+    def to_grid(self, c: jnp.ndarray) -> jnp.ndarray:
+        """Truncated coeffs -> (c, mg, mg, mg) oversampled grid."""
+        n, mg = self.cfg.npts, self.mg
+        if self.cfg.transform == "matmul":
+            g = jnp.einsum("aX,...XYZ->...aYZ", self._Bf, c)
+            g = jnp.einsum("bY,...aYZ->...abZ", self._Bf, g)
+            g = jnp.einsum("kZ,...abZ->...abk", self._Bz, g)
+            return g.real.astype(self._rdtype)
+        h = n // 2
+        batch = c.shape[:-3]
+        out = jnp.zeros(batch + (mg, mg, mg // 2 + 1), dtype=c.dtype)
+        lo, hi = slice(0, h + 1), slice(h + 1, n)
+        out = out.at[..., : h + 1, : h + 1, : n // 2 + 1].set(c[..., lo, lo, :])
+        out = out.at[..., mg - (n - h - 1):, : h + 1, : n // 2 + 1].set(c[..., hi, lo, :])
+        out = out.at[..., : h + 1, mg - (n - h - 1):, : n // 2 + 1].set(c[..., lo, hi, :])
+        out = out.at[..., mg - (n - h - 1):, mg - (n - h - 1):, : n // 2 + 1].set(c[..., hi, hi, :])
+        return jnp.fft.irfftn(out * (mg ** 3), s=(mg, mg, mg), axes=(-3, -2, -1))
+
+    # ------------------------------------------------------------------
+    # dynamics
+    # ------------------------------------------------------------------
+
+    def _energy(self, c: jnp.ndarray) -> jnp.ndarray:
+        """(1/V) int |B|^2 via Parseval over the 3 components."""
+        pw = jnp.asarray(self._pw)
+        return jnp.sum(pw * (c.real ** 2 + c.imag ** 2))
+
+    def _leray(self, c: jnp.ndarray) -> jnp.ndarray:
+        """Mode-wise projection onto divergence-free fields; also zeroes
+        the mean mode (inv_k2[0,0,0] = 0 and rhs mean handled by keep)."""
+        k = jnp.asarray(self._k)
+        div = jnp.sum(k * c, axis=0)  # k . c  (i factors cancel in P)
+        return c - k * (div * jnp.asarray(self._inv_k2))[None]
+
+    def _induction(self, b_c: jnp.ndarray, u_grid: jnp.ndarray) -> jnp.ndarray:
+        """F-hat = i k x (U x B)-hat with padded-grid cross product."""
+        b = self.to_grid(b_c)
+        e = jnp.stack([
+            u_grid[1] * b[2] - u_grid[2] * b[1],
+            u_grid[2] * b[0] - u_grid[0] * b[2],
+            u_grid[0] * b[1] - u_grid[1] * b[0],
+        ])
+        e_c = self.to_coeff(e)
+        k = jnp.asarray(self._k)
+        return 1j * jnp.stack([
+            k[1] * e_c[2] - k[2] * e_c[1],
+            k[2] * e_c[0] - k[0] * e_c[2],
+            k[0] * e_c[1] - k[1] * e_c[0],
+        ])
+
+    def _cnab1_step(self, b_c: jnp.ndarray, u_grid: jnp.ndarray) -> jnp.ndarray:
+        """CNAB1: (1/dt + k^2/2Rm) B' = (1/dt - k^2/2Rm) B + F, with the
+        tau-pressure divergence constraint as Leray projection and the
+        mean mode pinned to zero (ref equations :431-440)."""
+        rhs = jnp.asarray(self._rhs_fac) * b_c + self._induction(b_c, u_grid)
+        out = self._leray(rhs) * jnp.asarray(self._lhs_inv)
+        # zero mean mode (k=0): lhs_inv[0,0,0] is finite, so mask it
+        return out.at[:, 0, 0, 0].set(0.0)
+
+    def _integrate(self, b0_c, u_grid, n_steps: int):
+        step = self._cnab1_step
+        if self.cfg.remat:
+            step = jax.checkpoint(step)
+        integrated = self.cfg.cost == "Integrated"
+
+        def body(carry, _):
+            b, acc = carry
+            if integrated:
+                acc = kahan_add(acc, self._energy(b))
+            b = step(b, u_grid)
+            return (b, acc), None
+
+        acc0 = kahan_zero(self._rdtype)
+        (b, acc), _ = jax.lax.scan(body, (b0_c, acc0), xs=None, length=n_steps)
+        if integrated:
+            acc = kahan_add(acc, self._energy(b))
+            return b, self.cfg.dt * acc[0]
+        return b, self._energy(b)
+
+    def _objective_impl(self, x_list) -> jnp.ndarray:
+        b0 = x_list[0].astype(self._rdtype)
+        u = x_list[1].astype(self._rdtype)
+        b0_c = self.to_coeff(b0)
+        # band-limit U the way Vec_to_Field + Dedalus products do
+        u_bl = self.to_grid(self.to_coeff(u))
+        _, J = self._integrate(b0_c, u_bl, self.cfg.n_iters)
+        return -J
+
+    # ------------------------------------------------------------------
+    # public triple
+    # ------------------------------------------------------------------
+
+    def objective(self, x_list):
+        return self._objective(list(x_list))
+
+    def gradient(self, x_list):
+        return self._gradient(list(x_list))
+
+    def objective_and_gradient(self, x_list):
+        return self._obj_and_grad(list(x_list))
+
+    def inner_product(self, x, y):
+        """(1/V) int f . g dV = sum over components of grid means
+        (ref `Inner_Prod_3`, `FWD_Solve_KDyn.py:173-181`)."""
+        return self._inner(x, y)
+
+    @property
+    def inner_products(self):
+        return self.inner_product
+
+    # ------------------------------------------------------------------
+    # initial conditions (ref `Generate_IC`, :183-317)
+    # ------------------------------------------------------------------
+
+    def _curl_of_noise(self, key, frac=0.25) -> jnp.ndarray:
+        """curl-like combination of filtered-noise potential derivatives
+        (ref takes B = curl-ish of (phi_y - phi_z, ...), :240-243)."""
+        noise = jax.random.normal(key, (self.mg,) * 3, self._rdtype)
+        c = self.to_coeff(noise[None])[0]
+        # low-pass: keep lowest `frac` of mode indices per axis (ref
+        # filter_field frac=0.25, :30-55)
+        n = self.cfg.npts
+        idx = np.minimum(np.arange(n), n - np.arange(n)) / (n // 2)
+        idxr = np.arange(n // 2 + 1) / (n // 2)
+        keep = ((idx[:, None, None] <= frac) & (idx[None, :, None] <= frac)
+                & (idxr[None, None, :] <= frac))
+        c = jnp.where(jnp.asarray(keep), c, 0.0)
+        k = jnp.asarray(self._k)
+        dx, dy, dz = 1j * k[0] * c, 1j * k[1] * c, 1j * k[2] * c
+        return self.to_grid(jnp.stack([dy - dz, dz - dx, dx - dy]))
+
+    def generate_ic(self, seed: int = 42, u_noise: bool = True) -> List[jnp.ndarray]:
+        key_b, key_u = jax.random.split(jax.random.PRNGKey(seed))
+        b = self._curl_of_noise(key_b)
+
+        if u_noise:
+            u = self._curl_of_noise(key_u)
+        else:
+            # Willis-type ABC-like base flow (ref :255-261)
+            xs = np.arange(self.mg) * self.cfg.length / self.mg
+            X, Y, Z = np.meshgrid(xs, xs, xs, indexing="ij")
+            s3 = np.sqrt(3.0)
+            u = jnp.asarray(np.stack([
+                0.5 * np.sin(Y) * np.cos(Z) / s3,
+                0.5 * np.sin(Z) * np.cos(X) / s3,
+                0.5 * np.sin(X) * np.cos(Y) / s3,
+            ]), self._rdtype)
+        u = u * jnp.sqrt(self.cfg.e0 / self.inner_product(u, u))
+
+        # prep-smooth B: 100 CNAB1 steps at dt=1e-3 (ref :297-302; the
+        # reference accidentally passes the module globals Rm, dt — a
+        # known bug we do not replicate, SURVEY.md section 2 quirks)
+        prep = KinematicDynamo(KDynConfig(
+            npts=self.cfg.npts, length=self.cfg.length, rm=1.0, dt=1e-3,
+            n_iters=100, cost="Final", pad_factor=self.cfg.pad_factor,
+            dtype=self.cfg.dtype, remat=False,
+        ))
+        b_c, _ = prep._integrate(prep.to_coeff(b), u, 100)
+        b = self.to_grid(b_c)
+        b = b * jnp.sqrt(self.cfg.m0 / self.inner_product(b, b))
+        return [b, u]

@@ -1,0 +1,110 @@
+"""Kinematic dynamo tests: adjoint exactness (both spheres), physics
+invariants (div B = 0, diffusive decay), transform-path parity, and the
+sharded multi-chip step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spheremanopt_tpu.grad.testgrad import adjoint_gradient_test
+from spheremanopt_tpu.problems.kinematic_dynamo import KDynConfig, KinematicDynamo
+
+
+@pytest.fixture(scope="module")
+def small():
+    return KinematicDynamo(KDynConfig(npts=12, n_iters=40, dt=1e-3))
+
+
+@pytest.fixture(scope="module")
+def x0(small):
+    return small.generate_ic(seed=42)
+
+
+def test_ic_on_both_spheres_and_divfree(small, x0):
+    assert np.isclose(float(small.inner_product(x0[0], x0[0])), 1.0, rtol=1e-10)
+    assert np.isclose(float(small.inner_product(x0[1], x0[1])), 1.0, rtol=1e-10)
+    k = jnp.asarray(small._k)
+    for f in x0:
+        div = float(jnp.abs(jnp.sum(k * small.to_coeff(f), axis=0)).max())
+        assert div < 1e-12, div
+
+
+@pytest.mark.parametrize("cost", ["Final", "Integrated"])
+def test_taylor_orders_both_spheres(cost, x0):
+    p = KinematicDynamo(KDynConfig(npts=12, n_iters=40, dt=1e-3, cost=cost))
+    dx0 = p.generate_ic(seed=5)
+    r = adjoint_gradient_test(
+        x0, dx0, p.objective, p.gradient, p.inner_product,
+        epsilon=1e-3, verbose=False,
+    )
+    assert abs(r.gamma1 - 1.0) < 0.05, r.gamma1
+    assert abs(r.gamma2 - 2.0) < 0.05, r.gamma2
+
+
+def test_taylor_du_only(x0):
+    """Perturb only U (dB=0): validates the dJ/dU path the reference
+    computes via the auxiliary nu_u system (`FWD_Solve_KDyn.py:881-895`)."""
+    p = KinematicDynamo(KDynConfig(npts=12, n_iters=40, dt=1e-3))
+    du = p.generate_ic(seed=9)[1]
+    r = adjoint_gradient_test(
+        x0, [jnp.zeros_like(x0[0]), du], p.objective, p.gradient,
+        p.inner_product, epsilon=1e-3, verbose=False,
+    )
+    assert abs(r.gamma2 - 2.0) < 0.05, r.gamma2
+
+
+def test_divergence_preserved_through_steps(small, x0):
+    b_c = small.to_coeff(x0[0])
+    u = x0[1]
+    for _ in range(5):
+        b_c = small._cnab1_step(b_c, u)
+    div = float(jnp.abs(jnp.sum(jnp.asarray(small._k) * b_c, axis=0)).max())
+    assert div < 1e-12, div
+    # mean mode stays zero (ref pins k=0 mode, :437-440)
+    assert float(jnp.abs(b_c[:, 0, 0, 0]).max()) == 0.0
+
+
+def test_pure_diffusion_decay_rate():
+    """With U = 0 the induction equation is a heat equation: each mode
+    decays by the CN factor (1/dt - k^2/2Rm)/(1/dt + k^2/2Rm)."""
+    cfg = KDynConfig(npts=12, n_iters=1, dt=1e-2, rm=2.0)
+    p = KinematicDynamo(cfg)
+    mg = p.mg
+    xs = np.arange(mg) * cfg.length / mg
+    X = np.meshgrid(xs, xs, xs, indexing="ij")[0]
+    # div-free single-mode field: B = (0, sin(2x), 0)
+    b = jnp.asarray(np.stack([0 * X, np.sin(2 * X), 0 * X]))
+    b_c = p.to_coeff(b)
+    u0 = jnp.zeros((3, mg, mg, mg))
+    b1 = p._cnab1_step(b_c, u0)
+    k2 = 4.0
+    expected = (1 / cfg.dt - k2 / (2 * cfg.rm)) / (1 / cfg.dt + k2 / (2 * cfg.rm))
+    ratio = float(jnp.abs(b1[1, 2, 0, 0]) / jnp.abs(b_c[1, 2, 0, 0]))
+    np.testing.assert_allclose(ratio, expected, rtol=1e-10)
+
+
+def test_transform_paths_agree(x0):
+    pm = KinematicDynamo(KDynConfig(npts=12, n_iters=10, dt=1e-3, transform="matmul"))
+    pf = KinematicDynamo(KDynConfig(npts=12, n_iters=10, dt=1e-3, transform="fft"))
+    np.testing.assert_allclose(
+        float(pm.objective(x0)), float(pf.objective(x0)), rtol=1e-13
+    )
+    gm, gf = pm.gradient(x0), pf.gradient(x0)
+    for a, b in zip(gm, gf):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10, atol=1e-14)
+
+
+def test_fused_objective_and_gradient(small, x0):
+    J, g = small.objective_and_gradient(x0)
+    J2 = small.objective(x0)
+    g2 = small.gradient(x0)
+    np.testing.assert_allclose(float(J), float(J2), rtol=1e-14)
+    for a, b in zip(g, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+
+
+def test_dryrun_multichip_8(eight_devices):
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
