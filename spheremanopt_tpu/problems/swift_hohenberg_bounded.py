@@ -1,0 +1,198 @@
+"""Swift-Hohenberg on a bounded domain (Chebyshev, mixed BCs).
+
+Reference: `Example_Problems/Bounded_Domain(Cheby)/Swift_Hohenberg_Bounded/
+FWD_Solve_SHB23.py`. The optimisation is
+
+    max_{u0} J = int_t (1/V) int_z |u|^2 dz dt
+    s.t.  (1/V) int_z u0^2 dz = M0,
+          du/dt + (1 + dz^2)^2 u - a u = 2 u^2 - u^3,    a = -0.1,
+          dz(u) = dz^3(u) = 0 at z = -20;  u = dz^2(u) = 0 at z = +20,
+
+SBDF1 stepping on the Chebyshev roots grid. Default config follows the
+reference's Discrete mode (`__main__` :967-979): Npts = 512 grid points
+(256 doubled in lieu of a dealias scale), dt = 0.01, T = 20, M0 = 0.0019,
+top-half coefficient zeroing of the nonlinear term (`:583-585`), and the
+trapezoid-weight inner product (`weightMatrixDisc` + `Inner_Prod_Discrete`,
+`:69-81,156-193`).
+
+TPU-first realisation:
+  * the reference's Dedalus LBVP machinery — first-order reduction to
+    (u, uz, uzz, uzzz), per-pencil left/right preconditioners, sparse LU
+    (`:563-587,652-659`) — is replaced by a scalar Chebyshev-tau solve
+    of the 4th-order operator, LU-factorised ONCE in f64 numpy at init
+    and folded with both transforms into two dense grid-space
+    propagators:  u' = A_lin u + A_nl g(u),  g(u) = 2u^2 - u^3.
+    Each SBDF1 step is then two NxN MXU matmuls + elementwise work —
+    no per-step factorisation, no sparse kernels
+  * the reference's hand-rolled adjoint — transposed pencil solvers from
+    conj(L_exp).T, the DCT adjoint quartet, adjoint dealiasing
+    (`:796-920`) — is `jax.grad` of this discrete forward
+  * all matrices are numpy constants compiled into the executable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spheremanopt_tpu.ops.chebyshev import ChebyshevBasis1D
+from spheremanopt_tpu.solvers.scan_utils import kahan_add, kahan_zero
+
+
+@dataclass(frozen=True)
+class SHB23Config:
+    npts: int = 512              # Discrete mode: 256 * dealias (ref :974-976)
+    z0: float = -20.0
+    z1: float = 20.0
+    a: float = -0.1
+    dt: float = 0.01
+    n_iters: int = 2000          # T = 20 (ref :978)
+    m0: float = 0.0019
+    dtype: str = "float64"
+    remat: bool = True
+    dealias_frac: float = 0.5    # zero coefficients with n >= frac * N
+
+
+class SwiftHohenbergBounded:
+    """SHB23 problem: callable triple + IC generation for the optimiser."""
+
+    def __init__(self, cfg: SHB23Config = SHB23Config()):
+        self.cfg = cfg
+        self.basis = ChebyshevBasis1D(cfg.npts, cfg.z0, cfg.z1)
+        self.radii = [cfg.m0]
+        rdtype = jnp.dtype(cfg.dtype)
+        self._rdtype = rdtype
+        n = cfg.npts
+        b = self.basis
+
+        # --- tau system (f64 numpy, init-time only) ---
+        d2 = b.deriv_matrix(2)
+        d4 = b.deriv_matrix(4)
+        L = (1.0 / cfg.dt + 1.0 - cfg.a) * np.eye(n) + 2.0 * d2 + d4
+        M_tau = np.zeros((n, n))
+        M_tau[: n - 4] = L[: n - 4]          # first N-4 equation rows
+        M_tau[n - 4] = b.boundary_row("left", 1)    # dz(u)(-20)   = 0
+        M_tau[n - 3] = b.boundary_row("left", 3)    # dz^3(u)(-20) = 0
+        M_tau[n - 2] = b.boundary_row("right", 0)   # u(+20)       = 0
+        M_tau[n - 1] = b.boundary_row("right", 2)   # dz^2(u)(+20) = 0
+
+        E = np.eye(n)
+        E[n - 4 :] = 0.0                     # BC rows get zero rhs
+        Z = np.diag(b.dealias_mask(cfg.dealias_frac))
+        Minv_E = np.linalg.solve(M_tau, E)
+
+        V, A = b.synthesis, b.analysis
+        self._A_lin = (V @ Minv_E @ A / cfg.dt).astype(rdtype)
+        self._A_nl = (V @ Minv_E @ Z @ A).astype(rdtype)
+        self._resid = float(
+            np.abs(M_tau @ np.linalg.solve(M_tau, E) - E).max()
+        )
+
+        # trapezoid inner-product weights / hypervolume (ref :69-81,190-193)
+        vol = cfg.z1 - cfg.z0
+        self._w = (b.trapezoid_weights / vol).astype(rdtype)
+
+        self._objective = jax.jit(self._objective_impl)
+
+        def _grad(xs):
+            raw = jax.grad(self._objective_impl)(list(xs))
+            return [raw[0] / jnp.asarray(self._w)]
+
+        def _obj_and_grad(xs):
+            J, raw = jax.value_and_grad(self._objective_impl)(list(xs))
+            return J, [raw[0] / jnp.asarray(self._w)]
+
+        self._gradient = jax.jit(_grad)
+        self._obj_and_grad = jax.jit(_obj_and_grad)
+        self._inner = jax.jit(lambda x, y: jnp.sum(jnp.asarray(self._w) * x * y))
+
+    # ------------------------------------------------------------------
+    # dynamics
+    # ------------------------------------------------------------------
+
+    def _step(self, u: jnp.ndarray) -> jnp.ndarray:
+        """SBDF1 via precomputed grid-space propagators (tau solve + BCs
+        + dealiasing folded in)."""
+        g = 2.0 * u * u - u * u * u
+        return (
+            jnp.dot(self._A_lin, u, preferred_element_type=self._rdtype)
+            + jnp.dot(self._A_nl, g, preferred_element_type=self._rdtype)
+        )
+
+    def _energy(self, u: jnp.ndarray) -> jnp.ndarray:
+        return jnp.sum(jnp.asarray(self._w) * u * u)
+
+    def _integrate(self, u0: jnp.ndarray, n_steps: int):
+        """cost = dt * sum_{i=0..n_steps} IP(u_i, u_i): the i=0 term plus
+        one per solve (ref `FWD_Solve_IVP_Discrete` :627-665)."""
+        step = jax.checkpoint(self._step) if self.cfg.remat else self._step
+
+        def body(carry, _):
+            u, acc = carry
+            acc = kahan_add(acc, self._energy(u))
+            u = step(u)
+            return (u, acc), None
+
+        acc0 = kahan_zero(self._rdtype)
+        (u, acc), _ = jax.lax.scan(body, (u0, acc0), xs=None, length=n_steps)
+        acc = kahan_add(acc, self._energy(u))
+        return u, self.cfg.dt * acc[0]
+
+    def _objective_impl(self, x_list) -> jnp.ndarray:
+        u0 = x_list[0].astype(self._rdtype)
+        _, J = self._integrate(u0, self.cfg.n_iters)
+        return -J
+
+    # ------------------------------------------------------------------
+    # public triple
+    # ------------------------------------------------------------------
+
+    def objective(self, x_list):
+        return self._objective(list(x_list))
+
+    def gradient(self, x_list):
+        return self._gradient(list(x_list))
+
+    def objective_and_gradient(self, x_list):
+        return self._obj_and_grad(list(x_list))
+
+    def inner_product(self, x, y):
+        return self._inner(x, y)
+
+    @property
+    def inner_products(self):
+        return self.inner_product
+
+    def final_state(self, x_list) -> jnp.ndarray:
+        u, _ = self._integrate(jnp.asarray(x_list[0], self._rdtype), self.cfg.n_iters)
+        return u
+
+    # ------------------------------------------------------------------
+    # initial conditions (ref Generate_IC :194-268: filtered noise,
+    # prep-smooth 100 steps of dt=1e-2, normalise onto the sphere)
+    # ------------------------------------------------------------------
+
+    def generate_ic(self, seed: int = 42, m0: float = None) -> List[jnp.ndarray]:
+        m0 = self.cfg.m0 if m0 is None else m0
+        key = jax.random.PRNGKey(seed)
+        noise = jax.random.normal(key, (self.cfg.npts,), self._rdtype)
+        # low-pass in coefficient space (filter frac=0.25 in Discrete mode)
+        a = self.basis.analysis @ np.asarray(noise)
+        a[int(0.25 * self.cfg.npts):] = 0.0
+        u = jnp.asarray(self.basis.synthesis @ a, self._rdtype)
+
+        prep = SwiftHohenbergBounded(
+            SHB23Config(
+                npts=self.cfg.npts, z0=self.cfg.z0, z1=self.cfg.z1,
+                a=self.cfg.a, dt=1e-2, n_iters=100, m0=m0,
+                dtype=self.cfg.dtype, remat=False,
+                dealias_frac=self.cfg.dealias_frac,
+            )
+        )
+        u, _ = prep._integrate(u, 100)
+        u = u * jnp.sqrt(m0 / self._energy(u))
+        return [u]
