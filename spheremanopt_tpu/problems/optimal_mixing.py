@@ -1,0 +1,439 @@
+"""Marcotte-Caulfield optimal mixing: 2D Boussinesq in a channel.
+
+Reference: `Example_Problems/Bounded_Domain(Cheby)/Optimal_Mixing/
+FWD_Solve_Poiseuille.py`. The optimisation over the initial perturbation
+velocity (u0, w0) of plane Poiseuille flow U(z) = 1 - z^2 is
+
+  s=0:  max   J = (1/2) int_t (1/V) int |u|^2 dV dt   (time-avg KE)
+  s=1:  min   J = (1/2) (1/V) int |grad psi|^2 dV,  lap psi = rho(T)
+        (the mix-norm ||grad^-1 rho(T)||^2, ref :1052-1117)
+  s.t.  (1/V) int |u0|^2 = E0  and the linearised-about-base-flow
+        advection-diffusion system (ref :824-844):
+
+    u/dt - (1/Re) lap u + dx p + U dx u + w U' = -(u.grad)u   + u^n/dt
+    w/dt - (1/Re) lap w + dz p + U dx w + Ri rho = -(u.grad)w + w^n/dt
+    rho/dt - (1/Pe) lap rho + U dx rho + Fb = -(u.grad)rho    + rho^n/dt
+    dx u + dz w = 0
+    BCs: u = w = 0 at z = +-1 (w(+1) replaced by the integ(p)=0 gauge at
+    kx=0), dz(rho) = 0 at z = +-1; Fb = 0 for kx != 0 and integ(rho) = 0
+    at kx = 0 (mean-density gauge),
+
+with rho(0) = -erf(z/delta)/2 and implicit Euler (SBDF1) stepping of the
+full LHS (base-flow advection included implicitly, ref :824-826).
+
+TPU-first realisation:
+  * per-kx Chebyshev-tau block systems over (u, w, rho, p) [+ Fb at
+    kx=0] are assembled and inverted ONCE in f64 numpy; the reduced
+    solution operators S[kx] : (rhs_u, rhs_w, rhs_rho) -> (u, w, rho)
+    form a (Kx, 3Nz, 3Nz) batched tensor, so each implicit step is one
+    batched complex matmul on the MXU — replacing the reference's
+    per-pencil sparse LU loop (`:1035-1043`)
+  * these operator stacks are ~100s of MB: they are passed as
+    DEVICE-RESIDENT ARGUMENTS through jit (embedding them as closure
+    constants is both bloated and, on this platform, re-shipped per
+    call — see the axon rule in swift_hohenberg.py)
+  * transforms are per-axis matmuls (rfft-layout DFT in x, Chebyshev
+    cosine in z) with 3/2-oversampled products; the band truncation
+    back to (Kx, Nz) is the reference's 2/3-rule DA mask (`:887-899`)
+  * the adjoint — the reference's transposed pencil solvers, adjoint
+    derivative ops, NLtermAdj Jacobian products, and mix-norm transpose
+    (`:1320-1650`) — is jax.grad of this discrete forward.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.special import erf
+
+from spheremanopt_tpu.ops.chebyshev import ChebyshevBasis1D
+from spheremanopt_tpu.solvers.scan_utils import kahan_add, kahan_zero
+
+
+@dataclass(frozen=True)
+class MixingConfig:
+    nx: int = 256                # Fourier modes in x (ref `__main__` :1746)
+    nz: int = 128                # Chebyshev modes in z
+    lx: float = 4.0 * np.pi
+    reynolds: float = 500.0
+    richardson: float = 0.05
+    prandtl: float = 1.0
+    dt: float = 5e-3
+    n_iters: int = 1000          # T = 5
+    e0: float = 0.02
+    delta: float = 0.125         # erf buoyancy layer width (ref :1758)
+    s: int = 1                   # 0: KE maximisation, 1: mix-norm min
+    pad_factor: float = 1.5
+    dtype: str = "float64"
+    remat: bool = True
+
+
+def _cheb_mult_T(coeffs_of_factor: np.ndarray, n: int) -> np.ndarray:
+    """Exact coefficient-space multiplication matrix for a polynomial
+    factor given by Chebyshev coefficients: T_m T_k = (T_{m+k} + T_|m-k|)/2,
+    truncated to n modes (how Dedalus applies NCCs like U(z) = 1 - z^2)."""
+    M = np.zeros((n, n))
+    for m, cm in enumerate(coeffs_of_factor):
+        if cm == 0.0:
+            continue
+        for k in range(n):
+            if m + k < n:
+                M[m + k, k] += 0.5 * cm
+            if abs(m - k) < n:
+                M[abs(m - k), k] += 0.5 * cm
+    # T_0 T_k = T_k (the formula double-counts m=0: (T_k + T_k)/2) — OK.
+    return M
+
+
+class OptimalMixing:
+    """Mixing problem: X = [(2, mgx, mgz) velocity grid fields]."""
+
+    def __init__(self, cfg: MixingConfig = MixingConfig()):
+        self.cfg = cfg
+        rdtype = jnp.dtype(cfg.dtype)
+        self._rdtype = rdtype
+        self._cdtype = jnp.complex128 if rdtype == jnp.float64 else jnp.complex64
+        nx, nz = cfg.nx, cfg.nz
+        self.kxn = nx // 2 + 1
+        self.mgx = int(round(nx * cfg.pad_factor))
+        self.mgz = int(round(nz * cfg.pad_factor))
+        self.radii = [cfg.e0]
+
+        self.zbasis = ChebyshevBasis1D(nz, -1.0, 1.0)
+        zfull = ChebyshevBasis1D(self.mgz, -1.0, 1.0)
+        self._zgrid = zfull.grid
+
+        # --- small transform matrices (numpy -> HLO constants) ---
+        j = np.arange(self.mgx)
+        kxi = np.arange(self.kxn)
+        cnp = np.complex128 if rdtype == jnp.float64 else np.complex64
+        self._Fx = (np.exp(-2j * np.pi * np.outer(kxi, j) / self.mgx) / self.mgx).astype(cnp)
+        wx = np.full(self.kxn, 2.0)
+        wx[0] = 1.0
+        self._xmask = np.ones(self.kxn)
+        if nx % 2 == 0:
+            self._xmask[-1] = 0.0  # Nyquist of the nx-band
+        self._Bx = (np.exp(2j * np.pi * np.outer(j, kxi) / self.mgx) * wx[None, :]).astype(cnp)
+        # z: analysis on the oversampled grid, truncated to nz; synthesis padded
+        self._Az = zfull.analysis[:nz].astype(np.float64).astype(rdtype)        # (nz, mgz)
+        self._Vz = zfull.synthesis[:, :nz].astype(rdtype)                       # (mgz, nz)
+        self._Dz_np = self.zbasis.diff_matrix                                   # (nz, nz)
+        self._Dz = self._Dz_np.astype(rdtype)
+        self._kx = (2.0 * np.pi * kxi / cfg.lx).astype(np.float64)
+
+        # --- per-kx implicit solve operators (device args, not consts) ---
+        S, MN = self._build_operators()
+        self._ops: Dict[str, jnp.ndarray] = {
+            "S": jax.device_put(jnp.asarray(S, self._cdtype)),
+            "MN": jax.device_put(jnp.asarray(MN, self._cdtype)),
+        }
+
+        # rectangle-rule IP weights on the oversampled grid
+        # (ref weightMatrixDisc :91-117: dz left-differences times dx)
+        z = self._zgrid
+        wz = np.empty(self.mgz)
+        wz[0] = z[1] - z[0]
+        wz[1:] = z[1:] - z[:-1]
+        dx = cfg.lx / self.mgx
+        vol = cfg.lx * 2.0
+        self._w = (np.broadcast_to(wz[None, :], (self.mgx, self.mgz)) * dx / vol).astype(rdtype)
+
+        # rho(0) = -erf(z/delta)/2, truncated to the nz band (ref :920-925)
+        rho0_grid = np.broadcast_to(
+            -0.5 * erf(z / cfg.delta)[None, :], (self.mgx, self.mgz)
+        )
+        self._rho0_c = self._to_coeff_np(rho0_grid).astype(cnp)
+
+        self._objective = jax.jit(self._objective_impl)
+
+        def _grad(ops, xs):
+            raw = jax.grad(self._objective_impl, argnums=1)(ops, list(xs))
+            return [raw[0] / jnp.asarray(self._w)[None]]
+
+        def _obj_and_grad(ops, xs):
+            J, raw = jax.value_and_grad(self._objective_impl, argnums=1)(ops, list(xs))
+            return J, [raw[0] / jnp.asarray(self._w)[None]]
+
+        self._gradient = jax.jit(_grad)
+        self._obj_and_grad = jax.jit(_obj_and_grad)
+        self._inner = jax.jit(
+            lambda x, y: jnp.sum(jnp.asarray(self._w)[None] * x * y)
+        )
+
+    # ------------------------------------------------------------------
+    # operator assembly (init-time, f64 numpy)
+    # ------------------------------------------------------------------
+
+    def _build_operators(self):
+        cfg = self.cfg
+        nz = cfg.nz
+        I = np.eye(nz)
+        D1 = self._Dz_np
+        D2 = D1 @ D1
+        # U = 1 - z^2 = T0/2 - T2/2 ; U' = -2z = -2 T1  (exact Chebyshev)
+        U_c = np.zeros(nz); U_c[0] = 0.5; U_c[2] = -0.5
+        Up_c = np.zeros(nz); Up_c[1] = -2.0
+        MU = _cheb_mult_T(U_c, nz)
+        MUp = _cheb_mult_T(Up_c, nz)
+        b = self.zbasis
+        row_left = b.boundary_row("left", 0)
+        row_right = b.boundary_row("right", 0)
+        row_dz_left = b.boundary_row("left", 1)
+        row_dz_right = b.boundary_row("right", 1)
+        # integral row: int_-1^1 T_n dz
+        nn = np.arange(nz)
+        q = np.zeros(nz)
+        q[nn % 2 == 0] = 2.0 / (1.0 - nn[nn % 2 == 0].astype(float) ** 2)
+
+        re_inv = 1.0 / cfg.reynolds
+        pe_inv = 1.0 / (cfg.reynolds * cfg.prandtl)
+        ri = cfg.richardson
+        a0 = 1.0 / cfg.dt
+
+        def solve_block(kx, mixnorm=False):
+            ikx = 1j * kx
+            if mixnorm:
+                # lap psi (+Fpsi at kx=0) = rho; psi_z(+-1)=0; integ gauge
+                nvar = 1
+                extra = 1 if kx == 0.0 else 0
+                A = np.zeros((nz + extra, nz + extra), complex)
+                lap = D2 - kx * kx * I
+                A[: nz - 2, :nz] = lap[: nz - 2]
+                if extra:
+                    A[: nz - 2, nz] = np.eye(nz)[: nz - 2, 0]  # +Fpsi (T0 col)
+                A[nz - 2, :nz] = row_dz_left
+                if kx == 0.0:
+                    A[nz - 1, :nz] = q          # integ(psi) = 0
+                    A[nz, :nz] = row_dz_right   # extra eq row for Fpsi dof
+                else:
+                    A[nz - 1, :nz] = row_dz_right
+                Ainv = np.linalg.solve(A, np.eye(nz + extra))
+                # rhs rho injects into equation rows 0..nz-3
+                E = np.zeros((nz + extra, nz), complex)
+                E[: nz - 2, : nz - 2] = np.eye(nz - 2)
+                return (Ainv @ E)[:nz]  # psi coefficients
+
+            # variables [u, w, rho, p] (+Fb at kx=0)
+            nv = 4 * nz + (1 if kx == 0.0 else 0)
+            A = np.zeros((nv, nv), complex)
+            sl = {v: slice(i * nz, (i + 1) * nz) for i, v in enumerate("uwrp")}
+
+            lap_re = re_inv * (D2 - kx * kx * I)
+            lap_pe = pe_inv * (D2 - kx * kx * I)
+            adv = ikx * MU
+
+            r = 0
+            # momentum-u rows (nz-2) + BCs u(+-1)=0
+            A[r : r + nz - 2, sl["u"]] = (a0 * I - lap_re + adv)[: nz - 2]
+            A[r : r + nz - 2, sl["w"]] = MUp[: nz - 2]
+            A[r : r + nz - 2, sl["p"]] = (ikx * I)[: nz - 2]
+            r += nz - 2
+            # momentum-w rows. At kx = 0 keep nz-1 rows (one tau): w is
+            # killed by continuity + w(-1)=0, and p needs nz-1 equation
+            # rows plus the gauge (the reference's first-order form
+            # reaches the same count via its wz reduction + BC layout).
+            nw = nz - 2 if kx != 0.0 else nz - 1
+            A[r : r + nw, sl["w"]] = (a0 * I - lap_re + adv)[:nw]
+            A[r : r + nw, sl["r"]] = (ri * I)[:nw]
+            A[r : r + nw, sl["p"]] = D1[:nw]
+            r += nw
+            # density rows (nz-2)
+            A[r : r + nz - 2, sl["r"]] = (a0 * I - lap_pe + adv)[: nz - 2]
+            if kx == 0.0:
+                A[r : r + nz - 2, 4 * nz] = np.eye(nz)[: nz - 2, 0]  # +Fb
+            r += nz - 2
+            # continuity rows. At kx = 0 the last row (coefficient nz-1 of
+            # dz w) is identically zero, so drop it and pin w(+1) = 0
+            # explicitly (the reference's first-order form spreads its
+            # taus differently; same solution space).
+            ncont = nz if kx != 0.0 else nz - 1
+            A[r : r + ncont, sl["u"]] = (ikx * I)[:ncont]
+            A[r : r + ncont, sl["w"]] = D1[:ncont]
+            r += ncont
+            # boundary/gauge rows
+            A[r, sl["u"]] = row_left;  r += 1
+            A[r, sl["u"]] = row_right; r += 1
+            A[r, sl["w"]] = row_left;  r += 1
+            if kx == 0.0:
+                A[r, sl["p"]] = q          # integ(p) = 0 gauge (no w(+1))
+            else:
+                A[r, sl["w"]] = row_right
+            r += 1
+            A[r, sl["r"]] = row_dz_left;  r += 1
+            A[r, sl["r"]] = row_dz_right; r += 1
+            if kx == 0.0:
+                A[r, sl["r"]] = q          # integ(rho) = 0 (Fb's equation)
+                r += 1
+            assert r == nv, (r, nv)
+
+            Ainv = np.linalg.solve(A, np.eye(nv))
+            # rhs (u, w, rho) inject into their tau-truncated equation rows
+            E = np.zeros((nv, 3 * nz), complex)
+            E[: nz - 2, : nz - 2] = np.eye(nz - 2)                      # rhs_u
+            E[nz - 2 : nz - 2 + nw, nz : nz + nw] = np.eye(nw)          # rhs_w
+            off = nz - 2 + nw
+            E[off : off + nz - 2, 2 * nz : 2 * nz + nz - 2] = np.eye(nz - 2)
+            return (Ainv @ E)[: 3 * nz]  # (u, w, rho) out
+
+        S = np.stack([solve_block(kx) for kx in self._kx])
+        S[~self._xmask.astype(bool)] = 0.0
+        MN = np.stack([solve_block(kx, mixnorm=True) for kx in self._kx])
+        MN[~self._xmask.astype(bool)] = 0.0
+        return S, MN
+
+    # ------------------------------------------------------------------
+    # transforms: grid (.., mgx, mgz) <-> coeff (.., kxn, nz)
+    # ------------------------------------------------------------------
+
+    def _to_coeff_np(self, g: np.ndarray) -> np.ndarray:
+        c = np.einsum("kj,...jz->...kz", self._Fx.astype(np.complex128), g)
+        c = np.einsum("nz,...kz->...kn", self._Az.astype(np.float64), c)
+        return c * self._xmask[:, None]
+
+    def to_coeff(self, g: jnp.ndarray) -> jnp.ndarray:
+        c = jnp.einsum("kj,...jz->...kz", self._Fx, g.astype(self._cdtype))
+        c = jnp.einsum("nz,...kz->...kn", self._Az.astype(self._rdtype), c)
+        return c * jnp.asarray(self._xmask[:, None])
+
+    def to_grid(self, c: jnp.ndarray) -> jnp.ndarray:
+        g = jnp.einsum("zn,...kn->...kz", self._Vz, c)
+        g = jnp.einsum("jk,...kz->...jz", self._Bx, g)
+        return g.real.astype(self._rdtype)
+
+    # ------------------------------------------------------------------
+    # dynamics
+    # ------------------------------------------------------------------
+
+    def _nonlinear(self, u_c, w_c, r_c):
+        """-(u.grad)(u, w, rho) on the 3/2 grid, truncated back."""
+        ikx = jnp.asarray(1j * self._kx)[:, None]
+        dz = jnp.asarray(self._Dz)
+
+        def dx(c):
+            return ikx * c
+
+        def ddz(c):
+            return jnp.einsum("mn,...kn->...km", dz, c)
+
+        ug = self.to_grid(u_c)
+        wg = self.to_grid(w_c)
+        out = []
+        for c in (u_c, w_c, r_c):
+            adv = ug * self.to_grid(dx(c)) + wg * self.to_grid(ddz(c))
+            out.append(-self.to_coeff(adv))
+        return out
+
+    def _step(self, ops, u_c, w_c, r_c):
+        """rhs = state/dt + NL; batched per-kx tau solve via one matmul."""
+        nlu, nlw, nlr = self._nonlinear(u_c, w_c, r_c)
+        a0 = 1.0 / self.cfg.dt
+        rhs = jnp.concatenate(
+            [a0 * u_c + nlu, a0 * w_c + nlw, a0 * r_c + nlr], axis=-1
+        )  # (kxn, 3nz)
+        sol = jnp.einsum("kij,kj->ki", ops["S"], rhs)
+        nz = self.cfg.nz
+        return sol[:, :nz], sol[:, nz : 2 * nz], sol[:, 2 * nz :]
+
+    def _ke(self, u_c, w_c):
+        """(1/V) int (u^2 + w^2): rectangle-rule IP on the grid, matching
+        the reference's Inner_Prod_Discrete (`:282-299`)."""
+        ug, wg = self.to_grid(u_c), self.to_grid(w_c)
+        w = jnp.asarray(self._w)
+        return jnp.sum(w * (ug * ug + wg * wg))
+
+    def _mixnorm(self, ops, r_c):
+        psi = jnp.einsum("kij,kj->ki", ops["MN"], r_c)
+        ikx = jnp.asarray(1j * self._kx)[:, None]
+        psix = ikx * psi
+        psiz = jnp.einsum("mn,kn->km", jnp.asarray(self._Dz), psi)
+        gx, gz = self.to_grid(psix), self.to_grid(psiz)
+        w = jnp.asarray(self._w)
+        return 0.5 * jnp.sum(w * (gx * gx + gz * gz))
+
+    def _objective_impl(self, ops, x_list) -> jnp.ndarray:
+        cfg = self.cfg
+        x = x_list[0].astype(self._rdtype)
+        u_c = self.to_coeff(x[0])
+        w_c = self.to_coeff(x[1])
+        r_c = jnp.asarray(self._rho0_c, self._cdtype)
+
+        step = self._step
+        if cfg.remat:
+            step = jax.checkpoint(step, static_argnums=())
+
+        def body(carry, _):
+            u, w, r, acc = carry
+            if cfg.s == 0:
+                acc = kahan_add(acc, self._ke(u, w))
+            u, w, r = step(ops, u, w, r)
+            return (u, w, r, acc), None
+
+        acc0 = kahan_zero(self._rdtype)
+        (u_c, w_c, r_c, acc), _ = jax.lax.scan(
+            body, (u_c, w_c, r_c, acc0), xs=None, length=cfg.n_iters
+        )
+        if cfg.s == 0:
+            acc = kahan_add(acc, self._ke(u_c, w_c))
+            return -0.5 * cfg.dt * acc[0]   # maximise time-avg KE (ref :1137)
+        return self._mixnorm(ops, r_c)       # minimise mix-norm (ref :1117)
+
+    # ------------------------------------------------------------------
+    # public triple
+    # ------------------------------------------------------------------
+
+    def objective(self, x_list):
+        return self._objective(self._ops, list(x_list))
+
+    def gradient(self, x_list):
+        return self._gradient(self._ops, list(x_list))
+
+    def objective_and_gradient(self, x_list):
+        return self._obj_and_grad(self._ops, list(x_list))
+
+    def inner_product(self, x, y):
+        return self._inner(x, y)
+
+    @property
+    def inner_products(self):
+        return self.inner_product
+
+    def final_fields(self, x_list):
+        """(u, w, rho) coefficient state at t = T, for diagnostics."""
+        x = jnp.asarray(x_list[0], self._rdtype)
+        u_c, w_c = self.to_coeff(x[0]), self.to_coeff(x[1])
+        r_c = jnp.asarray(self._rho0_c, self._cdtype)
+        for _ in range(self.cfg.n_iters):
+            u_c, w_c, r_c = self._step(self._ops, u_c, w_c, r_c)
+        return u_c, w_c, r_c
+
+    # ------------------------------------------------------------------
+    # initial conditions (ref Generate_IC :301-385: filtered-noise
+    # streamfunction, u = -psi_z, w = psi_x, prep smoothing, normalise)
+    # ------------------------------------------------------------------
+
+    def generate_ic(self, seed: int = 42) -> List[jnp.ndarray]:
+        cfg = self.cfg
+        key = jax.random.PRNGKey(seed)
+        noise = jax.random.normal(key, (self.mgx, self.mgz), self._rdtype)
+        psi = self.to_coeff(noise)
+        # low-pass both axes at half band (ref filter_field frac=0.5)
+        mx = (np.arange(self.kxn) <= 0.25 * cfg.nx).astype(float)
+        mz = (np.arange(cfg.nz) < 0.5 * cfg.nz).astype(float)
+        psi = psi * jnp.asarray(mx[:, None] * mz[None, :])
+        ikx = jnp.asarray(1j * self._kx)[:, None]
+        u_c = -jnp.einsum("mn,kn->km", jnp.asarray(self._Dz), psi)
+        w_c = ikx * psi
+        x = jnp.stack([self.to_grid(u_c), self.to_grid(w_c)])
+        # short smoothing: a few implicit steps of the full system damp
+        # the noise like the reference's linear prep solve (:520-608)
+        u_s, w_s = self.to_coeff(x[0]), self.to_coeff(x[1])
+        r_s = jnp.zeros_like(u_s)
+        for _ in range(10):
+            u_s, w_s, r_s = self._step(self._ops, u_s, w_s, r_s)
+        x = jnp.stack([self.to_grid(u_s), self.to_grid(w_s)])
+        norm = self.inner_product(x, x)
+        return [x * jnp.sqrt(cfg.e0 / norm)]

@@ -1,0 +1,108 @@
+"""Optimal mixing (2D Boussinesq, Fourier x Chebyshev) tests: constraint
+enforcement (incompressibility, walls, gauges), adjoint exactness for both
+objectives, physics sanity, short optimisation."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spheremanopt_tpu.grad.testgrad import adjoint_gradient_test
+from spheremanopt_tpu.optim.optimiser import optimise_on_multi_sphere
+from spheremanopt_tpu.problems.optimal_mixing import MixingConfig, OptimalMixing
+
+
+@pytest.fixture(scope="module")
+def ke_problem():
+    return OptimalMixing(MixingConfig(nx=32, nz=24, n_iters=30, dt=5e-3, s=0))
+
+
+@pytest.fixture(scope="module")
+def mix_problem():
+    return OptimalMixing(MixingConfig(nx=32, nz=24, n_iters=30, dt=5e-3, s=1))
+
+
+@pytest.fixture(scope="module")
+def x0(ke_problem):
+    return ke_problem.generate_ic(seed=42)
+
+
+def test_ic_on_sphere(ke_problem, x0):
+    assert np.isclose(
+        float(ke_problem.inner_product(x0[0], x0[0])), ke_problem.cfg.e0, rtol=1e-10
+    )
+
+
+def test_step_enforces_constraints(ke_problem, x0):
+    p = ke_problem
+    u_c, w_c = p.to_coeff(x0[0][0]), p.to_coeff(x0[0][1])
+    r_c = jnp.asarray(p._rho0_c)
+    for _ in range(3):
+        u_c, w_c, r_c = p._step(p._ops, u_c, w_c, r_c)
+    ikx = 1j * p._kx[:, None]
+    div = ikx * np.asarray(u_c) + np.einsum("mn,kn->km", p._Dz_np, np.asarray(w_c))
+    assert np.abs(div).max() < 1e-12
+    b = p.zbasis
+    for row in (b.boundary_row("left", 0), b.boundary_row("right", 0)):
+        assert np.abs(np.asarray(u_c) @ row).max() < 1e-13
+        assert np.abs(np.asarray(w_c) @ row).max() < 1e-13
+    for row in (b.boundary_row("left", 1), b.boundary_row("right", 1)):
+        assert np.abs(np.asarray(r_c) @ row).max() < 1e-12
+
+
+@pytest.mark.parametrize("s", [0, 1])
+def test_taylor_orders(s, x0):
+    p = OptimalMixing(MixingConfig(nx=32, nz=24, n_iters=30, dt=5e-3, s=s))
+    dx0 = p.generate_ic(seed=5)
+    r = adjoint_gradient_test(
+        x0, dx0, p.objective, p.gradient, p.inner_product, epsilon=1e-3, verbose=False
+    )
+    assert abs(r.gamma1 - 1.0) < 0.05, r.gamma1
+    assert abs(r.gamma2 - 2.0) < 0.05, r.gamma2
+
+
+def test_objective_signs(ke_problem, mix_problem, x0):
+    # s=0 returns -KE-integral/2 (negative); s=1 returns +mix-norm (positive)
+    assert float(ke_problem.objective(x0)) < 0.0
+    assert float(mix_problem.objective(x0)) > 0.0
+
+
+def test_density_background_diffuses_only(ke_problem):
+    """With zero initial velocity the layered density evolves by pure
+    diffusion: velocity stays (essentially) zero and the mean-density
+    gauge holds."""
+    p = ke_problem
+    zero = [jnp.zeros((2, p.mgx, p.mgz))]
+    u_c = p.to_coeff(zero[0][0])
+    w_c = p.to_coeff(zero[0][1])
+    r_c = jnp.asarray(p._rho0_c)
+    for _ in range(5):
+        u_c, w_c, r_c = p._step(p._ops, u_c, w_c, r_c)
+    assert float(jnp.abs(u_c).max()) < 1e-12
+    assert float(jnp.abs(w_c).max()) < 1e-12
+    # rho stays x-independent (only kx=0 content)
+    assert float(jnp.abs(r_c[1:]).max()) < 1e-12
+
+
+def test_mixnorm_decreases_with_diffusion(mix_problem, x0):
+    """Longer integration of the same IC mixes more: the mix-norm at
+    larger T must be smaller (diffusion + stirring only destroy variance
+    of the inverse-gradient norm)."""
+    p_short = mix_problem
+    p_long = OptimalMixing(MixingConfig(nx=32, nz=24, n_iters=90, dt=5e-3, s=1))
+    assert float(p_long.objective(x0)) < float(p_short.objective(x0))
+
+
+def test_short_optimisation(mix_problem, x0):
+    res = optimise_on_multi_sphere(
+        x0, mix_problem.radii, mix_problem.objective, mix_problem.gradient,
+        mix_problem.inner_product, max_iters=2, alpha_k=100.0,
+        line_search="wolfe", cg=True, verbose=False,
+        f_and_g=mix_problem.objective_and_gradient,
+    )
+    assert res.iterations >= 1
+    # minimisation: recorded -J must increase (J = mix-norm decreases)
+    assert res.function_values[-1] >= res.function_values[0] - 1e-12
+    xo = res.x_opt[0]
+    assert np.isclose(
+        float(mix_problem.inner_product(xo, xo)), mix_problem.cfg.e0, rtol=1e-10
+    )
