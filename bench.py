@@ -66,6 +66,50 @@ def bench_tpu(u0, repeats=10):
     return min(times), float(J), np.asarray(g[0])
 
 
+def bench_kdyn(repeats_tpu=5, repeats_cpu=1):
+    """KDyn 24^3, Rm=1, dt=5e-4, 2000 steps, Cost='Final' — the second
+    north-star config (BASELINE.md). Unit: fused fwd+grad (both spheres)."""
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, "baselines")
+    from kdyn_numpy import KDynNumpy
+
+    from spheremanopt_tpu.problems.kinematic_dynamo import (
+        KDynConfig,
+        KinematicDynamo,
+    )
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    dtype = "float32" if on_tpu else "float64"
+    p = KinematicDynamo(KDynConfig(npts=24, n_iters=2000, dt=5e-4, dtype=dtype))
+    x0 = p.generate_ic(seed=42)
+    b_np = np.asarray(x0[0], np.float64)
+    u_np = np.asarray(x0[1], np.float64)
+
+    sim = KDynNumpy(npts=24, dt=5e-4, n_iters=2000)
+    t0 = time.perf_counter()
+    for _ in range(repeats_cpu):
+        J_cpu = sim.forward(b_np, u_np)
+        g_b, g_u = sim.gradient(b_np, u_np)
+    cpu_s = (time.perf_counter() - t0) / repeats_cpu
+
+    J, g = p.objective_and_gradient(x0)
+    jax.block_until_ready((J, g))
+    times = []
+    for _ in range(repeats_tpu):
+        t0 = time.perf_counter()
+        J, g = p.objective_and_gradient(x0)
+        jax.block_until_ready((J, g))
+        times.append(time.perf_counter() - t0)
+    tpu_s = min(times)
+    rel_J = abs(float(J) - J_cpu) / abs(J_cpu)
+    rel_g = float(
+        np.linalg.norm(np.asarray(g[0], np.float64) - g_b) / np.linalg.norm(g_b)
+    )
+    return tpu_s, cpu_s, rel_J, rel_g
+
+
 def main():
     sys.path.insert(0, "baselines")
     from sh23_numpy import generate_ic_like
@@ -78,6 +122,8 @@ def main():
     rel_J = abs(J_tpu - J_cpu) / abs(J_cpu)
     rel_g = float(np.linalg.norm(g_tpu - g_cpu) / np.linalg.norm(g_cpu))
 
+    kd_tpu, kd_cpu, kd_rel_J, kd_rel_g = bench_kdyn()
+
     print(
         json.dumps(
             {
@@ -86,9 +132,14 @@ def main():
                 "unit": "ms",
                 "vs_baseline": round(cpu_s / tpu_s, 2),
                 "detail": {
-                    "cpu_baseline_ms": round(cpu_s * 1e3, 3),
-                    "J_rel_err_vs_f64_cpu": f"{rel_J:.2e}",
-                    "grad_rel_err_vs_f64_cpu": f"{rel_g:.2e}",
+                    "sh23_cpu_baseline_ms": round(cpu_s * 1e3, 3),
+                    "sh23_J_rel_err_vs_f64_cpu": f"{rel_J:.2e}",
+                    "sh23_grad_rel_err_vs_f64_cpu": f"{rel_g:.2e}",
+                    "kdyn24_fwd_grad_ms": round(kd_tpu * 1e3, 3),
+                    "kdyn24_cpu_baseline_ms": round(kd_cpu * 1e3, 3),
+                    "kdyn24_vs_baseline": round(kd_cpu / kd_tpu, 2),
+                    "kdyn24_J_rel_err": f"{kd_rel_J:.2e}",
+                    "kdyn24_grad_rel_err": f"{kd_rel_g:.2e}",
                 },
             }
         )

@@ -60,6 +60,16 @@ class KDynConfig:
     remat: bool = True
     transform: str = "matmul"    # "matmul" (per-axis DFT einsums, MXU-
                                  # native, GSPMD-shardable) | "fft"
+    adjoint: str = "discrete"    # "discrete" (autodiff) | "continuous"
+                                 # (the ref's 8-variable adjoint system,
+                                 # `FWD_Solve_KDyn.py:766-1004`)
+    project_gradients: bool = True
+    # Leray-project dJ/dB0 and dJ/dU onto divergence-free fields. The
+    # reference's adjoint systems solve with div G = div nu = 0 tau
+    # constraints, so its gradients are solenoidal and the optimiser
+    # stays on the div-free manifold; raw autodiff gradients carry a
+    # compressible component (exact for unconstrained perturbations).
+    # Taylor tests with solenoidal perturbations pass either way.
 
 
 class KinematicDynamo:
@@ -132,16 +142,25 @@ class KinematicDynamo:
         self._objective = jax.jit(self._objective_impl)
         w = 1.0 / self.mg ** 3  # IP weight: sum over comps of grid means
 
+        def _riesz(raw):
+            out = []
+            for g in raw:
+                g = g / w
+                if cfg.project_gradients:
+                    g = self.to_grid(self._leray(self.to_coeff(g)))
+                out.append(g)
+            return out
+
         def _grad(xs):
-            raw = jax.grad(self._objective_impl)(list(xs))
-            return [g / w for g in raw]
+            return _riesz(jax.grad(self._objective_impl)(list(xs)))
 
         def _obj_and_grad(xs):
             J, raw = jax.value_and_grad(self._objective_impl)(list(xs))
-            return J, [g / w for g in raw]
+            return J, _riesz(raw)
 
         self._gradient = jax.jit(_grad)
         self._obj_and_grad = jax.jit(_obj_and_grad)
+        self._grad_cnts = jax.jit(self._gradient_continuous_impl)
         self._inner = jax.jit(
             lambda x, y: jnp.sum(jnp.mean(x * y, axis=(-3, -2, -1)))
         )
@@ -253,6 +272,71 @@ class KinematicDynamo:
         _, J = self._integrate(b0_c, u_bl, self.cfg.n_iters)
         return -J
 
+    def _curl_cross(self, a_c: jnp.ndarray, b_grid: jnp.ndarray) -> jnp.ndarray:
+        """F(A, B) = (curl A) x B evaluated on the padded grid, truncated
+        (the reference's F_x/F_y/F_z substitutions, `:841-848`)."""
+        k = jnp.asarray(self._k)
+        w_c = 1j * jnp.stack([
+            k[1] * a_c[2] - k[2] * a_c[1],
+            k[2] * a_c[0] - k[0] * a_c[2],
+            k[0] * a_c[1] - k[1] * a_c[0],
+        ])
+        w = self.to_grid(w_c)
+        f = jnp.stack([
+            w[1] * b_grid[2] - w[2] * b_grid[1],
+            w[2] * b_grid[0] - w[0] * b_grid[2],
+            w[0] * b_grid[1] - w[1] * b_grid[0],
+        ])
+        return self.to_coeff(f)
+
+    def _gradient_continuous_impl(self, x_list):
+        """Continuous adjoint: the reference's 8-variable coupled system
+        (`FWD_Solve_KDyn.py:855-895,903-908`): integrate
+
+            dt(G) - (1/Rm) lap G - grad Pi = (curl G) x U [- 2 B_f]
+            dt(nu) + grad P = -(curl G) x B_f,   div G = div nu = 0
+
+        backward along the stored forward trajectory, G(T) = -2 B(T)
+        ("Final") or 0 ("Integrated"), CNAB1 with Leray projection.
+        Returns [dJ/dB0, dJ/dU] = [G(0), nu(0)]. First-order in dt; use
+        adjoint='discrete' for Taylor-exact gradients."""
+        cfg = self.cfg
+        b0 = x_list[0].astype(self._rdtype)
+        u = self.to_grid(self.to_coeff(x_list[1].astype(self._rdtype)))
+
+        def fwd_body(b, _):
+            b2 = self._cnab1_step(b, u)
+            return b2, b2
+
+        b0_c = self.to_coeff(b0)
+        b_T, snaps = jax.lax.scan(fwd_body, b0_c, xs=None, length=cfg.n_iters)
+
+        lhs_inv = jnp.asarray(self._lhs_inv)
+        rhs_fac = jnp.asarray(self._rhs_fac)
+        integrated = cfg.cost == "Integrated"
+
+        def adj_body(carry, bf_c):
+            g, nu = carry
+            bf = self.to_grid(bf_c)
+            f_g = self._curl_cross(g, u)
+            if integrated:
+                f_g = f_g - 2.0 * bf_c
+            g_new = self._leray(rhs_fac * g + f_g) * lhs_inv
+            g_new = g_new.at[:, 0, 0, 0].set(0.0)
+            # nu system has no diffusion: forward Euler + projection
+            f_nu = -self._curl_cross(g, bf)
+            nu_new = nu + cfg.dt * self._leray(f_nu)
+            nu_new = nu_new.at[:, 0, 0, 0].set(0.0)
+            return (g_new, nu_new), None
+
+        if integrated:
+            g0 = jnp.zeros_like(b0_c)
+        else:
+            g0 = -2.0 * b_T
+        nu0 = jnp.zeros_like(b0_c)
+        (g, nu), _ = jax.lax.scan(adj_body, (g0, nu0), snaps, reverse=True)
+        return [self.to_grid(g), self.to_grid(nu)]
+
     # ------------------------------------------------------------------
     # public triple
     # ------------------------------------------------------------------
@@ -261,6 +345,8 @@ class KinematicDynamo:
         return self._objective(list(x_list))
 
     def gradient(self, x_list):
+        if self.cfg.adjoint == "continuous":
+            return self._grad_cnts(list(x_list))
         return self._gradient(list(x_list))
 
     def objective_and_gradient(self, x_list):
@@ -274,6 +360,34 @@ class KinematicDynamo:
     @property
     def inner_products(self):
         return self.inner_product
+
+    def diagnostics(self, x_list) -> dict:
+        """Per-step magnetic-energy series + div/flux invariants (the
+        reference's GlobalFlowProperty monitors, `FWD_Solve_KDyn.py:
+        608-650,941-973`) and final fields."""
+        b0 = jnp.asarray(x_list[0], self._rdtype)
+        u = jnp.asarray(x_list[1], self._rdtype)
+
+        @jax.jit
+        def run(b0, u):
+            b0_c = self.to_coeff(b0)
+            u_bl = self.to_grid(self.to_coeff(u))
+
+            def body(b, _):
+                return self._cnab1_step(b, u_bl), self._energy(b)
+
+            b, energies = jax.lax.scan(body, b0_c, xs=None, length=self.cfg.n_iters)
+            k = jnp.asarray(self._k)
+            div_b = jnp.abs(jnp.sum(k * b, axis=0)).max()
+            return b, jnp.concatenate([energies, self._energy(b)[None]]), div_b
+
+        b_c, energies, div_b = run(b0, u)
+        return {
+            "sim_time": self.cfg.dt * np.arange(self.cfg.n_iters + 1),
+            "magnetic_energy": energies,
+            "max_div_B": div_b,
+            "B_final": self.to_grid(b_c),
+        }
 
     # ------------------------------------------------------------------
     # initial conditions (ref `Generate_IC`, :183-317)
@@ -297,32 +411,37 @@ class KinematicDynamo:
         return self.to_grid(jnp.stack([dy - dz, dz - dx, dx - dy]))
 
     def generate_ic(self, seed: int = 42, u_noise: bool = True) -> List[jnp.ndarray]:
-        key_b, key_u = jax.random.split(jax.random.PRNGKey(seed))
-        b = self._curl_of_noise(key_b)
-
-        if u_noise:
-            u = self._curl_of_noise(key_u)
-        else:
-            # Willis-type ABC-like base flow (ref :255-261)
-            xs = np.arange(self.mg) * self.cfg.length / self.mg
-            X, Y, Z = np.meshgrid(xs, xs, xs, indexing="ij")
-            s3 = np.sqrt(3.0)
-            u = jnp.asarray(np.stack([
-                0.5 * np.sin(Y) * np.cos(Z) / s3,
-                0.5 * np.sin(Z) * np.cos(X) / s3,
-                0.5 * np.sin(X) * np.cos(Y) / s3,
-            ]), self._rdtype)
-        u = u * jnp.sqrt(self.cfg.e0 / self.inner_product(u, u))
-
         # prep-smooth B: 100 CNAB1 steps at dt=1e-3 (ref :297-302; the
         # reference accidentally passes the module globals Rm, dt — a
         # known bug we do not replicate, SURVEY.md section 2 quirks)
         prep = KinematicDynamo(KDynConfig(
             npts=self.cfg.npts, length=self.cfg.length, rm=1.0, dt=1e-3,
             n_iters=100, cost="Final", pad_factor=self.cfg.pad_factor,
-            dtype=self.cfg.dtype, remat=False,
+            dtype=self.cfg.dtype, remat=False, transform=self.cfg.transform,
         ))
-        b_c, _ = prep._integrate(prep.to_coeff(b), u, 100)
-        b = self.to_grid(b_c)
-        b = b * jnp.sqrt(self.cfg.m0 / self.inner_product(b, b))
+        if not u_noise:
+            # Willis-type ABC-like base flow (ref :255-261)
+            xs = np.arange(self.mg) * self.cfg.length / self.mg
+            X, Y, Z = np.meshgrid(xs, xs, xs, indexing="ij")
+            s3 = np.sqrt(3.0)
+            u_base = np.stack([
+                0.5 * np.sin(Y) * np.cos(Z) / s3,
+                0.5 * np.sin(Z) * np.cos(X) / s3,
+                0.5 * np.sin(X) * np.cos(Y) / s3,
+            ]).astype(self._rdtype)
+        else:
+            u_base = None
+
+        @jax.jit
+        def make(key):
+            key_b, key_u = jax.random.split(key)
+            b = self._curl_of_noise(key_b)
+            u = self._curl_of_noise(key_u) if u_noise else jnp.asarray(u_base)
+            u = u * jnp.sqrt(self.cfg.e0 / self._inner(u, u))
+            b_c, _ = prep._integrate(prep.to_coeff(b), u, 100)
+            b = self.to_grid(b_c)
+            b = b * jnp.sqrt(self.cfg.m0 / self._inner(b, b))
+            return b, u
+
+        b, u = make(jax.random.PRNGKey(seed))
         return [b, u]

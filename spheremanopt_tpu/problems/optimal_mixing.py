@@ -410,6 +410,49 @@ class OptimalMixing:
             u_c, w_c, r_c = self._step(self._ops, u_c, w_c, r_c)
         return u_c, w_c, r_c
 
+    def diagnostics(self, x_list) -> dict:
+        """KE + buoyancy-variance series, initial/final vorticity and
+        density fields (the reference's scalar_data/CheckPoints payloads,
+        `FWD_Solve_Poiseuille.py:939-1026`)."""
+        x = jnp.asarray(x_list[0], self._rdtype)
+
+        @jax.jit
+        def run(ops, x):
+            u_c, w_c = self.to_coeff(x[0]), self.to_coeff(x[1])
+            r_c = jnp.asarray(self._rho0_c, self._cdtype)
+            w = jnp.asarray(self._w)
+
+            def de(r):
+                rg = self.to_grid(r)
+                return jnp.sum(w * rg * rg)
+
+            def body(carry, _):
+                u, wv, r = carry
+                stats = (self._ke(u, wv), de(r))
+                return self._step(ops, u, wv, r), stats
+
+            (u_c, w_c, r_c), (ke, dev) = jax.lax.scan(
+                body, (u_c, w_c, r_c), xs=None, length=self.cfg.n_iters
+            )
+            ke = jnp.concatenate([ke, self._ke(u_c, w_c)[None]])
+            dev = jnp.concatenate([dev, de(r_c)[None]])
+            ikx = jnp.asarray(1j * self._kx)[:, None]
+            vort = self.to_grid(
+                ikx * w_c - jnp.einsum("mn,kn->km", jnp.asarray(self._Dz), u_c)
+            )
+            return ke, dev, self.to_grid(r_c), vort
+
+        ke, dev, rho_final, vort_final = run(self._ops, x)
+        return {
+            "sim_time": self.cfg.dt * np.arange(self.cfg.n_iters + 1),
+            "kinetic_energy": ke,
+            "buoyancy_energy": dev,
+            "x_grid": np.arange(self.mgx) * self.cfg.lx / self.mgx,
+            "z_grid": self._zgrid,
+            "rho_final": rho_final,
+            "vorticity_final": vort_final,
+        }
+
     # ------------------------------------------------------------------
     # initial conditions (ref Generate_IC :301-385: filtered-noise
     # streamfunction, u = -psi_z, w = psi_x, prep smoothing, normalise)

@@ -65,6 +65,9 @@ class SH23Config:
     dtype: str = "float64"       # "float32" on TPU
     remat: bool = True           # per-step jax.checkpoint in the scan
     method: str = "matmul"       # "matmul" (MXU circulant step) | "fft"
+    adjoint: str = "discrete"    # "discrete" (autodiff-exact, the ref's
+                                 # Adjoint_type="Discrete") | "continuous"
+                                 # (adjoint-PDE integration, ref :654-656)
 
 
 class SwiftHohenberg:
@@ -124,6 +127,7 @@ class SwiftHohenberg:
             return J, [g * self.basis.n_grid for g in raw]
 
         self._obj_and_grad = jax.jit(_obj_and_grad)
+        self._grad_cnts = jax.jit(self._gradient_continuous_impl)
         self._inner = jax.jit(lambda x, y: jnp.mean(x * y))
 
     # ------------------------------------------------------------------
@@ -187,6 +191,35 @@ class SwiftHohenberg:
             _, J = self._integrate(c0, self.cfg.n_iters, False)
         return -J
 
+    def _gradient_continuous_impl(self, x_list):
+        """Continuous-adjoint gradient (ref `ADJ_Solve_IVP_Lin` with
+        Adjoint_type='Continuous', `FWD_Solve_SH23.py:632-656,717-719`):
+        integrate dt(q) + Lap(q) - a q = (3.6 uf - 3 uf^2) q - 2 uf
+        backward along the stored forward trajectory with q(T) = 0,
+        SBDF1 in reverse. First-order accurate in dt (Taylor order-2
+        plateaus at discretisation error — use adjoint='discrete' for
+        exactness)."""
+        dt = self.cfg.dt
+        c0 = self.basis.to_coeff(x_list[0].astype(self._rdtype))
+
+        def fwd_body(c, _):
+            c2 = self._sbdf1_step(c)
+            return c2, c2  # store u_1..u_N: the adjoint consumes u_N..u_1
+
+        _, snaps = jax.lax.scan(fwd_body, c0, xs=None, length=self.cfg.n_iters)
+
+        def adj_body(q, uf_c):
+            uf = self.basis.to_grid(uf_c)
+            qg = self.basis.to_grid(q)
+            rhs_nl = self.basis.to_coeff((3.6 * uf - 3.0 * uf * uf) * qg - 2.0 * uf)
+            q_new = (q / dt + rhs_nl) / (1.0 / dt + self._L)
+            return q_new, None
+
+        q0 = jnp.zeros_like(c0)
+        # reverse through the stored trajectory (snapshot index -1, -2, ...)
+        q, _ = jax.lax.scan(adj_body, q0, snaps, reverse=True)
+        return [self.basis.to_grid(q)]
+
     # ------------------------------------------------------------------
     # public triple
     # ------------------------------------------------------------------
@@ -195,6 +228,8 @@ class SwiftHohenberg:
         return self._objective(list(x_list))
 
     def gradient(self, x_list):
+        if self.cfg.adjoint == "continuous":
+            return self._grad_cnts(list(x_list))
         return self._gradient(list(x_list))
 
     def objective_and_gradient(self, x_list):
@@ -220,6 +255,31 @@ class SwiftHohenberg:
         c0 = self.basis.to_coeff(jnp.asarray(x_list[0], self._rdtype))
         c, _ = self._integrate(c0, self.cfg.n_iters, False)
         return self.basis.to_grid(c)
+
+    def diagnostics(self, x_list) -> dict:
+        """Per-step KE series, initial/final states and final spectrum —
+        the reference's 'scalar_data' + 'CheckPoints' analysis tasks
+        (`FWD_Solve_SH23.py:478-483`)."""
+        c0 = self.basis.to_coeff(jnp.asarray(x_list[0], self._rdtype))
+
+        @jax.jit
+        def run(c0):
+            def body(c, _):
+                e = self._energy(c)
+                return self._sbdf1_step(c), e
+
+            c, energies = jax.lax.scan(body, c0, xs=None, length=self.cfg.n_iters)
+            return c, jnp.concatenate([energies, self._energy(c)[None]])
+
+        c, energies = run(c0)
+        return {
+            "sim_time": self.cfg.dt * np.arange(self.cfg.n_iters + 1),
+            "kinetic_energy": energies,
+            "x_grid": self.basis.grid(),
+            "u_initial": self.basis.to_grid(c0),
+            "u_final": self.basis.to_grid(c),
+            "u_hat_final": np.asarray(c),
+        }
 
     def generate_ic(self, seed: int = 42, e0: float = None) -> List[jnp.ndarray]:
         """Seeded filtered noise, prep-smoothed 100 steps of dt=1e-2,

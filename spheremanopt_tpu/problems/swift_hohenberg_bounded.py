@@ -55,6 +55,8 @@ class SHB23Config:
     dtype: str = "float64"
     remat: bool = True
     dealias_frac: float = 0.5    # zero coefficients with n >= frac * N
+    adjoint: str = "discrete"    # "discrete" (autodiff) | "continuous"
+                                 # (adjoint PDE, ref ADJ_Solve_IVP_Cnts)
 
 
 class SwiftHohenbergBounded:
@@ -108,6 +110,7 @@ class SwiftHohenbergBounded:
 
         self._gradient = jax.jit(_grad)
         self._obj_and_grad = jax.jit(_obj_and_grad)
+        self._grad_cnts = jax.jit(self._gradient_continuous_impl)
         self._inner = jax.jit(lambda x, y: jnp.sum(jnp.asarray(self._w) * x * y))
 
     # ------------------------------------------------------------------
@@ -151,10 +154,37 @@ class SwiftHohenbergBounded:
     # public triple
     # ------------------------------------------------------------------
 
+    def _gradient_continuous_impl(self, x_list):
+        """Continuous adjoint (ref `ADJ_Solve_IVP_Cnts`,
+        `FWD_Solve_SHB23.py:685-795`): dt(q) + (1-a)q + 2 qzz + qzzzz =
+        (4 uf - 3 uf^2) q - 2 uf with the same BCs, q(T) = 0, SBDF1 in
+        reverse through the stored trajectory. First-order in dt."""
+        u0 = x_list[0].astype(self._rdtype)
+
+        def fwd_body(u, _):
+            u2 = self._step(u)
+            return u2, u2
+
+        _, snaps = jax.lax.scan(fwd_body, u0, xs=None, length=self.cfg.n_iters)
+
+        def adj_body(q, uf):
+            h = (4.0 * uf - 3.0 * uf * uf) * q - 2.0 * uf
+            q_new = (
+                jnp.dot(self._A_lin, q, preferred_element_type=self._rdtype)
+                + jnp.dot(self._A_nl, h, preferred_element_type=self._rdtype)
+            )
+            return q_new, None
+
+        q0 = jnp.zeros_like(u0)
+        q, _ = jax.lax.scan(adj_body, q0, snaps, reverse=True)
+        return [q]
+
     def objective(self, x_list):
         return self._objective(list(x_list))
 
     def gradient(self, x_list):
+        if self.cfg.adjoint == "continuous":
+            return self._grad_cnts(list(x_list))
         return self._gradient(list(x_list))
 
     def objective_and_gradient(self, x_list):
@@ -170,6 +200,28 @@ class SwiftHohenbergBounded:
     def final_state(self, x_list) -> jnp.ndarray:
         u, _ = self._integrate(jnp.asarray(x_list[0], self._rdtype), self.cfg.n_iters)
         return u
+
+    def diagnostics(self, x_list) -> dict:
+        """Per-step KE series + initial/final states (the reference's
+        scalar_data/CheckPoints h5 payloads, `FWD_Solve_SHB23.py:604-676`)."""
+        u0 = jnp.asarray(x_list[0], self._rdtype)
+
+        @jax.jit
+        def run(u0):
+            def body(u, _):
+                return self._step(u), self._energy(u)
+
+            u, energies = jax.lax.scan(body, u0, xs=None, length=self.cfg.n_iters)
+            return u, jnp.concatenate([energies, self._energy(u)[None]])
+
+        u, energies = run(u0)
+        return {
+            "sim_time": self.cfg.dt * np.arange(self.cfg.n_iters + 1),
+            "kinetic_energy": energies,
+            "z_grid": self.basis.grid,
+            "u_initial": np.asarray(u0),
+            "u_final": np.asarray(u),
+        }
 
     # ------------------------------------------------------------------
     # initial conditions (ref Generate_IC :194-268: filtered noise,

@@ -1,0 +1,203 @@
+"""CLI entry point: configure and run any problem's optimisation.
+
+The reference's "CLI" is `mpiexec -np N python3 FWD_Solve_*.py` with
+hard-coded constants in `__main__` blocks plus a shell orchestration
+script (`run_Poiseuille_problem.sh` — components 'CLI/run script' in
+SURVEY.md). Here every problem is runnable with config overrides:
+
+    python -m spheremanopt_tpu.run sh23 --max-iters 20 --out-dir Test/
+    python -m spheremanopt_tpu.run kdyn --cost Final --cg --ls wolfe
+    python -m spheremanopt_tpu.run mixing --s 1 --nx 64 --nz 32
+    python -m spheremanopt_tpu.run pca --dim 100
+    python -m spheremanopt_tpu.run sh23 --test-grad      # Taylor test only
+
+Outputs per run directory: optimisation progress checkpoint
+(DAL_PROGRESS.npz), per-iteration diagnostics archives, convergence plot,
+energy-series plot, and a text log — the reference's DAL_PROGRESS.h5 /
+File_Manips / plot_figure_* pipeline.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="spheremanopt_tpu.run", description=__doc__)
+    ap.add_argument("problem", choices=["pca", "sh23", "shb23", "kdyn", "mixing"])
+    ap.add_argument("--out-dir", default="runs/latest")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--dtype", default=None, help="float32|float64 (default: auto)")
+    ap.add_argument("--platform", default=None, help="force jax platform (cpu)")
+    # optimiser knobs (reference kwargs, `Sphere_Grad_Descent.py:692`)
+    ap.add_argument("--max-iters", type=int, default=None)
+    ap.add_argument("--err-tol", type=float, default=1e-6)
+    ap.add_argument("--alpha", type=float, default=None)
+    ap.add_argument("--ls", choices=["wolfe", "armijo"], default="wolfe")
+    ap.add_argument("--sd", action="store_true", help="steepest descent (no CG)")
+    ap.add_argument("--test-grad", action="store_true", help="Taylor test, then exit")
+    ap.add_argument("--adjoint", choices=["discrete", "continuous"], default="discrete")
+    ap.add_argument("--quiet", action="store_true")
+    # problem-size overrides
+    ap.add_argument("--npts", type=int, default=None)
+    ap.add_argument("--nx", type=int, default=None)
+    ap.add_argument("--nz", type=int, default=None)
+    ap.add_argument("--dt", type=float, default=None)
+    ap.add_argument("--n-iters", type=int, default=None)
+    ap.add_argument("--dim", type=int, default=100, help="PCA dimension")
+    ap.add_argument("--cost", choices=["Final", "Integrated"], default="Final")
+    ap.add_argument("--s", type=int, choices=[0, 1], default=1, help="mixing objective")
+    return ap
+
+
+def make_problem(args):
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    dtype = args.dtype or ("float32" if on_tpu else "float64")
+    if dtype == "float64" and not on_tpu:
+        jax.config.update("jax_enable_x64", True)
+
+    if args.problem == "pca":
+        from spheremanopt_tpu.problems.pca import PCAProblem, random_spd_matrix
+
+        p = PCAProblem(random_spd_matrix(args.dim, seed=args.seed))
+        x0 = None
+        defaults = dict(alpha=1.0, max_iters=2000)
+        return p, x0, defaults
+
+    if args.problem == "sh23":
+        from spheremanopt_tpu.problems.swift_hohenberg import SH23Config, SwiftHohenberg
+
+        kw = dict(dtype=dtype, adjoint=args.adjoint)
+        for name, val in [("npts", args.npts), ("dt", args.dt), ("n_iters", args.n_iters)]:
+            if val is not None:
+                kw[name] = val
+        p = SwiftHohenberg(SH23Config(**kw))
+        import numpy as np
+
+        return p, None, dict(alpha=np.pi, max_iters=200)
+
+    if args.problem == "shb23":
+        from spheremanopt_tpu.problems.swift_hohenberg_bounded import (
+            SHB23Config,
+            SwiftHohenbergBounded,
+        )
+
+        kw = dict(dtype=dtype, adjoint=args.adjoint)
+        for name, val in [("npts", args.npts), ("dt", args.dt), ("n_iters", args.n_iters)]:
+            if val is not None:
+                kw[name] = val
+        p = SwiftHohenbergBounded(SHB23Config(**kw))
+        return p, None, dict(alpha=1.0, max_iters=50, err_tol=1e-5)
+
+    if args.problem == "kdyn":
+        from spheremanopt_tpu.problems.kinematic_dynamo import KDynConfig, KinematicDynamo
+
+        kw = dict(dtype=dtype, cost=args.cost, adjoint=args.adjoint)
+        for name, val in [("npts", args.npts), ("dt", args.dt), ("n_iters", args.n_iters)]:
+            if val is not None:
+                kw[name] = val
+        p = KinematicDynamo(KDynConfig(**kw))
+        return p, None, dict(alpha=100.0, max_iters=10)
+
+    from spheremanopt_tpu.problems.optimal_mixing import MixingConfig, OptimalMixing
+
+    kw = dict(dtype=dtype, s=args.s)
+    for name, val in [("nx", args.nx), ("nz", args.nz), ("dt", args.dt), ("n_iters", args.n_iters)]:
+        if val is not None:
+            kw[name] = val
+    p = OptimalMixing(MixingConfig(**kw))
+    return p, None, dict(alpha=100.0, max_iters=200)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    t0 = time.time()
+    problem, x0, defaults = make_problem(args)
+    if x0 is None:
+        if args.problem == "pca":
+            import numpy as np
+
+            x0 = [np.random.RandomState(args.seed).rand(args.dim)]
+        else:
+            x0 = problem.generate_ic(seed=args.seed)
+    radii = getattr(problem, "radii", [1.0])
+    print(f"[{args.problem}] setup {time.time()-t0:.1f}s; spheres={list(radii)}")
+
+    if args.test_grad:
+        from spheremanopt_tpu.grad.testgrad import adjoint_gradient_test
+
+        if args.problem == "pca":
+            import numpy as np
+
+            dx0 = [np.random.RandomState(args.seed + 1).rand(args.dim)]
+        else:
+            dx0 = problem.generate_ic(seed=args.seed + 1)
+        r = adjoint_gradient_test(
+            x0, dx0, problem.objective, problem.gradient, problem.inner_product,
+            save_path=os.path.join(args.out_dir, "eps_TestR_TestR2_h_h2.npy"),
+        )
+        ok = abs(r.gamma1 - 1.0) < 0.1 and (
+            args.adjoint == "continuous" or abs(r.gamma2 - 2.0) < 0.1
+        )
+        print(f"gradient test {'PASSED' if ok else 'FAILED'}")
+        return 0 if ok else 1
+
+    from spheremanopt_tpu.io.timeseries import IterationArchiver
+    from spheremanopt_tpu.optim.optimiser import optimise_on_multi_sphere
+    from spheremanopt_tpu.optim.plotting import plot_optimisation
+
+    callback = None
+    if hasattr(problem, "diagnostics"):
+        callback = IterationArchiver("diag", problem.diagnostics, args.out_dir)
+
+    res = optimise_on_multi_sphere(
+        x0,
+        radii,
+        problem.objective,
+        problem.gradient,
+        problem.inner_product,
+        err_tol=defaults.get("err_tol", args.err_tol),
+        max_iters=args.max_iters or defaults["max_iters"],
+        alpha_k=args.alpha or defaults["alpha"],
+        line_search=args.ls,
+        cg=not args.sd,
+        verbose=not args.quiet,
+        callback=callback,
+        checkpoint_path=os.path.join(args.out_dir, "DAL_PROGRESS.npz"),
+        log_path=os.path.join(args.out_dir, "optimize_result.txt"),
+        f_and_g=getattr(problem, "objective_and_gradient", None),
+    )
+
+    plot_optimisation(res, save_path=os.path.join(args.out_dir, "convergence.pdf"))
+    if hasattr(problem, "diagnostics"):
+        from spheremanopt_tpu.io.figures import plot_energy_series
+
+        diag = problem.diagnostics(res.x_opt)
+        plot_energy_series(diag, os.path.join(args.out_dir, "energy_series.pdf"))
+
+    summary = {
+        "problem": args.problem,
+        "iterations": res.iterations,
+        "converged": res.converged,
+        "J_final": res.function_values[-1] if res.function_values else None,
+        "residuals_final": [r[-1] for r in res.residuals if r],
+        "wall_time_total_s": round(sum(res.wall_times), 3),
+    }
+    with open(os.path.join(args.out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,141 @@
+"""Auxiliary subsystem tests: continuous adjoints, diagnostics/time-series
+io, figures, iteration archiver, CLI entry point."""
+
+import os
+import subprocess
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spheremanopt_tpu.problems.kinematic_dynamo import KDynConfig, KinematicDynamo
+from spheremanopt_tpu.problems.swift_hohenberg import SH23Config, SwiftHohenberg
+from spheremanopt_tpu.problems.swift_hohenberg_bounded import (
+    SHB23Config,
+    SwiftHohenbergBounded,
+)
+
+
+def test_sh23_continuous_adjoint_converges_to_discrete():
+    """|g_cnts - g_disc| = O(dt): halving dt halves the gap (the
+    reference documents Continuous-mode gradients as first-order)."""
+    gaps = []
+    for dt, n in [(0.05, 40), (0.025, 80)]:
+        pd = SwiftHohenberg(SH23Config(npts=32, n_iters=n, dt=dt, adjoint="discrete"))
+        pc = SwiftHohenberg(SH23Config(npts=32, n_iters=n, dt=dt, adjoint="continuous"))
+        x0 = pd.generate_ic(seed=42, e0=1.0)
+        gd, gc = pd.gradient(x0)[0], pc.gradient(x0)[0]
+        gaps.append(float(jnp.linalg.norm(gd - gc) / jnp.linalg.norm(gd)))
+    assert gaps[1] < 0.65 * gaps[0], gaps
+
+
+def test_kdyn_continuous_matches_projected_discrete():
+    """The reference's continuous adjoint solves with div nu = 0, so its
+    dJ/dU equals the Leray projection of the exact gradient (our default
+    project_gradients=True reproduces this); dJ/dB converges at O(dt)."""
+    pd = KinematicDynamo(KDynConfig(npts=12, n_iters=50, dt=5e-4, adjoint="discrete"))
+    pc = KinematicDynamo(KDynConfig(npts=12, n_iters=50, dt=5e-4, adjoint="continuous"))
+    x0 = pd.generate_ic(seed=42)
+    gd, gc = pd.gradient(x0), pc.gradient(x0)
+    rel_b = float(jnp.linalg.norm(gd[0] - gc[0]) / jnp.linalg.norm(gd[0]))
+    rel_u = float(jnp.linalg.norm(gd[1] - gc[1]) / jnp.linalg.norm(gd[1]))
+    assert rel_b < 5e-3, rel_b
+    assert rel_u < 5e-3, rel_u
+
+
+def test_kdyn_gradient_projection_flag():
+    p_proj = KinematicDynamo(KDynConfig(npts=12, n_iters=20, dt=1e-3))
+    p_raw = KinematicDynamo(
+        KDynConfig(npts=12, n_iters=20, dt=1e-3, project_gradients=False)
+    )
+    x0 = p_proj.generate_ic(seed=42)
+    g_proj = p_proj.gradient(x0)
+    g_raw = p_raw.gradient(x0)
+    # projected gradient is divergence-free; raw one is not
+    k = jnp.asarray(p_proj._k)
+    div_p = float(jnp.abs(jnp.sum(k * p_proj.to_coeff(g_proj[1]), axis=0)).max())
+    div_r = float(jnp.abs(jnp.sum(k * p_raw.to_coeff(g_raw[1]), axis=0)).max())
+    assert div_p < 1e-10
+    assert div_r > 1e-3
+    # projection only removes the compressible part
+    gp2 = p_proj.to_grid(p_proj._leray(p_proj.to_coeff(g_raw[1])))
+    np.testing.assert_allclose(np.asarray(gp2), np.asarray(g_proj[1]), atol=1e-9)
+
+
+def test_shb23_continuous_adjoint_close_to_discrete():
+    pd = SwiftHohenbergBounded(SHB23Config(npts=96, n_iters=60, adjoint="discrete"))
+    pc = SwiftHohenbergBounded(SHB23Config(npts=96, n_iters=60, adjoint="continuous"))
+    x0 = pd.generate_ic(seed=42)
+    gd, gc = pd.gradient(x0)[0], pc.gradient(x0)[0]
+    rel = float(jnp.linalg.norm(gd - gc) / jnp.linalg.norm(gd))
+    assert rel < 0.05, rel
+
+
+def test_diagnostics_and_io_roundtrip(tmp_path):
+    p = SwiftHohenberg(SH23Config(npts=32, n_iters=20))
+    x0 = p.generate_ic(seed=1)
+    diag = p.diagnostics(x0)
+    assert len(diag["kinetic_energy"]) == p.cfg.n_iters + 1
+    assert np.isclose(
+        float(diag["kinetic_energy"][0]), float(p.inner_product(x0[0], x0[0])),
+        rtol=1e-10,
+    )
+
+    from spheremanopt_tpu.io.timeseries import (
+        load_scalar_series,
+        save_scalar_series,
+    )
+
+    path = save_scalar_series(
+        str(tmp_path / "scalars"), diag["sim_time"], ke=diag["kinetic_energy"]
+    )
+    loaded = load_scalar_series(path)
+    np.testing.assert_allclose(loaded["ke"], diag["kinetic_energy"])
+
+
+def test_figures_render(tmp_path):
+    p = SwiftHohenberg(SH23Config(npts=32, n_iters=20))
+    diag = p.diagnostics(p.generate_ic(seed=1))
+    from spheremanopt_tpu.io.figures import (
+        plot_energy_series,
+        plot_profile,
+        plot_spectrum,
+    )
+    from spheremanopt_tpu.optim.plotting import plot_optimisation
+
+    assert os.path.exists(plot_energy_series(diag, str(tmp_path / "e.png")))
+    assert os.path.exists(
+        plot_profile(diag, "u_final", "x_grid", str(tmp_path / "p.png"))
+    )
+    assert os.path.exists(plot_spectrum(diag["u_hat_final"], str(tmp_path / "s.png")))
+    assert os.path.exists(
+        plot_optimisation([[1.0, 0.5, 0.1]], [1.0, 2.0, 3.0], str(tmp_path / "c.png"))
+    )
+
+
+def test_cli_end_to_end(tmp_path):
+    env = dict(os.environ, PYTHONPATH="/root/repo", JAX_PLATFORM_NAME="cpu")
+    out = subprocess.run(
+        [sys.executable, "-m", "spheremanopt_tpu.run", "sh23", "--platform", "cpu",
+         "--npts", "32", "--n-iters", "30", "--max-iters", "2", "--quiet",
+         "--out-dir", str(tmp_path / "run")],
+        capture_output=True, text=True, timeout=300, env=env, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert (tmp_path / "run" / "summary.json").exists()
+    assert (tmp_path / "run" / "DAL_PROGRESS.npz").exists()
+    assert (tmp_path / "run" / "convergence.pdf").exists()
+
+
+def test_cli_test_grad_mode(tmp_path):
+    env = dict(os.environ, PYTHONPATH="/root/repo", JAX_PLATFORM_NAME="cpu")
+    out = subprocess.run(
+        [sys.executable, "-m", "spheremanopt_tpu.run", "sh23", "--platform", "cpu",
+         "--npts", "32", "--n-iters", "30", "--test-grad",
+         "--out-dir", str(tmp_path / "tg")],
+        capture_output=True, text=True, timeout=300, env=env, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "PASSED" in out.stdout
+    assert (tmp_path / "tg" / "eps_TestR_TestR2_h_h2.npy").exists()
