@@ -82,7 +82,12 @@ def bench_kdyn(repeats_tpu=5, repeats_cpu=1):
 
     on_tpu = jax.devices()[0].platform != "cpu"
     dtype = "float32" if on_tpu else "float64"
-    p = KinematicDynamo(KDynConfig(npts=24, n_iters=2000, dt=5e-4, dtype=dtype))
+    # project_gradients=False: the numpy baseline computes the exact
+    # (unprojected) gradient, so compare like with like
+    p = KinematicDynamo(
+        KDynConfig(npts=24, n_iters=2000, dt=5e-4, dtype=dtype,
+                   project_gradients=False)
+    )
     x0 = p.generate_ic(seed=42)
     b_np = np.asarray(x0[0], np.float64)
     u_np = np.asarray(x0[1], np.float64)

@@ -1,0 +1,146 @@
+"""ctypes bindings for the native async record writer (native/fastio.cpp).
+
+Builds the shared library on first use (g++ -O3, cached in
+native/build/). Provides:
+
+  * AsyncRecordWriter — non-blocking named-record writer used for
+    per-iteration optimiser checkpoints and trajectory snapshots
+  * read_records       — pure-python reader with CRC verification
+
+Falls back gracefully: callers should catch NativeIOUnavailable and use
+the npz path (io.checkpoint / io.timeseries) when no compiler exists.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Dict, Optional
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO_ROOT, "native", "fastio.cpp")
+_BUILD_DIR = os.path.join(_REPO_ROOT, "native", "build")
+_LIB = os.path.join(_BUILD_DIR, "libfastio.so")
+
+_MAGIC = b"SMO1\x00\x00\x00\x01"
+
+
+class NativeIOUnavailable(RuntimeError):
+    pass
+
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _load() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+        os.makedirs(_BUILD_DIR, exist_ok=True)
+        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+               _SRC, "-o", _LIB]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, text=True)
+        except (subprocess.CalledProcessError, FileNotFoundError) as e:
+            raise NativeIOUnavailable(f"failed to build fastio: {e}") from e
+    lib = ctypes.CDLL(_LIB)
+    lib.fio_open.restype = ctypes.c_void_p
+    lib.fio_open.argtypes = [ctypes.c_char_p]
+    lib.fio_enqueue.restype = ctypes.c_int
+    lib.fio_enqueue.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                ctypes.c_void_p, ctypes.c_int64]
+    lib.fio_flush.restype = ctypes.c_int
+    lib.fio_flush.argtypes = [ctypes.c_void_p]
+    lib.fio_close.restype = ctypes.c_int
+    lib.fio_close.argtypes = [ctypes.c_void_p]
+    lib.fio_stats_records.restype = ctypes.c_int64
+    lib.fio_stats_records.argtypes = [ctypes.c_void_p]
+    lib.fio_stats_bytes.restype = ctypes.c_int64
+    lib.fio_stats_bytes.argtypes = [ctypes.c_void_p]
+    lib.fio_crc32.restype = ctypes.c_uint32
+    lib.fio_crc32.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    _lib = lib
+    return lib
+
+
+class AsyncRecordWriter:
+    """Named-array record writer; enqueue returns immediately, a C++
+    thread drains to disk. Arrays are serialised as
+    '<name>|<dtype>|<shape csv>' headers with raw payloads."""
+
+    def __init__(self, path: str):
+        lib = _load()
+        self._lib = lib
+        self._handle = lib.fio_open(path.encode())
+        if not self._handle:
+            raise NativeIOUnavailable(f"fio_open failed for {path}")
+        self.path = path
+
+    def write(self, name: str, array) -> None:
+        a = np.ascontiguousarray(np.asarray(array))
+        tag = f"{name}|{a.dtype.str}|{','.join(map(str, a.shape))}"
+        rc = self._lib.fio_enqueue(
+            self._handle, tag.encode(), a.ctypes.data_as(ctypes.c_void_p),
+            a.nbytes,
+        )
+        if rc != 0:
+            raise IOError(f"fio_enqueue failed for {name}")
+
+    def flush(self) -> None:
+        self._lib.fio_flush(self._handle)
+
+    @property
+    def stats(self):
+        return {
+            "records": self._lib.fio_stats_records(self._handle),
+            "bytes": self._lib.fio_stats_bytes(self._handle),
+        }
+
+    def close(self) -> None:
+        if self._handle:
+            self._lib.fio_close(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def read_records(path: str, verify_crc: bool = True) -> Dict[str, np.ndarray]:
+    """Load all records; later records with the same name win (so a
+    rewritten progress checkpoint reads back its newest state)."""
+    lib = _load()
+    out: Dict[str, np.ndarray] = {}
+    with open(path, "rb") as f:
+        if f.read(8) != _MAGIC:
+            raise IOError(f"{path}: bad magic")
+        while True:
+            head = f.read(4)
+            if len(head) < 4:
+                break
+            (name_len,) = np.frombuffer(head, np.uint32)
+            tag_b = f.read(int(name_len))
+            len_b = f.read(8)
+            crc_b = f.read(4)
+            if len(tag_b) < int(name_len) or len(len_b) < 8 or len(crc_b) < 4:
+                break  # truncated header (crash mid-write): ignore tail
+            tag = tag_b.decode(errors="replace")
+            (payload_len,) = np.frombuffer(len_b, np.uint64)
+            (crc,) = np.frombuffer(crc_b, np.uint32)
+            payload = f.read(int(payload_len))
+            if len(payload) < int(payload_len):
+                break  # truncated payload: ignore tail
+            if verify_crc:
+                got = lib.fio_crc32(payload, len(payload))
+                if np.uint32(got) != crc:
+                    raise IOError(f"{path}: CRC mismatch for record {tag}")
+            name, dtype, shape = tag.split("|")
+            shape = tuple(int(s) for s in shape.split(",") if s)
+            out[name] = np.frombuffer(payload, np.dtype(dtype)).reshape(shape)
+    return out

@@ -1,0 +1,51 @@
+"""Fused Pallas SBDF1 kernel: parity with the XLA scan path (interpret
+mode on CPU; the same kernel compiles for TPU via Mosaic).
+
+Note: on this workload the XLA scan path already runs at ~40 ns/step on
+the TPU MXU (the whole 1001-step fwd+grad in ~47 us), so the kernel is a
+demonstration of VMEM-resident integration rather than the production
+path — see ops/pallas/fused_sbdf1.py docstring."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spheremanopt_tpu.ops.pallas.fused_sbdf1 import sh23_fused_objective
+from spheremanopt_tpu.problems.swift_hohenberg import SH23Config, SwiftHohenberg
+
+
+@pytest.fixture(scope="module")
+def setup():
+    p = SwiftHohenberg(SH23Config(npts=64, n_iters=40, dtype="float32"))
+    x0 = [jnp.asarray(np.asarray(p.generate_ic(seed=42)[0]), jnp.float32)]
+    return p, x0
+
+
+def test_objective_parity(setup):
+    p, x0 = setup
+    obj = sh23_fused_objective(p, interpret=True)
+    J_pl = float(obj(x0))
+    J_xla = float(p.objective(x0))
+    assert abs(J_pl - J_xla) / abs(J_xla) < 1e-5
+
+
+def test_custom_vjp_parity(setup):
+    """grad through the kernel (trajectory-replay custom_vjp) must match
+    autodiff of the XLA path."""
+    p, x0 = setup
+    obj = sh23_fused_objective(p, interpret=True)
+    g_pl = jax.grad(lambda v: obj([v]))(x0[0])
+    g_xla = p.gradient(x0)[0] / p.basis.n_grid  # raw (un-Riesz) gradient
+    rel = float(jnp.linalg.norm(g_pl - g_xla) / jnp.linalg.norm(g_xla))
+    assert rel < 1e-5, rel
+
+
+def test_trajectory_energies(setup):
+    """The kernel's internal Euler-rule accumulation equals summing the
+    diagnostics KE series."""
+    p, x0 = setup
+    obj = sh23_fused_objective(p, interpret=True)
+    J_pl = float(obj(x0))
+    ke = np.asarray(p.diagnostics(x0)["kinetic_energy"], np.float64)
+    np.testing.assert_allclose(-J_pl, p.cfg.dt * ke.sum(), rtol=1e-5)

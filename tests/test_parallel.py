@@ -1,0 +1,80 @@
+"""Distributed FFT / mesh tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spheremanopt_tpu.parallel.fft import (
+    distributed_irfftn,
+    distributed_mean_product,
+    distributed_rfftn,
+)
+from spheremanopt_tpu.parallel.mesh import field_sharding, make_mesh, shard_fields
+
+
+@pytest.fixture(scope="module")
+def mesh(eight_devices):
+    return make_mesh(8)
+
+
+def test_distributed_rfftn_matches_local(mesh):
+    rng = np.random.RandomState(0)
+    v = jnp.asarray(rng.randn(16, 8, 8))
+    v_sh = jax.device_put(v, field_sharding(mesh, 3, 0))
+    c = distributed_rfftn(v_sh, mesh)
+    c_ref = jnp.fft.fft(jnp.fft.fft(jnp.fft.rfft(v, axis=-1), axis=-2), axis=-3)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(c_ref), atol=1e-10)
+    # output sharded over Y
+    assert "x" in str(c.sharding.spec)
+
+
+def test_distributed_roundtrip(mesh):
+    rng = np.random.RandomState(1)
+    v = jnp.asarray(rng.randn(8, 16, 12))
+    v_sh = jax.device_put(v, field_sharding(mesh, 3, 0))
+    c = distributed_rfftn(v_sh, mesh)
+    back = distributed_irfftn(c, mesh, n_z=12)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(v), atol=1e-12)
+
+
+def test_distributed_batched_fields(mesh):
+    rng = np.random.RandomState(2)
+    v = jnp.asarray(rng.randn(3, 8, 8, 8))  # vector field
+    v_sh = jax.device_put(v, field_sharding(mesh, 4, 1))
+    c = distributed_rfftn(v_sh, mesh)
+    c_ref = jnp.fft.fft(jnp.fft.fft(jnp.fft.rfft(v, axis=-1), axis=-2), axis=-3)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(c_ref), atol=1e-10)
+
+
+def test_distributed_mean_product(mesh):
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(8, 4, 4))
+    y = jnp.asarray(rng.randn(8, 4, 4))
+    xs, ys = shard_fields(mesh, [x, y], sharded_dim=0)
+    got = float(distributed_mean_product(xs, ys, mesh))
+    np.testing.assert_allclose(got, float(jnp.mean(x * y)), rtol=1e-12)
+
+
+def test_jit_and_grad_through_distributed_fft(mesh):
+    """The distributed transform must be differentiable under jit so it
+    can sit inside sharded forward solves."""
+    rng = np.random.RandomState(4)
+    v = jnp.asarray(rng.randn(8, 8, 8))
+    v_sh = jax.device_put(v, field_sharding(mesh, 3, 0))
+
+    @jax.jit
+    def energy(v):
+        c = distributed_rfftn(v, mesh)
+        return jnp.sum(jnp.abs(c) ** 2)
+
+    g = jax.grad(energy)(v_sh)
+    # Parseval: d/dv sum|F v|^2 = 2 N v for the full fft... verify against
+    # the local autodiff of the same expression
+    @jax.jit
+    def energy_local(v):
+        c = jnp.fft.fft(jnp.fft.fft(jnp.fft.rfft(v, axis=-1), axis=-2), axis=-3)
+        return jnp.sum(jnp.abs(c) ** 2)
+
+    g_ref = jax.grad(energy_local)(v)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-9)
