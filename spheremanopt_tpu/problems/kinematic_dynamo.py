@@ -379,14 +379,17 @@ class KinematicDynamo:
             b, energies = jax.lax.scan(body, b0_c, xs=None, length=self.cfg.n_iters)
             k = jnp.asarray(self._k)
             div_b = jnp.abs(jnp.sum(k * b, axis=0)).max()
-            return b, jnp.concatenate([energies, self._energy(b)[None]]), div_b
+            # keep all host-bound outputs real (complex transfers are
+            # unimplemented on this platform)
+            return (self.to_grid(b),
+                    jnp.concatenate([energies, self._energy(b)[None]]), div_b)
 
-        b_c, energies, div_b = run(b0, u)
+        b_grid, energies, div_b = run(b0, u)
         return {
             "sim_time": self.cfg.dt * np.arange(self.cfg.n_iters + 1),
             "magnetic_energy": energies,
             "max_div_B": div_b,
-            "B_final": self.to_grid(b_c),
+            "B_final": b_grid,
         }
 
     # ------------------------------------------------------------------

@@ -460,23 +460,30 @@ class OptimalMixing:
 
     def generate_ic(self, seed: int = 42) -> List[jnp.ndarray]:
         cfg = self.cfg
-        key = jax.random.PRNGKey(seed)
-        noise = jax.random.normal(key, (self.mgx, self.mgz), self._rdtype)
-        psi = self.to_coeff(noise)
-        # low-pass both axes at half band (ref filter_field frac=0.5)
-        mx = (np.arange(self.kxn) <= 0.25 * cfg.nx).astype(float)
-        mz = (np.arange(cfg.nz) < 0.5 * cfg.nz).astype(float)
-        psi = psi * jnp.asarray(mx[:, None] * mz[None, :])
-        ikx = jnp.asarray(1j * self._kx)[:, None]
-        u_c = -jnp.einsum("mn,kn->km", jnp.asarray(self._Dz), psi)
-        w_c = ikx * psi
-        x = jnp.stack([self.to_grid(u_c), self.to_grid(w_c)])
-        # short smoothing: a few implicit steps of the full system damp
-        # the noise like the reference's linear prep solve (:520-608)
-        u_s, w_s = self.to_coeff(x[0]), self.to_coeff(x[1])
-        r_s = jnp.zeros_like(u_s)
-        for _ in range(10):
-            u_s, w_s, r_s = self._step(self._ops, u_s, w_s, r_s)
-        x = jnp.stack([self.to_grid(u_s), self.to_grid(w_s)])
-        norm = self.inner_product(x, x)
-        return [x * jnp.sqrt(cfg.e0 / norm)]
+
+        @jax.jit
+        def make(ops, key):
+            noise = jax.random.normal(key, (self.mgx, self.mgz), self._rdtype)
+            psi = self.to_coeff(noise)
+            # low-pass both axes at half band (ref filter_field frac=0.5)
+            mx = (np.arange(self.kxn) <= 0.25 * cfg.nx).astype(float)
+            mz = (np.arange(cfg.nz) < 0.5 * cfg.nz).astype(float)
+            psi = psi * jnp.asarray(mx[:, None] * mz[None, :])
+            ikx = jnp.asarray(1j * self._kx)[:, None]
+            u_c = -jnp.einsum("mn,kn->km", jnp.asarray(self._Dz), psi)
+            w_c = ikx * psi
+            # short smoothing: a few implicit steps of the full system
+            # damp the noise like the reference's prep solve (:520-608)
+            r_c = jnp.zeros_like(u_c)
+
+            def body(carry, _):
+                return self._step(ops, *carry), None
+
+            (u_c, w_c, r_c), _ = jax.lax.scan(
+                body, (u_c, w_c, r_c), xs=None, length=10
+            )
+            x = jnp.stack([self.to_grid(u_c), self.to_grid(w_c)])
+            norm = jnp.sum(jnp.asarray(self._w)[None] * x * x)
+            return x * jnp.sqrt(cfg.e0 / norm)
+
+        return [make(self._ops, jax.random.PRNGKey(seed))]

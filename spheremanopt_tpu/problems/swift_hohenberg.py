@@ -269,16 +269,21 @@ class SwiftHohenberg:
                 return self._sbdf1_step(c), e
 
             c, energies = jax.lax.scan(body, c0, xs=None, length=self.cfg.n_iters)
-            return c, jnp.concatenate([energies, self._energy(c)[None]])
+            energies = jnp.concatenate([energies, self._energy(c)[None]])
+            # NOTE: complex arrays cannot be transferred to host on this
+            # platform — return the spectrum as a real/imag stack.
+            c_ri = jnp.stack([c.real, c.imag])
+            return c_ri, energies, self.basis.to_grid(c0), self.basis.to_grid(c)
 
-        c, energies = run(c0)
+        c_ri, energies, u0g, uTg = run(c0)
+        c_np = np.asarray(c_ri)
         return {
             "sim_time": self.cfg.dt * np.arange(self.cfg.n_iters + 1),
             "kinetic_energy": energies,
             "x_grid": self.basis.grid(),
-            "u_initial": self.basis.to_grid(c0),
-            "u_final": self.basis.to_grid(c),
-            "u_hat_final": np.asarray(c),
+            "u_initial": u0g,
+            "u_final": uTg,
+            "u_hat_final": c_np[0] + 1j * c_np[1],
         }
 
     def generate_ic(self, seed: int = 42, e0: float = None) -> List[jnp.ndarray]:
@@ -286,14 +291,6 @@ class SwiftHohenberg:
         renormalised onto the sphere (ref :174-236 and
         `FWD_Solve_IVP_PREP` :334-407)."""
         e0 = self.cfg.e0 if e0 is None else e0
-        key = jax.random.PRNGKey(seed)
-        noise = jax.random.normal(key, (self.basis.n_grid,), self._rdtype)
-        c = filter_coeff_fraction(self.basis.to_coeff(noise), self.cfg.npts, 0.5)
-
-        def norm(c, target):
-            return c * jnp.sqrt(target / self._energy(c))
-
-        c = norm(c, e0)
         # prep smoothing: 100 SBDF1 steps at dt=1e-2
         prep = SwiftHohenberg(
             SH23Config(
@@ -302,6 +299,17 @@ class SwiftHohenberg:
                 dtype=self.cfg.dtype, remat=False, method="fft",
             )
         )
-        c, _ = prep._integrate(c, 100, False)
-        c = norm(c, e0)
-        return [self.basis.to_grid(c)]
+
+        @jax.jit  # one compiled program: eager op chains destabilise axon
+        def make(key):
+            noise = jax.random.normal(key, (self.basis.n_grid,), self._rdtype)
+            c = filter_coeff_fraction(self.basis.to_coeff(noise), self.cfg.npts, 0.5)
+
+            def norm(c, target):
+                return c * jnp.sqrt(target / self._energy(c))
+
+            c = norm(c, e0)
+            c, _ = prep._integrate(c, 100, False)
+            return self.basis.to_grid(norm(c, e0))
+
+        return [make(jax.random.PRNGKey(seed))]

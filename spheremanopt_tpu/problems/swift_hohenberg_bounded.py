@@ -230,13 +230,6 @@ class SwiftHohenbergBounded:
 
     def generate_ic(self, seed: int = 42, m0: float = None) -> List[jnp.ndarray]:
         m0 = self.cfg.m0 if m0 is None else m0
-        key = jax.random.PRNGKey(seed)
-        noise = jax.random.normal(key, (self.cfg.npts,), self._rdtype)
-        # low-pass in coefficient space (filter frac=0.25 in Discrete mode)
-        a = self.basis.analysis @ np.asarray(noise)
-        a[int(0.25 * self.cfg.npts):] = 0.0
-        u = jnp.asarray(self.basis.synthesis @ a, self._rdtype)
-
         prep = SwiftHohenbergBounded(
             SHB23Config(
                 npts=self.cfg.npts, z0=self.cfg.z0, z1=self.cfg.z1,
@@ -245,6 +238,16 @@ class SwiftHohenbergBounded:
                 dealias_frac=self.cfg.dealias_frac,
             )
         )
-        u, _ = prep._integrate(u, 100)
-        u = u * jnp.sqrt(m0 / self._energy(u))
-        return [u]
+        # low-pass projector (filter frac=0.25 in Discrete mode): numpy
+        keep = (np.arange(self.cfg.npts) < 0.25 * self.cfg.npts).astype(float)
+        lowpass = (self.basis.synthesis @ np.diag(keep) @ self.basis.analysis
+                   ).astype(self._rdtype)
+
+        @jax.jit
+        def make(key):
+            noise = jax.random.normal(key, (self.cfg.npts,), self._rdtype)
+            u = jnp.dot(lowpass, noise, preferred_element_type=self._rdtype)
+            u, _ = prep._integrate(u, 100)
+            return u * jnp.sqrt(m0 / self._energy(u))
+
+        return [make(jax.random.PRNGKey(seed))]

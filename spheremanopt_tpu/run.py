@@ -42,6 +42,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--test-grad", action="store_true", help="Taylor test, then exit")
     ap.add_argument("--adjoint", choices=["discrete", "continuous"], default="discrete")
     ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--resume", default=None,
+                    help="warm-start from a DAL_PROGRESS.npz checkpoint")
+    ap.add_argument("--profile-dir", default=None,
+                    help="write a jax.profiler trace of the run here")
+    ap.add_argument("--no-archive", action="store_true",
+                    help="skip per-iteration diagnostics archives")
     # problem-size overrides
     ap.add_argument("--npts", type=int, default=None)
     ap.add_argument("--nx", type=int, default=None)
@@ -123,7 +129,13 @@ def main(argv=None) -> int:
 
     t0 = time.time()
     problem, x0, defaults = make_problem(args)
-    if x0 is None:
+    if args.resume:
+        from spheremanopt_tpu.io.checkpoint import load_progress
+
+        loaded = load_progress(args.resume)
+        x0 = [x for x in loaded.x_opt]
+        print(f"[resume] warm-starting from iteration {loaded.iterations}")
+    elif x0 is None:
         if args.problem == "pca":
             import numpy as np
 
