@@ -70,6 +70,9 @@ class MixingConfig:
     pad_factor: float = 1.5
     dtype: str = "float64"
     remat: bool = True
+    adjoint: str = "discrete"    # "discrete" (autodiff) | "continuous"
+                                 # (the ref's ADJ_Solve_Cnts system,
+                                 # `FWD_Solve_Poiseuille.py:1161-1319`)
 
 
 def _cheb_mult_T(coeffs_of_factor: np.ndarray, n: int) -> np.ndarray:
@@ -131,15 +134,26 @@ class OptimalMixing:
             "S": jax.device_put(jnp.asarray(S, self._cdtype)),
             "MN": jax.device_put(jnp.asarray(MN, self._cdtype)),
         }
+        if cfg.adjoint == "continuous":
+            SA, _ = self._build_operators(adjoint=True)
+            self._ops["SA"] = jax.device_put(jnp.asarray(SA, self._cdtype))
 
-        # rectangle-rule IP weights on the oversampled grid
-        # (ref weightMatrixDisc :91-117: dz left-differences times dx)
-        z = self._zgrid
-        wz = np.empty(self.mgz)
-        wz[0] = z[1] - z[0]
-        wz[1:] = z[1:] - z[:-1]
-        dx = cfg.lx / self.mgx
+        # Inner-product weights. The reference pairs the IP with the
+        # adjoint mode (`FWD_Solve_Poiseuille.py:1730-1740`):
+        #   Discrete  -> rectangle-rule weightMatrixDisc (:91-117)
+        #   Continuous-> spectral volume integral (Inner_Prod_Cnts,
+        #                :264-279) = Clenshaw-Curtis in z x mean in x,
+        # under which the continuous-adjoint field is the correct Riesz
+        # representative.
         vol = cfg.lx * 2.0
+        dx = cfg.lx / self.mgx
+        z = self._zgrid
+        if cfg.adjoint == "continuous":
+            wz = zfull.clenshaw_curtis_weights
+        else:
+            wz = np.empty(self.mgz)
+            wz[0] = z[1] - z[0]
+            wz[1:] = z[1:] - z[:-1]
         self._w = (np.broadcast_to(wz[None, :], (self.mgx, self.mgz)) * dx / vol).astype(rdtype)
 
         # rho(0) = -erf(z/delta)/2, truncated to the nz band (ref :920-925)
@@ -160,6 +174,7 @@ class OptimalMixing:
 
         self._gradient = jax.jit(_grad)
         self._obj_and_grad = jax.jit(_obj_and_grad)
+        self._grad_cnts = jax.jit(self._gradient_continuous_impl)
         self._inner = jax.jit(
             lambda x, y: jnp.sum(jnp.asarray(self._w)[None] * x * y)
         )
@@ -168,7 +183,7 @@ class OptimalMixing:
     # operator assembly (init-time, f64 numpy)
     # ------------------------------------------------------------------
 
-    def _build_operators(self):
+    def _build_operators(self, adjoint: bool = False):
         cfg = self.cfg
         nz = cfg.nz
         I = np.eye(nz)
@@ -227,22 +242,34 @@ class OptimalMixing:
             adv = ikx * MU
 
             r = 0
+            # For the continuous-adjoint operator (ref :1220-1228) the
+            # base-flow advection flips sign, the pressure gradient flips
+            # sign, and the couplings transpose: u_adj*Uz moves to the
+            # w-equation and Ri*w_adj moves to the density equation.
+            adv_s = -adv if adjoint else adv
+            psign = -1.0 if adjoint else 1.0
             # momentum-u rows (nz-2) + BCs u(+-1)=0
-            A[r : r + nz - 2, sl["u"]] = (a0 * I - lap_re + adv)[: nz - 2]
-            A[r : r + nz - 2, sl["w"]] = MUp[: nz - 2]
-            A[r : r + nz - 2, sl["p"]] = (ikx * I)[: nz - 2]
+            A[r : r + nz - 2, sl["u"]] = (a0 * I - lap_re + adv_s)[: nz - 2]
+            if not adjoint:
+                A[r : r + nz - 2, sl["w"]] = MUp[: nz - 2]
+            A[r : r + nz - 2, sl["p"]] = (psign * ikx * I)[: nz - 2]
             r += nz - 2
             # momentum-w rows. At kx = 0 keep nz-1 rows (one tau): w is
             # killed by continuity + w(-1)=0, and p needs nz-1 equation
             # rows plus the gauge (the reference's first-order form
             # reaches the same count via its wz reduction + BC layout).
             nw = nz - 2 if kx != 0.0 else nz - 1
-            A[r : r + nw, sl["w"]] = (a0 * I - lap_re + adv)[:nw]
-            A[r : r + nw, sl["r"]] = (ri * I)[:nw]
-            A[r : r + nw, sl["p"]] = D1[:nw]
+            A[r : r + nw, sl["w"]] = (a0 * I - lap_re + adv_s)[:nw]
+            if adjoint:
+                A[r : r + nw, sl["u"]] = MUp[:nw]       # + u_adj * Uz
+            else:
+                A[r : r + nw, sl["r"]] = (ri * I)[:nw]  # + rho * Ri
+            A[r : r + nw, sl["p"]] = (psign * D1)[:nw]
             r += nw
             # density rows (nz-2)
-            A[r : r + nz - 2, sl["r"]] = (a0 * I - lap_pe + adv)[: nz - 2]
+            A[r : r + nz - 2, sl["r"]] = (a0 * I - lap_pe + adv_s)[: nz - 2]
+            if adjoint:
+                A[r : r + nz - 2, sl["w"]] = (ri * I)[: nz - 2]  # + Ri w_adj
             if kx == 0.0:
                 A[r : r + nz - 2, 4 * nz] = np.eye(nz)[: nz - 2, 0]  # +Fb
             r += nz - 2
@@ -385,10 +412,88 @@ class OptimalMixing:
     # public triple
     # ------------------------------------------------------------------
 
+    def _gradient_continuous_impl(self, ops, x_list):
+        """Continuous adjoint (ref `ADJ_Solve_Cnts`,
+        `FWD_Solve_Poiseuille.py:1161-1319`): integrate the adjoint
+        Boussinesq system (sign-flipped advection/pressure, transposed
+        Uz and Ri couplings) backward along the stored trajectory.
+        s=0: volumetric forcing (-uf, -wf); s=1: terminal condition
+        b_adj(T) = -psi with lap psi = rho(T). Returns [(u_adj, w_adj)]
+        at t=0.
+
+        Accuracy semantics (same as the reference): directional
+        derivatives against band-limited perturbations converge to the
+        truth at O(dt); as a *vector* it is the Riesz representative
+        under the continuous (spectral) inner product restricted to the
+        band, which differs off-band from the discrete-mode gradient
+        because Chebyshev truncation is not L2-self-adjoint. The
+        reference exhibits the same split (it even changes resolution
+        and inner product between its Discrete/Continuous modes,
+        `:1727-1757`). Use adjoint='discrete' for Taylor-exactness."""
+        cfg = self.cfg
+        x = x_list[0].astype(self._rdtype)
+        u_c, w_c = self.to_coeff(x[0]), self.to_coeff(x[1])
+        r_c = jnp.asarray(self._rho0_c, self._cdtype)
+
+        def fwd_body(carry, _):
+            new = self._step(ops, *carry)
+            return new, new
+
+        (_, _, rT_c), snaps = jax.lax.scan(
+            fwd_body, (u_c, w_c, r_c), xs=None, length=cfg.n_iters
+        )
+
+        ikx = jnp.asarray(1j * self._kx)[:, None]
+        dz = jnp.asarray(self._Dz)
+
+        def ddz(c):
+            return jnp.einsum("mn,...kn->...km", dz, c)
+
+        a0 = 1.0 / cfg.dt
+        nz = cfg.nz
+
+        def adj_body(carry, snap):
+            ua, wa, ba = carry
+            uf_c, wf_c, bf_c = snap
+            ufg, wfg = self.to_grid(uf_c), self.to_grid(wf_c)
+            uag, wag, bag = self.to_grid(ua), self.to_grid(wa), self.to_grid(ba)
+            # rhs of the adjoint equations (ref :1220-1228)
+            nl_b = ufg * self.to_grid(ikx * ba) + wfg * self.to_grid(ddz(ba))
+            nl_u = (-(uag * self.to_grid(ikx * uf_c) + wag * self.to_grid(ikx * wf_c))
+                    + ufg * self.to_grid(ikx * ua) + wfg * self.to_grid(ddz(ua))
+                    - bag * self.to_grid(ikx * bf_c))
+            nl_w = (-(uag * self.to_grid(ddz(uf_c)) + wag * self.to_grid(ddz(wf_c)))
+                    + ufg * self.to_grid(ikx * wa) + wfg * self.to_grid(ddz(wa))
+                    - bag * self.to_grid(ddz(bf_c)))
+            if cfg.s == 0:
+                nl_u = nl_u - ufg
+                nl_w = nl_w - wfg
+            rhs = jnp.concatenate([
+                a0 * ua + self.to_coeff(nl_u),
+                a0 * wa + self.to_coeff(nl_w),
+                a0 * ba + self.to_coeff(nl_b),
+            ], axis=-1)
+            sol = jnp.einsum("kij,kj->ki", ops["SA"], rhs)
+            return (sol[:, :nz], sol[:, nz : 2 * nz], sol[:, 2 * nz :]), None
+
+        ua0 = jnp.zeros_like(u_c)
+        wa0 = jnp.zeros_like(w_c)
+        if cfg.s == 1:
+            psi = jnp.einsum("kij,kj->ki", ops["MN"], rT_c)
+            ba0 = -psi
+        else:
+            ba0 = jnp.zeros_like(r_c)
+        (ua, wa, ba), _ = jax.lax.scan(
+            adj_body, (ua0, wa0, ba0), snaps, reverse=True
+        )
+        return [jnp.stack([self.to_grid(ua), self.to_grid(wa)])]
+
     def objective(self, x_list):
         return self._objective(self._ops, list(x_list))
 
     def gradient(self, x_list):
+        if self.cfg.adjoint == "continuous":
+            return self._grad_cnts(self._ops, list(x_list))
         return self._gradient(self._ops, list(x_list))
 
     def objective_and_gradient(self, x_list):

@@ -92,6 +92,26 @@ def test_mixnorm_decreases_with_diffusion(mix_problem, x0):
     assert float(p_long.objective(x0)) < float(p_short.objective(x0))
 
 
+def test_continuous_adjoint_directional_convergence():
+    """The continuous-adjoint directional derivative <dX, g_cnts> along
+    smooth (band-limited) perturbations converges to the exact one
+    <dX, g_disc> as dt -> 0 — the reference's Adjoint_type='Continuous'
+    accuracy semantics (first-order in time, plateauing at the spatial
+    discretisation error; SURVEY.md section 4)."""
+    rels = []
+    for dt, n in [(5e-3, 20), (1.25e-3, 80)]:
+        p = OptimalMixing(MixingConfig(nx=32, nz=24, n_iters=n, dt=dt, s=0,
+                                       adjoint="continuous"))
+        x0 = p.generate_ic(seed=42)
+        dx = p.generate_ic(seed=5)[0]
+        gd = p._gradient(p._ops, list(x0))[0]  # exact, same spectral IP
+        gc = p.gradient(x0)[0]
+        wd = float(p.inner_product(dx, gd))
+        wc = float(p.inner_product(dx, gc))
+        rels.append(abs(wc - wd) / abs(wd))
+    assert rels[1] < 0.25 * rels[0], rels  # ~O(dt): 4x dt -> >=4x error drop
+
+
 def test_short_optimisation(mix_problem, x0):
     res = optimise_on_multi_sphere(
         x0, mix_problem.radii, mix_problem.objective, mix_problem.gradient,
