@@ -1,0 +1,179 @@
+"""Device-resident optimisation driver: the whole SD/CG loop in one jit.
+
+The host-driven driver (`optim/optimiser.py`) mirrors the reference's
+control flow exactly — including scipy-style Wolfe with cubic
+interpolation — at the cost of a few host<->device round trips per
+iteration. This driver is the production-serving alternative the
+reference cannot express: the COMPLETE optimisation (gradient solves,
+tangent projection, hybrid FR-PR CG directions, Armijo backtracking
+line search, retraction updates, convergence masking and history
+recording) compiles to a single XLA executable. Per-iteration overhead
+is zero; a full PCA optimisation or a many-iteration PDE optimisation
+runs without the host in the loop.
+
+Algorithmic deltas vs the host driver (documented, deliberate):
+  * line search is Armijo backtracking with a fixed shrink factor
+    (compiler-friendly `lax.while_loop`) instead of quadratic/cubic
+    interpolation / strong Wolfe;
+  * a failed line search freezes the iterate (masked no-op) rather than
+    early-returning;
+  * the step-size carry-over policy matches the reference's Armijo path
+    (next search starts from a modest expansion of the last accepted
+    step).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, List, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from spheremanopt_tpu.manifold import sphere as geom
+
+
+class JitOptResult(NamedTuple):
+    x_opt: List[jnp.ndarray]
+    function_values: jnp.ndarray   # (max_iters,) -J_k (reference convention)
+    residuals: jnp.ndarray         # (max_iters, n_spheres)
+    step_sizes: jnp.ndarray        # (max_iters,)
+    iterations: jnp.ndarray        # scalar int: iterations actually taken
+
+
+def jit_optimise_on_multi_sphere(
+    f_and_g: Callable,
+    inner_prod,
+    radii: Sequence[float],
+    *,
+    max_iters: int = 100,
+    alpha0: float = 1.0,
+    c1: float = 1e-4,
+    shrink: float = 0.5,
+    grow: float = 2.0,
+    max_backtracks: int = 30,
+    err_tol: float = 1e-6,
+    cg: bool = True,
+) -> Callable:
+    """Build a jitted `optimise(x0_list) -> JitOptResult`.
+
+    `f_and_g(x_list) -> (J, [nab_J])` must be jittable (problems provide
+    `objective_and_gradient`); `inner_prod` is one callable or a list.
+    """
+    n = len(radii)
+    radii = tuple(float(r) for r in radii)
+    ips = geom._as_list(inner_prod, n)
+
+    def tangent(xs, nabs):
+        return [geom.tangent_project(x, v, ip) for x, v, ip in zip(xs, nabs, ips)]
+
+    def retract(xs, alpha, ds):
+        return [geom.retract(x, alpha, d, r, ip)
+                for x, d, r, ip in zip(xs, ds, radii, ips)]
+
+    def slope(gs, ds):
+        return sum(ip(g, d) for g, d, ip in zip(gs, ds, ips))
+
+    def residuals(gs):
+        return jnp.stack([jnp.sqrt(ip(g, g)) for g, ip in zip(gs, ips)])
+
+    def cg_direction(xs, gs, gs_old, ds_old):
+        beta_fr = 0.0
+        beta_pr = 0.0
+        tds = []
+        for x, g, g_old, d_old, ip in zip(xs, gs, gs_old, ds_old, ips):
+            gg = ip(g, g)
+            gg_old = ip(g_old, g_old)
+            beta_fr = beta_fr + gg / gg_old
+            tg = geom.transport(x, g_old, ip)
+            beta_pr = beta_pr + (gg - ip(g, tg)) / gg_old
+            tds.append(geom.transport(x, d_old, ip))
+        beta = jnp.maximum(0.0, jnp.minimum(beta_fr, beta_pr))
+        return [-g + beta * td for g, td in zip(gs, tds)]
+
+    def armijo(xs, ds, J0, slope0, alpha_start):
+        """lax.while_loop backtracking; returns (alpha, J_new, ok)."""
+
+        def cond(state):
+            alpha, J_new, k = state
+            insufficient = J_new > J0 + c1 * alpha * slope0
+            return jnp.logical_and(insufficient, k < max_backtracks)
+
+        def body(state):
+            alpha, _, k = state
+            alpha = alpha * shrink
+            J_new, _ = f_and_g(retract(xs, alpha, ds))
+            return (alpha, J_new, k + 1)
+
+        J_first, _ = f_and_g(retract(xs, alpha_start, ds))
+        alpha, J_new, k = jax.lax.while_loop(
+            cond, body, (jnp.asarray(alpha_start, J0.dtype), J_first, 0)
+        )
+        ok = J_new <= J0 + c1 * alpha * slope0
+        return alpha, J_new, ok
+
+    @jax.jit
+    def optimise(x0_list):
+        xs = [geom.normalise_sphere(x, r, ip)
+              for x, r, ip in zip(list(x0_list), radii, ips)]
+        J0, nab0 = f_and_g(xs)
+        g0 = tangent(xs, nab0)
+        dtype = J0.dtype
+
+        J_hist = jnp.zeros(max_iters, dtype)
+        r_hist = jnp.zeros((max_iters, n), dtype)
+        a_hist = jnp.zeros(max_iters, dtype)
+
+        def body(i, carry):
+            xs, J, gs, gs_old, ds_old, alpha_prev, active, hists = carry
+            J_hist, r_hist, a_hist = hists
+
+            ds_sd = [-g for g in gs]
+            if cg:
+                ds_cg = cg_direction(xs, gs, gs_old, ds_old)
+                # fall back to steepest descent on iteration 0 and when
+                # the CG direction is not a descent direction (hybrid
+                # FR-PR does not guarantee descent with inexact searches)
+                use_cg = jnp.logical_and(i > 0, slope(gs, ds_cg) < 0)
+                ds = [jnp.where(use_cg, dc, dsd) for dc, dsd in zip(ds_cg, ds_sd)]
+            else:
+                ds = ds_sd
+
+            slope0 = slope(gs, ds)
+            alpha, J_new, ok = armijo(xs, ds, J, slope0,
+                                      jnp.minimum(alpha_prev * grow, alpha0 * 1e3))
+
+            step = jnp.logical_and(active, ok)
+            xs_new = retract(xs, alpha, ds)
+            xs = [jnp.where(step, xn, x) for xn, x in zip(xs_new, xs)]
+            J = jnp.where(step, J_new, J)
+
+            res = residuals(gs)
+            J_hist = J_hist.at[i].set(-J)
+            r_hist = r_hist.at[i].set(res)
+            a_hist = a_hist.at[i].set(jnp.where(step, alpha, 0.0))
+
+            # next gradient (only meaningful while active; masked cheaply
+            # by reusing the old state when frozen)
+            _, nab = f_and_g(xs)
+            gs_new = tangent(xs, nab)
+            gs_old_n = gs
+            ds_old_n = ds
+            gs = [jnp.where(step, gn, g) for gn, g in zip(gs_new, gs)]
+
+            active = jnp.logical_and(active,
+                                     jnp.logical_and(ok, res.max() > err_tol))
+            alpha_prev = jnp.where(step, alpha, alpha_prev)
+            return (xs, J, gs, gs_old_n, ds_old_n, alpha_prev, active,
+                    (J_hist, r_hist, a_hist))
+
+        init = (xs, J0, g0, g0, [-g for g in g0],
+                jnp.asarray(alpha0 / 2.0, dtype), jnp.asarray(True),
+                (J_hist, r_hist, a_hist))
+        xs, J, gs, _, _, _, active, (J_hist, r_hist, a_hist) = jax.lax.fori_loop(
+            0, max_iters, body, init
+        )
+        n_done = jnp.sum(a_hist > 0)
+        return JitOptResult(xs, J_hist, r_hist, a_hist, n_done)
+
+    return optimise

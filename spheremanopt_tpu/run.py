@@ -169,7 +169,7 @@ def main(argv=None) -> int:
     from spheremanopt_tpu.optim.plotting import plot_optimisation
 
     callback = None
-    if hasattr(problem, "diagnostics"):
+    if hasattr(problem, "diagnostics") and not args.no_archive:
         callback = IterationArchiver("diag", problem.diagnostics, args.out_dir)
 
     res = optimise_on_multi_sphere(

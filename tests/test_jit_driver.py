@@ -1,0 +1,94 @@
+"""Device-resident (single-jit) optimisation driver tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spheremanopt_tpu.optim.jit_driver import jit_optimise_on_multi_sphere
+from spheremanopt_tpu.problems.pca import PCAProblem, random_spd_matrix
+from spheremanopt_tpu.problems.swift_hohenberg import SH23Config, SwiftHohenberg
+
+
+@pytest.fixture(scope="module")
+def pca():
+    return PCAProblem(random_spd_matrix(48, seed=3))
+
+
+def _f_and_g(p):
+    def f_and_g(xs):
+        return p._objective_impl(xs), p._gradient_impl(xs)
+
+    return f_and_g
+
+
+@pytest.mark.parametrize("cg", [True, False])
+def test_pca_converges_on_device(pca, cg):
+    opt = jit_optimise_on_multi_sphere(
+        _f_and_g(pca), pca.inner_product, [1.0],
+        max_iters=800, alpha0=1.0, cg=cg, err_tol=1e-9,
+    )
+    x0 = [jnp.asarray(np.random.RandomState(7).rand(48))]
+    res = opt(x0)
+    v = pca.ground_truth()
+    err = np.linalg.norm(np.abs(v) - np.abs(np.asarray(res.x_opt[0])))
+    assert err < 1e-5, err
+    # constraint held
+    assert np.isclose(float(jnp.dot(res.x_opt[0], res.x_opt[0])), 1.0, rtol=1e-12)
+    # histories consistent: J increases (recorded as -J of a decreasing J)
+    k = int(res.iterations)
+    jh = np.asarray(res.function_values[:k])
+    assert (np.diff(jh) > -1e-12).all()
+
+
+def test_convergence_masking_freezes_state(pca):
+    """After convergence the remaining fori iterations must be no-ops
+    (step sizes zero, x unchanged)."""
+    opt = jit_optimise_on_multi_sphere(
+        _f_and_g(pca), pca.inner_product, [1.0],
+        max_iters=600, alpha0=1.0, cg=True, err_tol=1e-6,
+    )
+    x0 = [jnp.asarray(np.random.RandomState(1).rand(48))]
+    res = opt(x0)
+    k = int(res.iterations)
+    assert k < 600
+    assert float(jnp.abs(res.step_sizes[k:]).max()) == 0.0
+    # residual at stop below tolerance
+    assert float(res.residuals[k - 1].max()) < 1e-5
+
+
+def test_sh23_on_device_matches_host_direction(tmp_path):
+    """The jitted driver must make the same kind of progress as the host
+    driver on SH23 (not bitwise: different line searches)."""
+    p = SwiftHohenberg(SH23Config(npts=48, n_iters=50, dt=0.05))
+    x0 = p.generate_ic(seed=42)
+    opt = jit_optimise_on_multi_sphere(
+        lambda xs: p._obj_and_grad(xs), p.inner_product, p.radii,
+        max_iters=6, alpha0=float(np.pi), cg=True,
+    )
+    res = opt(x0)
+    jh = np.asarray(res.function_values[: int(res.iterations)])
+    assert jh[-1] > jh[0]
+    xo = res.x_opt[0]
+    assert np.isclose(float(p.inner_product(xo, xo)), p.cfg.e0, rtol=1e-6)
+
+
+def test_two_sphere_device_driver():
+    m1 = random_spd_matrix(24, seed=5)
+    m2 = random_spd_matrix(16, seed=6)
+    p1, p2 = PCAProblem(m1), PCAProblem(m2)
+
+    def f_and_g(xs):
+        J = p1._objective_impl([xs[0]]) + p2._objective_impl([xs[1]])
+        return J, [p1._gradient_impl([xs[0]])[0], p2._gradient_impl([xs[1]])[0]]
+
+    opt = jit_optimise_on_multi_sphere(
+        f_and_g, p1.inner_product, [1.0, 1.0],
+        max_iters=2000, alpha0=1.0, cg=True, err_tol=1e-8,
+    )
+    x0 = [jnp.asarray(np.random.RandomState(1).rand(24)),
+          jnp.asarray(np.random.RandomState(2).rand(16))]
+    res = opt(x0)
+    e1 = np.linalg.norm(np.abs(p1.ground_truth()) - np.abs(np.asarray(res.x_opt[0])))
+    e2 = np.linalg.norm(np.abs(p2.ground_truth()) - np.abs(np.asarray(res.x_opt[1])))
+    assert e1 < 1e-4 and e2 < 1e-4, (e1, e2)
