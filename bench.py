@@ -115,6 +115,53 @@ def bench_kdyn(repeats_tpu=5, repeats_cpu=1):
     return tpu_s, cpu_s, rel_J, rel_g
 
 
+def bench_shb23(repeats=10):
+    """SHB23 Discrete config (N=512, dt=0.01, T=20): TPU fwd+grad ms."""
+    import jax
+    import jax.numpy as jnp
+
+    from spheremanopt_tpu.problems.swift_hohenberg_bounded import (
+        SHB23Config,
+        SwiftHohenbergBounded,
+    )
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    dtype = "float32" if on_tpu else "float64"
+    p = SwiftHohenbergBounded(SHB23Config(dtype=dtype))
+    x0 = p.generate_ic(seed=42)
+    J, g = p.objective_and_gradient(x0)
+    jax.block_until_ready((J, g))
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        J, g = p.objective_and_gradient(x0)
+        jax.block_until_ready((J, g))
+        times.append(time.perf_counter() - t0)
+    return min(times), float(J)
+
+
+def bench_mixing(repeats=3):
+    """Mixing reference config (256x128, dt=5e-3, T=5, s=1): TPU fwd+grad ms."""
+    import jax
+    import jax.numpy as jnp
+
+    from spheremanopt_tpu.problems.optimal_mixing import MixingConfig, OptimalMixing
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    dtype = "float32" if on_tpu else "float64"
+    p = OptimalMixing(MixingConfig(dtype=dtype, s=1))
+    x0 = p.generate_ic(seed=42)
+    J, g = p.objective_and_gradient(x0)
+    jax.block_until_ready((J, g))
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        J, g = p.objective_and_gradient(x0)
+        jax.block_until_ready((J, g))
+        times.append(time.perf_counter() - t0)
+    return min(times), float(J)
+
+
 def main():
     sys.path.insert(0, "baselines")
     from sh23_numpy import generate_ic_like
@@ -128,6 +175,15 @@ def main():
     rel_g = float(np.linalg.norm(g_tpu - g_cpu) / np.linalg.norm(g_cpu))
 
     kd_tpu, kd_cpu, kd_rel_J, kd_rel_g = bench_kdyn()
+    try:
+        shb_tpu, shb_J = bench_shb23()
+        mix_tpu, mix_J = bench_mixing()
+        extra = {
+            "shb23_512_fwd_grad_ms": round(shb_tpu * 1e3, 3),
+            "mixing_256x128_fwd_grad_ms": round(mix_tpu * 1e3, 3),
+        }
+    except Exception as e:  # keep headline metric robust
+        extra = {"secondary_bench_error": str(e)[:120]}
 
     print(
         json.dumps(
@@ -145,6 +201,7 @@ def main():
                     "kdyn24_vs_baseline": round(kd_cpu / kd_tpu, 2),
                     "kdyn24_J_rel_err": f"{kd_rel_J:.2e}",
                     "kdyn24_grad_rel_err": f"{kd_rel_g:.2e}",
+                    **extra,
                 },
             }
         )

@@ -57,7 +57,9 @@ class KDynConfig:
     cost: str = "Final"          # "Final" | "Integrated" (ref :655-673)
     pad_factor: float = 1.5      # Dedalus dealias=3/2
     dtype: str = "float64"
-    remat: bool = True
+    remat: object = True         # True/"step": per-step jax.checkpoint;
+                                 # "nested": sqrt(N)-memory two-level
+                                 # checkpointing; False: store-all
     transform: str = "matmul"    # "matmul" (per-axis DFT einsums, MXU-
                                  # native, GSPMD-shardable) | "fft"
     adjoint: str = "discrete"    # "discrete" (autodiff) | "continuous"
@@ -245,9 +247,24 @@ class KinematicDynamo:
 
     def _integrate(self, b0_c, u_grid, n_steps: int):
         step = self._cnab1_step
-        if self.cfg.remat:
+        if self.cfg.remat is True or self.cfg.remat == "step":
             step = jax.checkpoint(step)
         integrated = self.cfg.cost == "Integrated"
+
+        if self.cfg.remat == "nested":
+            # sqrt(N) memory: O(sqrt N) stored carries, one recompute per
+            # chunk — for trajectories whose per-step snapshot buffer
+            # would not fit HBM (the reference's GEN_BUFFER ceiling)
+            from spheremanopt_tpu.solvers.scan_utils import nested_checkpoint_scan
+
+            def one(b):
+                e = self._energy(b) if integrated else jnp.zeros((), self._rdtype)
+                return self._cnab1_step(b, u_grid), e
+
+            b, tot = nested_checkpoint_scan(one, b0_c, n_steps)
+            if integrated:
+                return b, self.cfg.dt * (tot + self._energy(b))
+            return b, self._energy(b)
 
         def body(carry, _):
             b, acc = carry

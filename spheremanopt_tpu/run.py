@@ -201,6 +201,7 @@ def main(argv=None) -> int:
         "problem": args.problem,
         "iterations": res.iterations,
         "converged": res.converged,
+        "message": res.message,
         "J_final": res.function_values[-1] if res.function_values else None,
         "residuals_final": [r[-1] for r in res.residuals if r],
         "wall_time_total_s": round(sum(res.wall_times), 3),

@@ -108,3 +108,15 @@ def test_dryrun_multichip_8(eight_devices):
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_nested_remat_matches_storeall(x0):
+    pa = KinematicDynamo(KDynConfig(npts=12, n_iters=37, dt=1e-3,
+                                    cost="Integrated", remat=False))
+    pb = KinematicDynamo(KDynConfig(npts=12, n_iters=37, dt=1e-3,
+                                    cost="Integrated", remat="nested"))
+    np.testing.assert_allclose(float(pa.objective(x0)), float(pb.objective(x0)),
+                               rtol=1e-13)
+    ga, gb = pa.gradient(x0), pb.gradient(x0)
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10)
