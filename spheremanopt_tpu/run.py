@@ -197,8 +197,14 @@ def main(argv=None) -> int:
         diag = problem.diagnostics(res.x_opt)
         plot_energy_series(diag, os.path.join(args.out_dir, "energy_series.pdf"))
 
+    cfg_dict = None
+    if hasattr(problem, "cfg"):
+        import dataclasses
+
+        cfg_dict = dataclasses.asdict(problem.cfg)
     summary = {
         "problem": args.problem,
+        "config": cfg_dict,
         "iterations": res.iterations,
         "converged": res.converged,
         "message": res.message,
