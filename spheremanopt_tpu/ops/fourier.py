@@ -22,7 +22,6 @@ All functions are shape-static, jit/vmap/grad-safe, and dtype-generic
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Tuple
 
 import jax.numpy as jnp

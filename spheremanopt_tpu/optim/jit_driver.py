@@ -24,7 +24,6 @@ Algorithmic deltas vs the host driver (documented, deliberate):
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, List, NamedTuple, Sequence
 
 import jax

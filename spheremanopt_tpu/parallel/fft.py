@@ -19,7 +19,6 @@ reference's 24^3-36^3 scales the GSPMD-sharded matmul transforms in
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

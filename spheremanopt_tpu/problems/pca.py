@@ -13,7 +13,6 @@ pure-functional over its inputs.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -37,7 +37,6 @@ product is the plain grid mean (1/V) int f g (`:158-172`).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import List
 
 import jax

@@ -16,7 +16,6 @@ autodiff of the discrete forward; memory policy is expressed through
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Optional, Tuple
 
 import jax
