@@ -175,15 +175,28 @@ def main():
     rel_g = float(np.linalg.norm(g_tpu - g_cpu) / np.linalg.norm(g_cpu))
 
     kd_tpu, kd_cpu, kd_rel_J, kd_rel_g = bench_kdyn()
-    try:
-        shb_tpu, shb_J = bench_shb23()
-        mix_tpu, mix_J = bench_mixing()
-        extra = {
-            "shb23_512_fwd_grad_ms": round(shb_tpu * 1e3, 3),
-            "mixing_256x128_fwd_grad_ms": round(mix_tpu * 1e3, 3),
-        }
-    except Exception as e:  # keep headline metric robust
-        extra = {"secondary_bench_error": str(e)[:120]}
+
+    # Secondary benches run in SUBPROCESSES: the axon tunnel is flaky
+    # under long multi-compile sequences in one process (sporadic
+    # UNIMPLEMENTED); isolation keeps the headline metric robust.
+    import subprocess
+
+    extra = {}
+    for name, fn in (("shb23_512_fwd_grad_ms", "bench_shb23"),
+                     ("mixing_256x128_fwd_grad_ms", "bench_mixing")):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c",
+                 f"import bench; t, J = bench.{fn}(); print('RES', t)"],
+                capture_output=True, text=True, timeout=900, cwd=".",
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("RES")]
+            if line:
+                extra[name] = round(float(line[0].split()[1]) * 1e3, 3)
+            else:
+                extra[name + "_error"] = (out.stderr.strip().splitlines() or ["?"])[-1][:100]
+        except Exception as e:
+            extra[name + "_error"] = str(e)[:100]
 
     print(
         json.dumps(
