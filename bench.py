@@ -31,11 +31,13 @@ def bench_baseline_cpu(u0, repeats=3) -> float:
     from sh23_numpy import SH23Numpy
 
     sim = SH23Numpy(npts=NPTS, dt=DT, n_iters=N_ITERS)
-    sim.forward(u0)  # warm caches
+    J = sim.forward(u0)  # warm caches (and the reported J value)
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        J = sim.forward(u0)
+        # gradient() runs the forward (store=True) internally, so this
+        # times exactly 1 forward + 1 reverse sweep — the same unit as
+        # the TPU side's fused value_and_grad (no double-counted fwd)
         g = sim.gradient(u0)
         times.append(time.perf_counter() - t0)
     return min(times), float(J), np.asarray(g)
@@ -93,9 +95,11 @@ def bench_kdyn(repeats_tpu=5, repeats_cpu=1):
     u_np = np.asarray(x0[1], np.float64)
 
     sim = KDynNumpy(npts=24, dt=5e-4, n_iters=2000)
+    J_cpu = sim.forward(b_np, u_np)
     t0 = time.perf_counter()
     for _ in range(repeats_cpu):
-        J_cpu = sim.forward(b_np, u_np)
+        # gradient() includes its own forward: 1 fwd + 1 reverse, the
+        # same unit as the TPU fused value_and_grad
         g_b, g_u = sim.gradient(b_np, u_np)
     cpu_s = (time.perf_counter() - t0) / repeats_cpu
 

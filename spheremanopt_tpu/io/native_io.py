@@ -39,7 +39,14 @@ def _load() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+    src_mtime = os.path.getmtime(_SRC) if os.path.exists(_SRC) else None
+    if not os.path.exists(_LIB):
+        if src_mtime is None:
+            raise NativeIOUnavailable(f"neither {_LIB} nor {_SRC} exists")
+        rebuild = True
+    else:
+        rebuild = src_mtime is not None and os.path.getmtime(_LIB) < src_mtime
+    if rebuild:
         os.makedirs(_BUILD_DIR, exist_ok=True)
         cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
                _SRC, "-o", _LIB]

@@ -102,16 +102,21 @@ def _bwd(dt, n_steps, interpret, res, gbar):
     mg = uT.shape[-1]
     scale = -gbar * dt * (2.0 / mg)
 
-    # lambda_N = d(-J)/du_N; reverse: lam_{i} = S'(u_i)^T lam_{i+1} + dE/du_i
+    # lambda_N = d(-J)/du_N; reverse: lam_{i} = S'(u_i)^T lam_{i+1} + dE/du_i.
+    # The M-cotangent accumulates sum_n lambda_{n+1} (x) rhs_n (the step is
+    # u_{n+1} = M rhs_n), so grad w.r.t. the operator is exact too.
     lam = scale * uT
 
-    def body(lam, u):
+    def body(carry, u):
+        lam, dm = carry
+        rhs = u / dt + 1.8 * u * u - u * u * u
+        dm = dm + jnp.outer(lam, rhs)
         w = lam @ m  # M^T lam
         lam_prev = w / dt + (3.6 * u - 3.0 * u * u) * w + scale * u
-        return lam_prev, None
+        return (lam_prev, dm), None
 
-    lam, _ = jax.lax.scan(body, lam, traj, reverse=True)
-    return (jnp.zeros_like(m), lam)
+    (lam, dm), _ = jax.lax.scan(body, (lam, jnp.zeros_like(m)), traj, reverse=True)
+    return (dm, lam)
 
 
 fused_forward.defvjp(_fwd, _bwd)

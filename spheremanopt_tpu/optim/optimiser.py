@@ -207,12 +207,16 @@ def optimise_on_multi_sphere(
         # --- line search (Armijo on iteration 0, ref :780-784) ---
         derphi0 = float(K.slope(g_k, d_k))
 
-        # One-entry (alpha -> gradient) cache: the Wolfe algorithm always
-        # evaluates derphi(a) right after phi(a) at the same a, so a fused
-        # value_and_grad in phi makes derphi a pure lookup — the JAX
-        # equivalent of the reference's shared forward-trajectory buffer
-        # (FWD fills `X_FWD_DICT`, ADJ consumes it; `FWD_Solve_SH23.py:
-        # 499-503,688`). Each phi is then exactly 1 fwd + 1 bwd sweep.
+        # One-entry (alpha -> gradient) cache: on every ACCEPT path the
+        # Wolfe algorithm evaluates derphi(a) right after phi(a) at the
+        # same a, so a fused value_and_grad in phi makes that derphi a
+        # pure lookup — the JAX analogue of the reference's shared
+        # forward-trajectory buffer (FWD fills `X_FWD_DICT`, ADJ consumes
+        # it; `FWD_Solve_SH23.py:499-503,688`): 1 fwd + 1 bwd per
+        # accepted trial. Trade-off: bracket/zoom trials REJECTED on the
+        # sufficient-decrease test never call derphi, so their phi paid
+        # an unused backward sweep; first-trial accepts dominate in
+        # practice, which is the case this optimises.
         fused = {}
 
         def phi(alpha: float) -> float:

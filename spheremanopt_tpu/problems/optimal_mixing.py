@@ -507,13 +507,22 @@ class OptimalMixing:
         return self.inner_product
 
     def final_fields(self, x_list):
-        """(u, w, rho) coefficient state at t = T, for diagnostics."""
+        """(u, w, rho) coefficient state at t = T, for diagnostics.
+        CPU/analysis use only (returns complex arrays)."""
         x = jnp.asarray(x_list[0], self._rdtype)
-        u_c, w_c = self.to_coeff(x[0]), self.to_coeff(x[1])
-        r_c = jnp.asarray(self._rho0_c, self._cdtype)
-        for _ in range(self.cfg.n_iters):
-            u_c, w_c, r_c = self._step(self._ops, u_c, w_c, r_c)
-        return u_c, w_c, r_c
+
+        @jax.jit
+        def run(ops, x):
+            u_c, w_c = self.to_coeff(x[0]), self.to_coeff(x[1])
+            r_c = jnp.asarray(self._rho0_c, self._cdtype)
+
+            def body(carry, _):
+                return self._step(ops, *carry), None
+
+            return jax.lax.scan(body, (u_c, w_c, r_c), xs=None,
+                                length=self.cfg.n_iters)[0]
+
+        return run(self._ops, x)
 
     def diagnostics(self, x_list) -> dict:
         """KE + buoyancy-variance series, initial/final vorticity and

@@ -35,7 +35,7 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--platform", default=None, help="force jax platform (cpu)")
     # optimiser knobs (reference kwargs, `Sphere_Grad_Descent.py:692`)
     ap.add_argument("--max-iters", type=int, default=None)
-    ap.add_argument("--err-tol", type=float, default=1e-6)
+    ap.add_argument("--err-tol", type=float, default=None)
     ap.add_argument("--alpha", type=float, default=None)
     ap.add_argument("--ls", choices=["wolfe", "armijo"], default="wolfe")
     ap.add_argument("--sd", action="store_true", help="steepest descent (no CG)")
@@ -46,8 +46,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="warm-start from a DAL_PROGRESS.npz checkpoint")
     ap.add_argument("--profile-dir", default=None,
                     help="write a jax.profiler trace of the run here")
+    ap.add_argument("--archive-every", type=int, default=0,
+                    help="write a diagnostics archive every N iterations "
+                         "(0 = off; note each archive re-runs the forward "
+                         "solve, unlike the reference's file copies)")
     ap.add_argument("--no-archive", action="store_true",
-                    help="skip per-iteration diagnostics archives")
+                    help="(deprecated alias for --archive-every 0)")
     # problem-size overrides
     ap.add_argument("--npts", type=int, default=None)
     ap.add_argument("--nx", type=int, default=None)
@@ -169,16 +173,22 @@ def main(argv=None) -> int:
     from spheremanopt_tpu.optim.plotting import plot_optimisation
 
     callback = None
-    if hasattr(problem, "diagnostics") and not args.no_archive:
-        callback = IterationArchiver("diag", problem.diagnostics, args.out_dir)
+    if hasattr(problem, "diagnostics") and args.archive_every > 0:
+        archiver = IterationArchiver("diag", problem.diagnostics, args.out_dir)
 
+        def callback(k, result, _every=args.archive_every):
+            if k % _every == 0:
+                archiver(k, result)
+
+    # CLI value wins when the user passed one; else the problem default
+    err_tol = args.err_tol if args.err_tol is not None else defaults.get("err_tol", 1e-6)
     res = optimise_on_multi_sphere(
         x0,
         radii,
         problem.objective,
         problem.gradient,
         problem.inner_product,
-        err_tol=defaults.get("err_tol", args.err_tol),
+        err_tol=err_tol,
         max_iters=args.max_iters or defaults["max_iters"],
         alpha_k=args.alpha or defaults["alpha"],
         line_search=args.ls,

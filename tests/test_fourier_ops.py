@@ -106,3 +106,21 @@ def test_3d_derivative_and_divergence():
     dudx = b.to_grid(1j * kx * c)
     expected = np.cos(X) * np.cos(2 * Y) * np.sin(Z)
     np.testing.assert_allclose(np.asarray(dudx), expected, atol=1e-10)
+
+
+def test_kdyn_transforms_match_fourier_basis3d():
+    """KinematicDynamo's inline transform paths must stay in lockstep
+    with the shared FourierBasis3D helper (guards against divergence of
+    the duplicated Hermitian-layout logic)."""
+    from spheremanopt_tpu.problems.kinematic_dynamo import KDynConfig, KinematicDynamo
+
+    p = KinematicDynamo(KDynConfig(npts=12, n_iters=1, transform="fft"))
+    b = FourierBasis3D(12, 2 * np.pi, 1.5)
+    v = jax.random.normal(jax.random.PRNGKey(0), (3, b.n_grid, b.n_grid, b.n_grid))
+    np.testing.assert_allclose(
+        np.asarray(p.to_coeff(v)), np.asarray(b.to_coeff(v)), atol=1e-13
+    )
+    c = b.to_coeff(v)
+    np.testing.assert_allclose(
+        np.asarray(p.to_grid(c)), np.asarray(b.to_grid(c)), atol=1e-12
+    )

@@ -126,3 +126,14 @@ def test_short_optimisation(mix_problem, x0):
     assert np.isclose(
         float(mix_problem.inner_product(xo, xo)), mix_problem.cfg.e0, rtol=1e-10
     )
+
+
+def test_final_fields_consistency(mix_problem, x0):
+    """final_fields equals stepping manually; rho develops structure."""
+    u_c, w_c, r_c = mix_problem.final_fields(x0)
+    p = mix_problem
+    uu, ww, rr = p.to_coeff(jnp.asarray(x0[0][0])), p.to_coeff(jnp.asarray(x0[0][1])), jnp.asarray(p._rho0_c)
+    for _ in range(p.cfg.n_iters):
+        uu, ww, rr = p._step(p._ops, uu, ww, rr)
+    np.testing.assert_allclose(np.asarray(u_c), np.asarray(uu), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(r_c), np.asarray(rr), atol=1e-12)

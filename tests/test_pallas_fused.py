@@ -49,3 +49,25 @@ def test_trajectory_energies(setup):
     J_pl = float(obj(x0))
     ke = np.asarray(p.diagnostics(x0)["kinetic_energy"], np.float64)
     np.testing.assert_allclose(-J_pl, p.cfg.dt * ke.sum(), rtol=1e-5)
+
+
+def test_custom_vjp_operator_cotangent(setup):
+    """grad w.r.t. the step matrix M must be the true operator
+    sensitivity (sum of lambda (x) rhs outer products), not zero."""
+    import numpy as np
+    from spheremanopt_tpu.ops.pallas.fused_sbdf1 import fused_forward
+
+    p, x0 = setup
+    m = jnp.asarray(np.asarray(p._M, np.float32))
+    u0 = jnp.dot(jnp.asarray(np.asarray(p._P, np.float32)), x0[0])
+    dm = jax.grad(lambda m: fused_forward(m, u0, p.cfg.dt, 20, True))(m)
+    assert float(jnp.abs(dm).max()) > 0.0
+    # directional check vs finite differences
+    v = jnp.asarray(np.random.RandomState(0).randn(*m.shape).astype(np.float32))
+    v = v / jnp.linalg.norm(v)
+    eps = 1e-3
+    Jp = fused_forward(m + eps * v, u0, p.cfg.dt, 20, True)
+    Jm = fused_forward(m - eps * v, u0, p.cfg.dt, 20, True)
+    fd = (float(Jp) - float(Jm)) / (2 * eps)
+    ad = float(jnp.sum(dm * v))
+    assert abs(fd - ad) < 5e-3 * max(abs(fd), 1e-6), (fd, ad)
