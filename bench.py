@@ -26,6 +26,31 @@ DT = 0.05
 E0 = 0.0725
 
 
+
+
+def chained_value_ms(f_and_g, x_list, n, warm=2):
+    """Honest device timing on this platform: block_until_ready can
+    return before compute finishes (measured), so each trial is chained
+    by a value dependency and the loop ends with a host value pull."""
+    import jax
+
+    def run_chain(x, n):
+        t0 = time.perf_counter()
+        for _i in range(n):
+            J, g = f_and_g(x)
+            x = [xi + 0.0 * gi for xi, gi in zip(x, g)]
+        _ = float(x[0].sum())  # value pull: cannot resolve early
+        return (time.perf_counter() - t0) / n * 1e3
+
+    x = list(x_list)
+    for _ in range(warm):
+        J, g = f_and_g(x)
+        _ = float(J)
+    run_chain(x, max(2, n // 2))      # full warm pass (compiles the chain
+                                      # add-op and drains slow first calls)
+    return min(run_chain(x, n) for _ in range(2))
+
+
 def bench_baseline_cpu(u0, repeats=3) -> float:
     sys.path.insert(0, "baselines")
     from sh23_numpy import SH23Numpy
@@ -54,18 +79,10 @@ def bench_tpu(u0, repeats=10):
     p = SwiftHohenberg(SH23Config(npts=NPTS, n_iters=N_ITERS, dt=DT, e0=E0, dtype=dtype))
     x = [jnp.asarray(u0, p._rdtype)]
 
-    # compile + warm up (fused forward+adjoint, the reference's
-    # FWD-then-ADJ-with-shared-trajectory unit of work)
+    # fused forward+adjoint = the reference's FWD-then-ADJ unit of work
+    ms = chained_value_ms(p.objective_and_gradient, x, n=max(repeats, 10))
     J, g = p.objective_and_gradient(x)
-    jax.block_until_ready((J, g))
-
-    times = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        J, g = p.objective_and_gradient(x)
-        jax.block_until_ready((J, g))
-        times.append(time.perf_counter() - t0)
-    return min(times), float(J), np.asarray(g[0])
+    return ms / 1e3, float(J), np.asarray(g[0])
 
 
 def bench_kdyn(repeats_tpu=5, repeats_cpu=1):
@@ -103,15 +120,8 @@ def bench_kdyn(repeats_tpu=5, repeats_cpu=1):
         g_b, g_u = sim.gradient(b_np, u_np)
     cpu_s = (time.perf_counter() - t0) / repeats_cpu
 
+    tpu_s = chained_value_ms(p.objective_and_gradient, x0, n=repeats_tpu) / 1e3
     J, g = p.objective_and_gradient(x0)
-    jax.block_until_ready((J, g))
-    times = []
-    for _ in range(repeats_tpu):
-        t0 = time.perf_counter()
-        J, g = p.objective_and_gradient(x0)
-        jax.block_until_ready((J, g))
-        times.append(time.perf_counter() - t0)
-    tpu_s = min(times)
     rel_J = abs(float(J) - J_cpu) / abs(J_cpu)
     rel_g = float(
         np.linalg.norm(np.asarray(g[0], np.float64) - g_b) / np.linalg.norm(g_b)
@@ -124,6 +134,8 @@ def bench_shb23(repeats=10):
     import jax
     import jax.numpy as jnp
 
+    sys.path.insert(0, "baselines")
+
     from spheremanopt_tpu.problems.swift_hohenberg_bounded import (
         SHB23Config,
         SwiftHohenbergBounded,
@@ -133,15 +145,16 @@ def bench_shb23(repeats=10):
     dtype = "float32" if on_tpu else "float64"
     p = SwiftHohenbergBounded(SHB23Config(dtype=dtype))
     x0 = p.generate_ic(seed=42)
-    J, g = p.objective_and_gradient(x0)
-    jax.block_until_ready((J, g))
-    times = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        J, g = p.objective_and_gradient(x0)
-        jax.block_until_ready((J, g))
-        times.append(time.perf_counter() - t0)
-    return min(times), float(J)
+    ms = chained_value_ms(p.objective_and_gradient, x0, n=repeats)
+    # CPU baseline: same propagator algorithm on numpy/BLAS
+    from shb23_numpy import SHB23Numpy
+
+    sim = SHB23Numpy()
+    u0 = np.asarray(x0[0], np.float64)
+    t0 = time.perf_counter()
+    sim.gradient(u0)
+    cpu_ms = (time.perf_counter() - t0) * 1e3
+    return ms / 1e3, cpu_ms
 
 
 def bench_mixing(repeats=3):
@@ -155,15 +168,8 @@ def bench_mixing(repeats=3):
     dtype = "float32" if on_tpu else "float64"
     p = OptimalMixing(MixingConfig(dtype=dtype, s=1))
     x0 = p.generate_ic(seed=42)
-    J, g = p.objective_and_gradient(x0)
-    jax.block_until_ready((J, g))
-    times = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        J, g = p.objective_and_gradient(x0)
-        jax.block_until_ready((J, g))
-        times.append(time.perf_counter() - t0)
-    return min(times), float(J)
+    ms = chained_value_ms(p.objective_and_gradient, x0, n=repeats)
+    return ms / 1e3, float(p.objective(x0))
 
 
 def main():
@@ -186,7 +192,7 @@ def main():
     import subprocess
 
     extra = {}
-    for name, fn in (("shb23_512_fwd_grad_ms", "bench_shb23"),
+    for name, fn in (("shb23_512", "bench_shb23"),
                      ("mixing_256x128_fwd_grad_ms", "bench_mixing")):
         try:
             out = subprocess.run(
@@ -196,7 +202,14 @@ def main():
             )
             line = [l for l in out.stdout.splitlines() if l.startswith("RES")]
             if line:
-                extra[name] = round(float(line[0].split()[1]) * 1e3, 3)
+                parts = line[0].split()
+                if fn == "bench_shb23":
+                    tpu_ms = float(parts[1]) * 1e3
+                    cpu_ms = float(parts[2])
+                    extra["shb23_512_fwd_grad_ms"] = round(tpu_ms, 3)
+                    extra["shb23_512_vs_baseline"] = round(cpu_ms / tpu_ms, 2)
+                else:
+                    extra[name] = round(float(parts[1]) * 1e3, 3)
             else:
                 extra[name + "_error"] = (out.stderr.strip().splitlines() or ["?"])[-1][:100]
         except Exception as e:

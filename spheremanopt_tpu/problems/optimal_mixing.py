@@ -92,6 +92,12 @@ def _cheb_mult_T(coeffs_of_factor: np.ndarray, n: int) -> np.ndarray:
     return M
 
 
+
+def _cx(pair):
+    """Reassemble a complex operator from its (real, imag) device pair."""
+    return pair[0] + 1j * pair[1]
+
+
 class OptimalMixing:
     """Mixing problem: X = [(2, mgx, mgz) velocity grid fields]."""
 
@@ -129,14 +135,19 @@ class OptimalMixing:
         self._kx = (2.0 * np.pi * kxi / cfg.lx).astype(np.float64)
 
         # --- per-kx implicit solve operators (device args, not consts) ---
+        # Stored as real/imag PAIRS: complex host<->device transfers are
+        # unimplemented on this platform above small sizes, so the
+        # complex operators are reassembled inside jit from real planes.
+        def _put(a):
+            a = np.asarray(a)
+            return (jax.device_put(jnp.asarray(a.real, rdtype)),
+                    jax.device_put(jnp.asarray(a.imag, rdtype)))
+
         S, MN = self._build_operators()
-        self._ops: Dict[str, jnp.ndarray] = {
-            "S": jax.device_put(jnp.asarray(S, self._cdtype)),
-            "MN": jax.device_put(jnp.asarray(MN, self._cdtype)),
-        }
+        self._ops: Dict[str, jnp.ndarray] = {"S": _put(S), "MN": _put(MN)}
         if cfg.adjoint == "continuous":
             SA, _ = self._build_operators(adjoint=True)
-            self._ops["SA"] = jax.device_put(jnp.asarray(SA, self._cdtype))
+            self._ops["SA"] = _put(SA)
 
         # Inner-product weights. The reference pairs the IP with the
         # adjoint mode (`FWD_Solve_Poiseuille.py:1730-1740`):
@@ -361,7 +372,7 @@ class OptimalMixing:
         rhs = jnp.concatenate(
             [a0 * u_c + nlu, a0 * w_c + nlw, a0 * r_c + nlr], axis=-1
         )  # (kxn, 3nz)
-        sol = jnp.einsum("kij,kj->ki", ops["S"], rhs)
+        sol = jnp.einsum("kij,kj->ki", _cx(ops["S"]), rhs)
         nz = self.cfg.nz
         return sol[:, :nz], sol[:, nz : 2 * nz], sol[:, 2 * nz :]
 
@@ -373,7 +384,7 @@ class OptimalMixing:
         return jnp.sum(w * (ug * ug + wg * wg))
 
     def _mixnorm(self, ops, r_c):
-        psi = jnp.einsum("kij,kj->ki", ops["MN"], r_c)
+        psi = jnp.einsum("kij,kj->ki", _cx(ops["MN"]), r_c)
         ikx = jnp.asarray(1j * self._kx)[:, None]
         psix = ikx * psi
         psiz = jnp.einsum("mn,kn->km", jnp.asarray(self._Dz), psi)
@@ -473,13 +484,13 @@ class OptimalMixing:
                 a0 * wa + self.to_coeff(nl_w),
                 a0 * ba + self.to_coeff(nl_b),
             ], axis=-1)
-            sol = jnp.einsum("kij,kj->ki", ops["SA"], rhs)
+            sol = jnp.einsum("kij,kj->ki", _cx(ops["SA"]), rhs)
             return (sol[:, :nz], sol[:, nz : 2 * nz], sol[:, 2 * nz :]), None
 
         ua0 = jnp.zeros_like(u_c)
         wa0 = jnp.zeros_like(w_c)
         if cfg.s == 1:
-            psi = jnp.einsum("kij,kj->ki", ops["MN"], rT_c)
+            psi = jnp.einsum("kij,kj->ki", _cx(ops["MN"]), rT_c)
             ba0 = -psi
         else:
             ba0 = jnp.zeros_like(r_c)

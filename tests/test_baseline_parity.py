@@ -57,3 +57,22 @@ def test_numpy_adjoint_transpose_identities():
     lhs = np.sum((np.conj(npy.Q(v)) * b).real)
     rhs = np.sum(v * npy.QT(b))
     np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
+
+
+def test_shb23_baseline_gradient_parity():
+    """numpy propagator reverse sweep == jax autodiff for SHB23."""
+    from shb23_numpy import SHB23Numpy
+
+    from spheremanopt_tpu.problems.swift_hohenberg_bounded import (
+        SHB23Config,
+        SwiftHohenbergBounded,
+    )
+
+    p = SwiftHohenbergBounded(SHB23Config(npts=96, n_iters=50))
+    sim = SHB23Numpy(npts=96, n_iters=50)
+    x0 = p.generate_ic(seed=42)
+    u0 = np.asarray(x0[0])
+    np.testing.assert_allclose(sim.forward(u0), float(p.objective(x0)), rtol=1e-13)
+    np.testing.assert_allclose(
+        sim.gradient(u0), np.asarray(p.gradient(x0)[0]), rtol=1e-10
+    )
