@@ -71,3 +71,19 @@ def test_custom_vjp_operator_cotangent(setup):
     fd = (float(Jp) - float(Jm)) / (2 * eps)
     ad = float(jnp.sum(dm * v))
     assert abs(fd - ad) < 5e-3 * max(abs(fd), 1e-6), (fd, ad)
+
+
+def test_method_pallas_problem_integration():
+    """SH23Config(method='pallas') wires the fused kernel through the
+    standard problem API (objective/gradient/objective_and_gradient)."""
+    pp = SwiftHohenberg(SH23Config(npts=64, n_iters=40, dtype="float32",
+                                   method="pallas"))
+    pm = SwiftHohenberg(SH23Config(npts=64, n_iters=40, dtype="float32",
+                                   method="matmul"))
+    x0 = [jnp.asarray(np.asarray(pm.generate_ic(seed=42)[0]), jnp.float32)]
+    np.testing.assert_allclose(float(pp.objective(x0)), float(pm.objective(x0)),
+                               rtol=1e-5)
+    gp, gm = pp.gradient(x0)[0], pm.gradient(x0)[0]
+    assert float(jnp.linalg.norm(gp - gm) / jnp.linalg.norm(gm)) < 1e-4
+    Jf, gf = pp.objective_and_gradient(x0)
+    np.testing.assert_allclose(float(Jf), float(pp.objective(x0)), rtol=1e-6)
