@@ -169,7 +169,16 @@ def bench_mixing(repeats=3):
     p = OptimalMixing(MixingConfig(dtype=dtype, s=1))
     x0 = p.generate_ic(seed=42)
     ms = chained_value_ms(p.objective_and_gradient, x0, n=repeats)
-    return ms / 1e3, float(p.objective(x0))
+    # CPU baseline: same per-kx operator algorithm on numpy/BLAS
+    sys.path.insert(0, "baselines")
+    from mixing_numpy import MixingNumpy
+
+    sim = MixingNumpy()
+    x_np = np.asarray(x0[0], np.float64)
+    t0 = time.perf_counter()
+    sim.gradient(x_np)
+    cpu_ms = (time.perf_counter() - t0) * 1e3
+    return ms / 1e3, cpu_ms
 
 
 def main():
@@ -193,23 +202,20 @@ def main():
 
     extra = {}
     for name, fn in (("shb23_512", "bench_shb23"),
-                     ("mixing_256x128_fwd_grad_ms", "bench_mixing")):
+                     ("mixing_256x128", "bench_mixing")):
         try:
             out = subprocess.run(
                 [sys.executable, "-c",
                  f"import bench; t, J = bench.{fn}(); print('RES', t)"],
-                capture_output=True, text=True, timeout=900, cwd=".",
+                capture_output=True, text=True, timeout=1500, cwd=".",
             )
             line = [l for l in out.stdout.splitlines() if l.startswith("RES")]
             if line:
                 parts = line[0].split()
-                if fn == "bench_shb23":
-                    tpu_ms = float(parts[1]) * 1e3
-                    cpu_ms = float(parts[2])
-                    extra["shb23_512_fwd_grad_ms"] = round(tpu_ms, 3)
-                    extra["shb23_512_vs_baseline"] = round(cpu_ms / tpu_ms, 2)
-                else:
-                    extra[name] = round(float(parts[1]) * 1e3, 3)
+                tpu_ms = float(parts[1]) * 1e3
+                cpu_ms = float(parts[2])
+                extra[name + "_fwd_grad_ms"] = round(tpu_ms, 3)
+                extra[name + "_vs_baseline"] = round(cpu_ms / tpu_ms, 2)
             else:
                 extra[name + "_error"] = (out.stderr.strip().splitlines() or ["?"])[-1][:100]
         except Exception as e:

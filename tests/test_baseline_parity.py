@@ -76,3 +76,24 @@ def test_shb23_baseline_gradient_parity():
     np.testing.assert_allclose(
         sim.gradient(u0), np.asarray(p.gradient(x0)[0]), rtol=1e-10
     )
+
+
+@pytest.mark.parametrize("s", [0, 1])
+def test_mixing_baseline_gradient_parity(s):
+    """numpy conjugate-transpose reverse sweep == jax autodiff for the
+    mixing problem (both objectives)."""
+    from mixing_numpy import MixingNumpy
+
+    from spheremanopt_tpu.problems.optimal_mixing import (
+        MixingConfig,
+        OptimalMixing,
+    )
+
+    p = OptimalMixing(MixingConfig(nx=32, nz=24, n_iters=15, dt=5e-3, s=s))
+    sim = MixingNumpy(nx=32, nz=24, n_iters=15, dt=5e-3, s=s)
+    x0 = p.generate_ic(seed=42)
+    x = np.asarray(x0[0], np.float64)
+    np.testing.assert_allclose(sim.forward(x), float(p.objective(x0)), rtol=1e-12)
+    np.testing.assert_allclose(
+        sim.gradient(x), np.asarray(p.gradient(x0)[0]), rtol=1e-9, atol=1e-14
+    )
