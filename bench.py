@@ -169,15 +169,19 @@ def bench_mixing(repeats=3):
     p = OptimalMixing(MixingConfig(dtype=dtype, s=1))
     x0 = p.generate_ic(seed=42)
     ms = chained_value_ms(p.objective_and_gradient, x0, n=repeats)
-    # CPU baseline: same per-kx operator algorithm on numpy/BLAS
+    # CPU baseline: same per-kx operator algorithm on numpy/BLAS. The
+    # full 1000-step fwd+reverse takes tens of minutes on CPU, so it is
+    # measured at 100 steps and scaled linearly (cost is exactly linear
+    # in steps; the per-step work is step-index independent).
     sys.path.insert(0, "baselines")
     from mixing_numpy import MixingNumpy
 
-    sim = MixingNumpy()
+    sub_steps = 100
+    sim = MixingNumpy(n_iters=sub_steps)
     x_np = np.asarray(x0[0], np.float64)
     t0 = time.perf_counter()
     sim.gradient(x_np)
-    cpu_ms = (time.perf_counter() - t0) * 1e3
+    cpu_ms = (time.perf_counter() - t0) * 1e3 * (1000 / sub_steps)
     return ms / 1e3, cpu_ms
 
 
@@ -207,7 +211,7 @@ def main():
             out = subprocess.run(
                 [sys.executable, "-c",
                  f"import bench; t, J = bench.{fn}(); print('RES', t)"],
-                capture_output=True, text=True, timeout=1500, cwd=".",
+                capture_output=True, text=True, timeout=1200, cwd=".",
             )
             line = [l for l in out.stdout.splitlines() if l.startswith("RES")]
             if line:

@@ -1,0 +1,184 @@
+"""Generalised VMEM-resident fused integrator: u' = A u + B g(u).
+
+Covers every 1D problem in the framework:
+  * SH23:  u' = M(u/dt + 1.8u^2 - u^3)  ->  A = M/dt, B = M, g = c2,c3
+  * SHB23: u' = A_lin u + A_nl (2u^2 - u^3)
+
+Both the FORWARD (timestepping + weighted Euler-rule cost accumulation +
+trajectory capture) and the BACKWARD (reverse sweep with the transposed
+matrices) run as single Pallas kernels with the operator matrices pinned
+in VMEM for the whole scan — the XLA scan restreams them from HBM every
+step, which makes these solves bandwidth-bound (BASELINE.md). VMEM
+budget at the reference configs: 2 x 1 MB matrices + a 2000 x 512 f32
+trajectory (4 MB) fits comfortably in ~16 MB.
+
+`fused_objective(A, B, w, c2, c3, dt, n_steps)` is a custom_vjp pair:
+J = -dt * sum_{n=0..N} sum_j w_j u_n,j^2, gradients w.r.t. u0 AND both
+operator matrices are exact (FD-verified in tests).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _fwd_kernel(a_ref, b_ref, w_ref, u0_ref, sc_ref, uT_ref, j_ref, traj_ref,
+                *, n_steps: int):
+    c2 = sc_ref[0, 0]
+    c3 = sc_ref[0, 1]
+    a = a_ref[:]
+    b = b_ref[:]
+    w = w_ref[:]
+
+    def mm(mat, vec_tile):
+        return jax.lax.dot_general(
+            vec_tile, mat, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI,
+        )
+
+    def body(i, carry):
+        u, acc = carry
+        traj_ref[i, :] = u[0, :]
+        acc = acc + jnp.sum(w[0, :] * u[0, :] * u[0, :])
+        g = c2 * u * u + c3 * u * u * u
+        u_new = mm(a, u) + mm(b, g)
+        return (u_new, acc)
+
+    u, acc = jax.lax.fori_loop(0, n_steps, body, (u0_ref[:], jnp.float32(0.0)))
+    acc = acc + jnp.sum(w[0, :] * u[0, :] * u[0, :])
+    uT_ref[:] = u
+    j_ref[0, 0] = acc
+
+
+def _bwd_kernel(a_ref, b_ref, w_ref, uT_ref, traj_ref, sc_ref,
+                lam_ref, da_ref, db_ref, *, n_steps: int, op_grads: bool):
+    """Reverse sweep with A^T/B^T (still VMEM-resident):
+    lam_n = A^T lam_{n+1} + g'(u_n) (B^T lam_{n+1}) + scale * w * u_n,
+    dA += lam_{n+1} (x) u_n,  dB += lam_{n+1} (x) g(u_n)."""
+    c2 = sc_ref[0, 0]
+    c3 = sc_ref[0, 1]
+    scale = sc_ref[0, 2]   # = -gbar * dt * 2
+    a = a_ref[:]
+    b = b_ref[:]
+    w = w_ref[:]
+
+    def mmT(mat, vec_tile):
+        # vec @ mat = mat^T applied to the row vector
+        return jax.lax.dot_general(
+            vec_tile, mat, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI,
+        )
+
+    da_ref[:] = jnp.zeros_like(da_ref)
+    db_ref[:] = jnp.zeros_like(db_ref)
+    lam0 = scale * (w * uT_ref[:])
+
+    def body(k, lam):
+        i = n_steps - 1 - k
+        u_row = traj_ref[i, :]
+        u = jnp.zeros_like(lam).at[0, :].set(u_row)
+        g = c2 * u * u + c3 * u * u * u
+        if op_grads:  # static: operator cotangents requested
+            # dA += lam_{n+1} (x) u_n, dB += lam_{n+1} (x) g(u_n)
+            da_ref[:, :] += jnp.outer(lam[0, :], u_row)
+            db_ref[:, :] += jnp.outer(lam[0, :], g[0, :])
+        wa = mmT(a, lam)
+        wb = mmT(b, lam)
+        gprime = 2.0 * c2 * u + 3.0 * c3 * u * u
+        lam_new = wa + gprime * wb + scale * (w * u)
+        return lam_new
+
+    lam = jax.lax.fori_loop(0, n_steps, body, lam0)
+    lam_ref[:] = lam
+
+
+def _run_fwd(a, b, w, u0, c2, c3, n_steps, interpret):
+    mg = u0.shape[-1]
+    u0_t = jnp.zeros((8, mg), jnp.float32).at[0, :].set(u0)
+    w_t = jnp.zeros((8, mg), jnp.float32).at[0, :].set(w)
+    sc = jnp.asarray([[c2, c3]], jnp.float32)
+    uT, Jsum, traj = pl.pallas_call(
+        partial(_fwd_kernel, n_steps=n_steps),
+        out_shape=(
+            jax.ShapeDtypeStruct((8, mg), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, mg), jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(a, b, w_t, u0_t, sc)
+    return uT, Jsum[0, 0], traj
+
+
+def _run_bwd(a, b, w, uT, traj, c2, c3, scale, n_steps, interpret,
+             op_grads=True):
+    mg = uT.shape[-1]
+    w_t = jnp.zeros((8, mg), jnp.float32).at[0, :].set(w)
+    sc = jnp.asarray([[c2, c3, scale]], jnp.float32)
+    lam, da, db = pl.pallas_call(
+        partial(_bwd_kernel, n_steps=n_steps, op_grads=op_grads),
+        out_shape=(
+            jax.ShapeDtypeStruct((8, mg), jnp.float32),
+            jax.ShapeDtypeStruct((mg, mg), jnp.float32),
+            jax.ShapeDtypeStruct((mg, mg), jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        input_output_aliases={},
+        interpret=interpret,
+    )(a, b, w_t, uT, traj, sc)
+    return lam[0, :], da, db
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def fused_objective(a, b, w, u0, c2: float, c3: float, dt: float,
+                    n_steps: int, interpret: bool = False,
+                    op_grads: bool = True):
+    """-J with J = dt * sum_{n=0..n_steps} sum_j w_j u_n,j^2 under
+    u' = A u + B (c2 u^2 + c3 u^3). Differentiable in u0, A, B (and w).
+
+    op_grads=False SKIPS the dA/dB accumulation in the reverse kernel
+    (returning zero cotangents for A/B) — an explicit opt-out for the
+    common case where the operators are fixed problem data; leave it
+    True whenever differentiating w.r.t. the operators."""
+    _, Jsum, _ = _run_fwd(a, b, w, u0, c2, c3, n_steps, interpret)
+    return -dt * Jsum
+
+
+def _vjp_fwd(a, b, w, u0, c2, c3, dt, n_steps, interpret, op_grads):
+    uT, Jsum, traj = _run_fwd(a, b, w, u0, c2, c3, n_steps, interpret)
+    return -dt * Jsum, (a, b, w, uT, traj)
+
+
+def _vjp_bwd(c2, c3, dt, n_steps, interpret, op_grads, res, gbar):
+    a, b, w, uT, traj = res
+    # scale folds the cost-term derivative and the incoming cotangent:
+    # lam is linear in it, so dA/dB (outer products of lam) carry gbar too
+    lam, da, db = _run_bwd(a, b, w, uT, traj, c2, c3,
+                           jnp.float32(-2.0 * dt) * gbar, n_steps, interpret,
+                           op_grads=op_grads)
+    # w cotangent: dJ/dw_j = -dt * sum_n u_n,j^2
+    dw = gbar * (-dt) * (jnp.sum(traj * traj, axis=0) + uT[0, :] * uT[0, :])
+    return (da, db, dw, lam)
+
+
+fused_objective.defvjp(_vjp_fwd, _vjp_bwd)

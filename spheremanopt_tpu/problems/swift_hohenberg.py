@@ -122,12 +122,28 @@ class SwiftHohenberg:
             self._M = self._P = None
 
         if cfg.method == "pallas":
-            from spheremanopt_tpu.ops.pallas.fused_sbdf1 import (
-                sh23_fused_objective,
+            # generalised two-matrix kernel: u' = (M/dt) u + M g(u), cost
+            # weights = grid mean; BOTH sweeps VMEM-resident
+            from spheremanopt_tpu.ops.pallas.fused_two_matrix import (
+                fused_objective,
             )
 
-            obj_pl = sh23_fused_objective(self)
-            self._objective = jax.jit(lambda xs: obj_pl(xs))
+            mg = self.basis.n_grid
+            a32 = (self._M / cfg.dt).astype(np.float32)
+            b32 = self._M.astype(np.float32)
+            w32 = np.full(mg, 1.0 / mg, np.float32)
+            p32 = self._P.astype(np.float32)
+            interp = jax.devices()[0].platform == "cpu"
+
+            def obj_pl(xs):
+                u0 = jnp.dot(jnp.asarray(p32), xs[0].astype(jnp.float32),
+                             preferred_element_type=jnp.float32)
+                return fused_objective(
+                    jnp.asarray(a32), jnp.asarray(b32), jnp.asarray(w32),
+                    u0, 1.8, -1.0, cfg.dt, cfg.n_iters, interp, False,
+                )
+
+            self._objective = jax.jit(obj_pl)
             self._gradient = jax.jit(
                 lambda xs: [jax.grad(lambda v: obj_pl([v]))(xs[0])
                             * self.basis.n_grid]

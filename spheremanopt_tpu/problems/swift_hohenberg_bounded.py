@@ -57,6 +57,9 @@ class SHB23Config:
     dealias_frac: float = 0.5    # zero coefficients with n >= frac * N
     adjoint: str = "discrete"    # "discrete" (autodiff) | "continuous"
                                  # (adjoint PDE, ref ADJ_Solve_IVP_Cnts)
+    method: str = "matmul"       # "matmul" (XLA scan) | "pallas" (both
+                                 # propagator matrices pinned in VMEM for
+                                 # the whole forward AND reverse sweep)
 
 
 class SwiftHohenbergBounded:
@@ -98,14 +101,35 @@ class SwiftHohenbergBounded:
         vol = cfg.z1 - cfg.z0
         self._w = (b.trapezoid_weights / vol).astype(rdtype)
 
-        self._objective = jax.jit(self._objective_impl)
+        if cfg.method == "pallas":
+            from spheremanopt_tpu.ops.pallas.fused_two_matrix import (
+                fused_objective,
+            )
+
+            a32 = self._A_lin.astype(np.float32)
+            b32 = self._A_nl.astype(np.float32)
+            w32 = np.asarray(self._w, np.float32)
+            interp = jax.devices()[0].platform == "cpu"
+
+            def _obj_impl_pl(xs):
+                return fused_objective(
+                    jnp.asarray(a32), jnp.asarray(b32), jnp.asarray(w32),
+                    xs[0].astype(jnp.float32), 2.0, -1.0, cfg.dt,
+                    cfg.n_iters, interp, False,
+                )
+
+            self._objective_impl_dispatch = _obj_impl_pl
+        else:
+            self._objective_impl_dispatch = self._objective_impl
+
+        self._objective = jax.jit(self._objective_impl_dispatch)
 
         def _grad(xs):
-            raw = jax.grad(self._objective_impl)(list(xs))
+            raw = jax.grad(self._objective_impl_dispatch)(list(xs))
             return [raw[0] / jnp.asarray(self._w)]
 
         def _obj_and_grad(xs):
-            J, raw = jax.value_and_grad(self._objective_impl)(list(xs))
+            J, raw = jax.value_and_grad(self._objective_impl_dispatch)(list(xs))
             return J, [raw[0] / jnp.asarray(self._w)]
 
         self._gradient = jax.jit(_grad)

@@ -87,3 +87,38 @@ def test_method_pallas_problem_integration():
     assert float(jnp.linalg.norm(gp - gm) / jnp.linalg.norm(gm)) < 1e-4
     Jf, gf = pp.objective_and_gradient(x0)
     np.testing.assert_allclose(float(Jf), float(pp.objective(x0)), rtol=1e-6)
+
+
+def test_two_matrix_kernel_shb23_parity():
+    """Generalised fused kernel (interpret) matches the SHB23 XLA path
+    for objective + gradient, and op_grads=True matches FD for dA."""
+    from spheremanopt_tpu.ops.pallas.fused_two_matrix import fused_objective
+    from spheremanopt_tpu.problems.swift_hohenberg_bounded import (
+        SHB23Config,
+        SwiftHohenbergBounded,
+    )
+
+    pp = SwiftHohenbergBounded(SHB23Config(npts=96, n_iters=40,
+                                           dtype="float32", method="pallas"))
+    pm = SwiftHohenbergBounded(SHB23Config(npts=96, n_iters=40,
+                                           dtype="float32", method="matmul"))
+    x0 = [jnp.asarray(np.asarray(pm.generate_ic(seed=42)[0]), jnp.float32)]
+    np.testing.assert_allclose(float(pp.objective(x0)), float(pm.objective(x0)),
+                               rtol=1e-5)
+    gp, gm = pp.gradient(x0)[0], pm.gradient(x0)[0]
+    assert float(jnp.linalg.norm(gp - gm) / jnp.linalg.norm(gm)) < 1e-4
+
+    # operator cotangent: FD directional check
+    a = jnp.asarray(pm._A_lin.astype(np.float32))
+    b = jnp.asarray(pm._A_nl.astype(np.float32))
+    w = jnp.asarray(np.asarray(pm._w, np.float32))
+    u0 = x0[0]
+    da = jax.grad(lambda a: fused_objective(a, b, w, u0, 2.0, -1.0,
+                                            pm.cfg.dt, 40, True))(a)
+    v = jnp.asarray(np.random.RandomState(1).randn(96, 96).astype(np.float32))
+    v = v / jnp.linalg.norm(v)
+    eps = 1e-3
+    fd = (float(fused_objective(a + eps * v, b, w, u0, 2.0, -1.0, pm.cfg.dt, 40, True))
+          - float(fused_objective(a - eps * v, b, w, u0, 2.0, -1.0, pm.cfg.dt, 40, True))) / (2 * eps)
+    ad = float(jnp.sum(da * v))
+    assert abs(fd - ad) < 5e-3 * max(abs(fd), 1e-8), (fd, ad)
