@@ -210,7 +210,7 @@ def main():
         try:
             out = subprocess.run(
                 [sys.executable, "-c",
-                 f"import bench; t, J = bench.{fn}(); print('RES', t)"],
+                 f"import bench; t, c = bench.{fn}(); print('RES', t, c)"],
                 capture_output=True, text=True, timeout=1200, cwd=".",
             )
             line = [l for l in out.stdout.splitlines() if l.startswith("RES")]

@@ -139,3 +139,28 @@ def test_cli_test_grad_mode(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     assert "PASSED" in out.stdout
     assert (tmp_path / "tg" / "eps_TestR_TestR2_h_h2.npy").exists()
+
+
+def test_cli_resume_flow(tmp_path):
+    """--resume warm-starts from a previous run's DAL_PROGRESS.npz."""
+    env = dict(os.environ, PYTHONPATH="/root/repo", JAX_PLATFORM_NAME="cpu")
+    base = [sys.executable, "-m", "spheremanopt_tpu.run", "sh23",
+            "--platform", "cpu", "--npts", "32", "--n-iters", "30", "--quiet"]
+    out1 = subprocess.run(
+        base + ["--max-iters", "2", "--out-dir", str(tmp_path / "a")],
+        capture_output=True, text=True, timeout=300, env=env, cwd="/root/repo",
+    )
+    assert out1.returncode == 0, out1.stderr[-1500:]
+    out2 = subprocess.run(
+        base + ["--max-iters", "1", "--out-dir", str(tmp_path / "b"),
+                "--resume", str(tmp_path / "a" / "DAL_PROGRESS.npz")],
+        capture_output=True, text=True, timeout=300, env=env, cwd="/root/repo",
+    )
+    assert out2.returncode == 0, out2.stderr[-1500:]
+    assert "warm-starting from iteration 2" in out2.stdout
+    import json as _json
+
+    s1 = _json.loads(open(tmp_path / "a" / "summary.json").read())
+    s2 = _json.loads(open(tmp_path / "b" / "summary.json").read())
+    # resumed run continues improving from where run a stopped
+    assert s2["J_final"] >= s1["J_final"] - 1e-9
