@@ -43,15 +43,16 @@ class MixingNumpy:
         self.w = np.asarray(p._w, np.float64)
         self.rho0 = p._rho0_c.astype(np.complex128)
 
-    # transforms
+    # transforms (BLAS matmuls, not einsum loops — keep the CPU
+    # baseline honest)
     def to_coeff(self, g):
-        c = np.einsum("kj,...jz->...kz", self.Fx, g)
-        c = np.einsum("nz,...kz->...kn", self.Az, c)
+        c = self.Fx @ g                      # (kxn, mgz)
+        c = c @ self.Az.T                    # (kxn, nz)
         return c * self.xmask[:, None]
 
     def to_grid(self, c):
-        g = np.einsum("zn,...kn->...kz", self.Vz, c)
-        g = np.einsum("jk,...kz->...jz", self.Bx, g)
+        g = c @ self.Vz.T                    # (kxn, mgz)
+        g = self.Bx @ g                      # (mgx, mgz)
         return g.real
 
     def _nl(self, u_c, w_c, r_c):
@@ -68,7 +69,7 @@ class MixingNumpy:
         nlu, nlw, nlr = self._nl(u_c, w_c, r_c)
         a0 = 1.0 / self.dt
         rhs = np.concatenate([a0 * u_c + nlu, a0 * w_c + nlw, a0 * r_c + nlr], axis=-1)
-        sol = np.einsum("kij,kj->ki", self.S, rhs)
+        sol = np.matmul(self.S, rhs[..., None])[..., 0]  # batched BLAS
         nz = self.nz
         return sol[:, :nz], sol[:, nz:2 * nz], sol[:, 2 * nz:]
 
@@ -77,7 +78,7 @@ class MixingNumpy:
         return float(np.sum(self.w * (ug * ug + wg * wg)))
 
     def mixnorm(self, r_c):
-        psi = np.einsum("kij,kj->ki", self.MN, r_c)
+        psi = np.matmul(self.MN, r_c[..., None])[..., 0]
         ikx = 1j * self.kx[:, None]
         gx = self.to_grid(ikx * psi)
         gz = self.to_grid(psi @ self.Dz.T)
@@ -108,13 +109,13 @@ class MixingNumpy:
     def to_coeff_T(self, cbar):
         """adjoint of grid -> coeff (real in, complex out)."""
         cbar = cbar * self.xmask[:, None]
-        g = np.einsum("nz,...kn->...kz", self.Az, cbar)  # Az real: transpose
-        return np.einsum("kj,...kz->...jz", np.conj(self.Fx), g).real
+        g = cbar @ self.Az
+        return (np.conj(self.Fx).T @ g).real
 
     def to_grid_T(self, vbar):
         """adjoint of coeff -> grid (real in, complex out)."""
-        c = np.einsum("jk,...jz->...kz", np.conj(self.Bx), vbar)
-        return np.einsum("zn,...kz->...kn", self.Vz, c)
+        c = np.conj(self.Bx).T @ vbar.astype(complex)
+        return c @ self.Vz
 
     def _nl_T(self, lbars, u_c, w_c, r_c):
         """transpose of _nl at (u_c, w_c, r_c): given cotangents of the
@@ -149,7 +150,7 @@ class MixingNumpy:
     def step_T(self, lbars, u_c, w_c, r_c):
         """transpose of step at the pre-step state."""
         lam = np.concatenate(lbars, axis=-1)
-        y = np.einsum("kij,ki->kj", np.conj(self.S), lam)
+        y = np.matmul(np.conj(self.S).transpose(0, 2, 1), lam[..., None])[..., 0]
         nz = self.nz
         yu, yw, yr = y[:, :nz], y[:, nz:2 * nz], y[:, 2 * nz:]
         a0 = 1.0 / self.dt
@@ -164,11 +165,11 @@ class MixingNumpy:
         if self.s == 1:
             # J = mixnorm(r_N): dJ/dr = conj(MN)^T applied to psi cotangent
             ikx = 1j * self.kx[:, None]
-            psi = np.einsum("kij,kj->ki", self.MN, rN)
+            psi = np.matmul(self.MN, rN[..., None])[..., 0]
             gx, gz = self.to_grid(ikx * psi), self.to_grid(psi @ self.Dz.T)
             dpsi = (np.conj(ikx) * self.to_grid_T(self.w * gx)
                     + dz_T(self.to_grid_T(self.w * gz), self.Dz))
-            lr = np.einsum("kij,ki->kj", np.conj(self.MN), dpsi)
+            lr = np.matmul(np.conj(self.MN).transpose(0, 2, 1), dpsi[..., None])[..., 0]
             lu = np.zeros_like(uN)
             lw = np.zeros_like(wN)
         else:

@@ -83,17 +83,20 @@ def _bwd_kernel(a_ref, b_ref, w_ref, uT_ref, traj_ref, sc_ref,
 
     def body(k, lam):
         i = n_steps - 1 - k
-        u_row = traj_ref[i, :]
-        u = jnp.zeros_like(lam).at[0, :].set(u_row)
-        g = c2 * u * u + c3 * u * u * u
+        # rows 1..7 of lam are identically zero (w zero there), so all
+        # row-0 quantities can broadcast as (1, mg) — Mosaic has no
+        # scatter, so never build tiles via .at[].set
+        u_row = traj_ref[i, :].reshape(1, -1)
+        g_row = c2 * u_row * u_row + c3 * u_row * u_row * u_row
         if op_grads:  # static: operator cotangents requested
             # dA += lam_{n+1} (x) u_n, dB += lam_{n+1} (x) g(u_n)
-            da_ref[:, :] += jnp.outer(lam[0, :], u_row)
-            db_ref[:, :] += jnp.outer(lam[0, :], g[0, :])
+            lam_col = lam[0, :].reshape(-1, 1)
+            da_ref[:, :] += lam_col * u_row
+            db_ref[:, :] += lam_col * g_row
         wa = mmT(a, lam)
         wb = mmT(b, lam)
-        gprime = 2.0 * c2 * u + 3.0 * c3 * u * u
-        lam_new = wa + gprime * wb + scale * (w * u)
+        gprime = 2.0 * c2 * u_row + 3.0 * c3 * u_row * u_row
+        lam_new = wa + gprime * wb + scale * (w * u_row)
         return lam_new
 
     lam = jax.lax.fori_loop(0, n_steps, body, lam0)
