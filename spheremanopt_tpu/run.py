@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "solve, unlike the reference's file copies)")
     ap.add_argument("--no-archive", action="store_true",
                     help="(deprecated alias for --archive-every 0)")
+    ap.add_argument("--device-loop", action="store_true",
+                    help="run the whole optimisation inside one jit "
+                         "(optim.jit_driver: SD/CG + Armijo backtracking; "
+                         "no host round-trips, no Wolfe)")
     # problem-size overrides
     ap.add_argument("--npts", type=int, default=None)
     ap.add_argument("--nx", type=int, default=None)
@@ -171,6 +175,45 @@ def main(argv=None) -> int:
     from spheremanopt_tpu.io.timeseries import IterationArchiver
     from spheremanopt_tpu.optim.optimiser import optimise_on_multi_sphere
     from spheremanopt_tpu.optim.plotting import plot_optimisation
+
+    if args.device_loop:
+        import numpy as np
+
+        from spheremanopt_tpu.optim.jit_driver import jit_optimise_on_multi_sphere
+
+        f_and_g = getattr(problem, "objective_and_gradient", None)
+        if f_and_g is None:
+            def f_and_g(xs):
+                return problem.objective(xs), problem.gradient(xs)
+
+        opt = jit_optimise_on_multi_sphere(
+            f_and_g, problem.inner_product, radii,
+            max_iters=args.max_iters or defaults["max_iters"],
+            alpha0=float(args.alpha or defaults["alpha"]),
+            err_tol=args.err_tol if args.err_tol is not None else defaults.get("err_tol", 1e-6),
+            cg=not args.sd,
+        )
+        t0 = time.time()
+        r = opt(x0)
+        k = int(r.iterations)
+        wall = time.time() - t0
+        summary = {
+            "problem": args.problem,
+            "driver": "device-resident (single jit)",
+            "iterations": k,
+            "J_final": float(r.function_values[max(k - 1, 0)]),
+            "residuals_final": np.asarray(r.residuals[max(k - 1, 0)]).tolist(),
+            "wall_time_total_s": round(wall, 3),
+        }
+        with open(os.path.join(args.out_dir, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=2)
+        print(json.dumps(summary))
+        plot_optimisation(
+            [list(np.asarray(r.residuals[:k, i])) for i in range(len(radii))],
+            list(np.asarray(r.function_values[:k])),
+            save_path=os.path.join(args.out_dir, "convergence.pdf"),
+        )
+        return 0
 
     callback = None
     if hasattr(problem, "diagnostics") and args.archive_every > 0:

@@ -164,3 +164,19 @@ def test_cli_resume_flow(tmp_path):
     s2 = _json.loads(open(tmp_path / "b" / "summary.json").read())
     # resumed run continues improving from where run a stopped
     assert s2["J_final"] >= s1["J_final"] - 1e-9
+
+
+def test_cli_device_loop(tmp_path):
+    env = dict(os.environ, PYTHONPATH="/root/repo", JAX_PLATFORM_NAME="cpu")
+    out = subprocess.run(
+        [sys.executable, "-m", "spheremanopt_tpu.run", "sh23", "--platform", "cpu",
+         "--npts", "32", "--n-iters", "30", "--max-iters", "4", "--device-loop",
+         "--quiet", "--out-dir", str(tmp_path / "dl")],
+        capture_output=True, text=True, timeout=300, env=env, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    import json as _json
+
+    s = _json.loads(open(tmp_path / "dl" / "summary.json").read())
+    assert s["driver"].startswith("device-resident")
+    assert s["iterations"] >= 1
