@@ -23,16 +23,19 @@ class MixingNumpy:
             OptimalMixing,
         )
 
+        # device_ops=False + dtype=float64: the baseline reads the exact
+        # f64 numpy operators directly — no device round-trip (which
+        # would both waste ~170 MB of tunnel transfers and round the
+        # operators to f32 in a non-x64 process)
         p = OptimalMixing(MixingConfig(
             nx=nx, nz=nz, n_iters=n_iters, dt=dt, s=s, reynolds=reynolds,
             richardson=richardson, prandtl=prandtl, delta=delta, lx=lx,
+            dtype="float64", device_ops=False,
         ))
         self.p = p
         self.s, self.dt, self.n_iters, self.nz = s, dt, n_iters, nz
-        self.S = np.asarray(p._ops["S"][0], np.float64) + 1j * np.asarray(
-            p._ops["S"][1], np.float64)
-        self.MN = np.asarray(p._ops["MN"][0], np.float64) + 1j * np.asarray(
-            p._ops["MN"][1], np.float64)
+        self.S = p._S_np.astype(np.complex128)
+        self.MN = p._MN_np.astype(np.complex128)
         self.Fx = p._Fx.astype(np.complex128)
         self.Bx = p._Bx.astype(np.complex128)
         self.Az = p._Az.astype(np.float64)

@@ -12,33 +12,24 @@ from __future__ import annotations
 
 import numpy as np
 
-from spheremanopt_tpu.ops.chebyshev import ChebyshevBasis1D
-
-
 class SHB23Numpy:
     def __init__(self, npts=512, z0=-20.0, z1=20.0, a=-0.1, dt=0.01,
                  n_iters=2000, dealias_frac=0.5):
+        # reuse the problem's exact f64 operator assembly (numpy) rather
+        # than duplicating the tau construction
+        from spheremanopt_tpu.problems.swift_hohenberg_bounded import (
+            SHB23Config,
+            SwiftHohenbergBounded,
+        )
+
+        p = SwiftHohenbergBounded(SHB23Config(
+            npts=npts, z0=z0, z1=z1, a=a, dt=dt, n_iters=n_iters,
+            dealias_frac=dealias_frac, dtype="float64",
+        ))
         self.n, self.dt, self.n_iters = npts, dt, n_iters
-        b = ChebyshevBasis1D(npts, z0, z1)
-        n = npts
-        d2 = b.deriv_matrix(2)
-        d4 = b.deriv_matrix(4)
-        L = (1.0 / dt + 1.0 - a) * np.eye(n) + 2.0 * d2 + d4
-        M_tau = np.zeros((n, n))
-        M_tau[: n - 4] = L[: n - 4]
-        M_tau[n - 4] = b.boundary_row("left", 1)
-        M_tau[n - 3] = b.boundary_row("left", 3)
-        M_tau[n - 2] = b.boundary_row("right", 0)
-        M_tau[n - 1] = b.boundary_row("right", 2)
-        E = np.eye(n)
-        E[n - 4 :] = 0.0
-        Z = np.diag(b.dealias_mask(dealias_frac))
-        Minv_E = np.linalg.solve(M_tau, E)
-        V, A = b.synthesis, b.analysis
-        self.A_lin = V @ Minv_E @ A / dt
-        self.A_nl = V @ Minv_E @ Z @ A
-        vol = z1 - z0
-        self.w = b.trapezoid_weights / vol
+        self.A_lin = np.asarray(p._A_lin, np.float64)
+        self.A_nl = np.asarray(p._A_nl, np.float64)
+        self.w = np.asarray(p._w, np.float64)
 
     def energy(self, u):
         return float(np.dot(self.w, u * u))

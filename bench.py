@@ -74,9 +74,16 @@ def bench_tpu(u0, repeats=10):
 
     from spheremanopt_tpu.problems.swift_hohenberg import SH23Config, SwiftHohenberg
 
+    import os
+
     on_tpu = jax.devices()[0].platform != "cpu"
     dtype = "float32" if on_tpu else "float64"
-    p = SwiftHohenberg(SH23Config(npts=NPTS, n_iters=N_ITERS, dt=DT, e0=E0, dtype=dtype))
+    # SMO_BENCH_PALLAS=1 benches the VMEM-resident kernel path (adds a
+    # one-time ~4 min Mosaic compile); default is the XLA scan path
+    method = "pallas" if (on_tpu and os.environ.get("SMO_BENCH_PALLAS") == "1") else "matmul"
+    p = SwiftHohenberg(SH23Config(npts=NPTS, n_iters=N_ITERS, dt=DT, e0=E0,
+                                  dtype="float32" if method == "pallas" else dtype,
+                                  method=method))
     x = [jnp.asarray(u0, p._rdtype)]
 
     # fused forward+adjoint = the reference's FWD-then-ADJ unit of work

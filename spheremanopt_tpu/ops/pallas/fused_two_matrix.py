@@ -44,16 +44,25 @@ def _fwd_kernel(a_ref, b_ref, w_ref, u0_ref, sc_ref, uT_ref, j_ref, traj_ref,
             preferred_element_type=jnp.float32, precision=_HI,
         )
 
+    def kadd(acc, comp, value):
+        # Kahan-compensated accumulation (repo precision policy: f32
+        # cost sums over thousands of steps carry compensation)
+        y = value - comp
+        t = acc + y
+        return t, (t - acc) - y
+
     def body(i, carry):
-        u, acc = carry
+        u, acc, comp = carry
         traj_ref[i, :] = u[0, :]
-        acc = acc + jnp.sum(w[0, :] * u[0, :] * u[0, :])
+        acc, comp = kadd(acc, comp, jnp.sum(w[0, :] * u[0, :] * u[0, :]))
         g = c2 * u * u + c3 * u * u * u
         u_new = mm(a, u) + mm(b, g)
-        return (u_new, acc)
+        return (u_new, acc, comp)
 
-    u, acc = jax.lax.fori_loop(0, n_steps, body, (u0_ref[:], jnp.float32(0.0)))
-    acc = acc + jnp.sum(w[0, :] * u[0, :] * u[0, :])
+    u, acc, comp = jax.lax.fori_loop(
+        0, n_steps, body, (u0_ref[:], jnp.float32(0.0), jnp.float32(0.0))
+    )
+    acc, _ = kadd(acc, comp, jnp.sum(w[0, :] * u[0, :] * u[0, :]))
     uT_ref[:] = u
     j_ref[0, 0] = acc
 

@@ -73,6 +73,9 @@ class MixingConfig:
     adjoint: str = "discrete"    # "discrete" (autodiff) | "continuous"
                                  # (the ref's ADJ_Solve_Cnts system,
                                  # `FWD_Solve_Poiseuille.py:1161-1319`)
+    device_ops: bool = True      # False: skip device placement of the
+                                 # operator stacks (CPU baselines that
+                                 # only need the numpy operators)
 
 
 def _cheb_mult_T(coeffs_of_factor: np.ndarray, n: int) -> np.ndarray:
@@ -144,10 +147,14 @@ class OptimalMixing:
                     jax.device_put(jnp.asarray(a.imag, rdtype)))
 
         S, MN = self._build_operators()
-        self._ops: Dict[str, jnp.ndarray] = {"S": _put(S), "MN": _put(MN)}
-        if cfg.adjoint == "continuous":
-            SA, _ = self._build_operators(adjoint=True)
-            self._ops["SA"] = _put(SA)
+        self._S_np, self._MN_np = S, MN   # exact f64 operators (baselines)
+        if cfg.device_ops:
+            self._ops: Dict[str, jnp.ndarray] = {"S": _put(S), "MN": _put(MN)}
+            if cfg.adjoint == "continuous":
+                SA, _ = self._build_operators(adjoint=True)
+                self._ops["SA"] = _put(SA)
+        else:
+            self._ops = None
 
         # Inner-product weights. The reference pairs the IP with the
         # adjoint mode (`FWD_Solve_Poiseuille.py:1730-1740`):

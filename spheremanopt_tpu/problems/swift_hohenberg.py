@@ -122,6 +122,11 @@ class SwiftHohenberg:
             self._M = self._P = None
 
         if cfg.method == "pallas":
+            if cfg.dtype != "float32":
+                raise ValueError(
+                    "method='pallas' is an f32 TPU kernel; use "
+                    "dtype='float32' (or method='matmul' for f64 runs)"
+                )
             # generalised two-matrix kernel: u' = (M/dt) u + M g(u), cost
             # weights = grid mean; BOTH sweeps VMEM-resident
             from spheremanopt_tpu.ops.pallas.fused_two_matrix import (

@@ -102,6 +102,11 @@ class SwiftHohenbergBounded:
         self._w = (b.trapezoid_weights / vol).astype(rdtype)
 
         if cfg.method == "pallas":
+            if cfg.dtype != "float32":
+                raise ValueError(
+                    "method='pallas' is an f32 TPU kernel; use "
+                    "dtype='float32' (or method='matmul' for f64 runs)"
+                )
             from spheremanopt_tpu.ops.pallas.fused_two_matrix import (
                 fused_objective,
             )

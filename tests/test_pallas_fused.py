@@ -1,17 +1,14 @@
-"""Fused Pallas SBDF1 kernel: parity with the XLA scan path (interpret
-mode on CPU; the same kernel compiles for TPU via Mosaic).
-
-Note: on this workload the XLA scan path already runs at ~40 ns/step on
-the TPU MXU (the whole 1001-step fwd+grad in ~47 us), so the kernel is a
-demonstration of VMEM-resident integration rather than the production
-path — see ops/pallas/fused_sbdf1.py docstring."""
+"""Fused Pallas two-matrix kernel: parity with the XLA scan paths
+(interpret mode on CPU; the same kernel compiles for TPU via Mosaic —
+measured 5.5 ms SH23 / 8.4 ms SHB23 fused fwd+grad at the reference
+configs, vs 9.0 / 21.8 ms for the HBM-restreaming XLA scans)."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from spheremanopt_tpu.ops.pallas.fused_sbdf1 import sh23_fused_objective
+from spheremanopt_tpu.ops.pallas.fused_two_matrix import fused_objective
 from spheremanopt_tpu.problems.swift_hohenberg import SH23Config, SwiftHohenberg
 
 
@@ -22,10 +19,19 @@ def setup():
     return p, x0
 
 
+def _sh23_args(p):
+    a = jnp.asarray((p._M / p.cfg.dt).astype(np.float32))
+    b = jnp.asarray(p._M.astype(np.float32))
+    w = jnp.asarray(np.full(p.basis.n_grid, 1.0 / p.basis.n_grid, np.float32))
+    return a, b, w
+
+
 def test_objective_parity(setup):
     p, x0 = setup
-    obj = sh23_fused_objective(p, interpret=True)
-    J_pl = float(obj(x0))
+    a, b, w = _sh23_args(p)
+    u0 = jnp.dot(jnp.asarray(p._P.astype(np.float32)), x0[0])
+    J_pl = float(fused_objective(a, b, w, u0, 1.8, -1.0, p.cfg.dt,
+                                 p.cfg.n_iters, True))
     J_xla = float(p.objective(x0))
     assert abs(J_pl - J_xla) / abs(J_xla) < 1e-5
 
@@ -34,8 +40,14 @@ def test_custom_vjp_parity(setup):
     """grad through the kernel (trajectory-replay custom_vjp) must match
     autodiff of the XLA path."""
     p, x0 = setup
-    obj = sh23_fused_objective(p, interpret=True)
-    g_pl = jax.grad(lambda v: obj([v]))(x0[0])
+    a, b, w = _sh23_args(p)
+    pmat = jnp.asarray(p._P.astype(np.float32))
+
+    def obj(v):
+        return fused_objective(a, b, w, jnp.dot(pmat, v), 1.8, -1.0,
+                               p.cfg.dt, p.cfg.n_iters, True)
+
+    g_pl = jax.grad(obj)(x0[0])
     g_xla = p.gradient(x0)[0] / p.basis.n_grid  # raw (un-Riesz) gradient
     rel = float(jnp.linalg.norm(g_pl - g_xla) / jnp.linalg.norm(g_xla))
     assert rel < 1e-5, rel
@@ -45,31 +57,30 @@ def test_trajectory_energies(setup):
     """The kernel's internal Euler-rule accumulation equals summing the
     diagnostics KE series."""
     p, x0 = setup
-    obj = sh23_fused_objective(p, interpret=True)
-    J_pl = float(obj(x0))
+    a, b, w = _sh23_args(p)
+    u0 = jnp.dot(jnp.asarray(p._P.astype(np.float32)), x0[0])
+    J_pl = float(fused_objective(a, b, w, u0, 1.8, -1.0, p.cfg.dt,
+                                 p.cfg.n_iters, True))
     ke = np.asarray(p.diagnostics(x0)["kinetic_energy"], np.float64)
     np.testing.assert_allclose(-J_pl, p.cfg.dt * ke.sum(), rtol=1e-5)
 
 
 def test_custom_vjp_operator_cotangent(setup):
-    """grad w.r.t. the step matrix M must be the true operator
+    """grad w.r.t. the step matrices must be the true operator
     sensitivity (sum of lambda (x) rhs outer products), not zero."""
-    import numpy as np
-    from spheremanopt_tpu.ops.pallas.fused_sbdf1 import fused_forward
-
     p, x0 = setup
-    m = jnp.asarray(np.asarray(p._M, np.float32))
-    u0 = jnp.dot(jnp.asarray(np.asarray(p._P, np.float32)), x0[0])
-    dm = jax.grad(lambda m: fused_forward(m, u0, p.cfg.dt, 20, True))(m)
-    assert float(jnp.abs(dm).max()) > 0.0
-    # directional check vs finite differences
-    v = jnp.asarray(np.random.RandomState(0).randn(*m.shape).astype(np.float32))
+    a, b, w = _sh23_args(p)
+    u0 = jnp.dot(jnp.asarray(p._P.astype(np.float32)), x0[0])
+    db = jax.grad(lambda b: fused_objective(a, b, w, u0, 1.8, -1.0,
+                                            p.cfg.dt, 20, True))(b)
+    assert float(jnp.abs(db).max()) > 0.0
+    v = jnp.asarray(np.random.RandomState(0).randn(*np.shape(b)).astype(np.float32))
     v = v / jnp.linalg.norm(v)
     eps = 1e-3
-    Jp = fused_forward(m + eps * v, u0, p.cfg.dt, 20, True)
-    Jm = fused_forward(m - eps * v, u0, p.cfg.dt, 20, True)
+    Jp = fused_objective(a, b + eps * v, w, u0, 1.8, -1.0, p.cfg.dt, 20, True)
+    Jm = fused_objective(a, b - eps * v, w, u0, 1.8, -1.0, p.cfg.dt, 20, True)
     fd = (float(Jp) - float(Jm)) / (2 * eps)
-    ad = float(jnp.sum(dm * v))
+    ad = float(jnp.sum(db * v))
     assert abs(fd - ad) < 5e-3 * max(abs(fd), 1e-6), (fd, ad)
 
 
