@@ -97,9 +97,16 @@ class SwiftHohenbergBounded:
             np.abs(M_tau @ np.linalg.solve(M_tau, E) - E).max()
         )
 
-        # trapezoid inner-product weights / hypervolume (ref :69-81,190-193)
+        # Inner-product weights pair with the adjoint mode, mirroring the
+        # reference's Inner_Prod alias switch (`FWD_Solve_SHB23.py:951-965`):
+        # Discrete -> trapezoid weightMatrixDisc (:69-81,190-193);
+        # Continuous -> spectral volume integral (Inner_Prod_Cnts via
+        # Dedalus integrate) = Clenshaw-Curtis quadrature here.
         vol = cfg.z1 - cfg.z0
-        self._w = (b.trapezoid_weights / vol).astype(rdtype)
+        if cfg.adjoint == "continuous":
+            self._w = (b.clenshaw_curtis_weights / vol).astype(rdtype)
+        else:
+            self._w = (b.trapezoid_weights / vol).astype(rdtype)
 
         if cfg.method == "pallas":
             if cfg.dtype != "float32":
