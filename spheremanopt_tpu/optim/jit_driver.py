@@ -66,10 +66,6 @@ def jit_optimise_on_multi_sphere(
     def tangent(xs, nabs):
         return [geom.tangent_project(x, v, ip) for x, v, ip in zip(xs, nabs, ips)]
 
-    def retract(xs, alpha, ds):
-        return [geom.retract(x, alpha, d, r, ip)
-                for x, d, r, ip in zip(xs, ds, radii, ips)]
-
     def slope(gs, ds):
         return sum(ip(g, d) for g, d, ip in zip(gs, ds, ips))
 
@@ -90,31 +86,40 @@ def jit_optimise_on_multi_sphere(
         beta = jnp.maximum(0.0, jnp.minimum(beta_fr, beta_pr))
         return [-g + beta * td for g, td in zip(gs, tds)]
 
-    def armijo(xs, ds, J0, slope0, alpha_start):
-        """lax.while_loop backtracking; returns (alpha, J_new, ok)."""
-
-        def cond(state):
-            alpha, J_new, k = state
-            insufficient = J_new > J0 + c1 * alpha * slope0
-            return jnp.logical_and(insufficient, k < max_backtracks)
-
-        def body(state):
-            alpha, _, k = state
-            alpha = alpha * shrink
-            J_new, _ = f_and_g(retract(xs, alpha, ds))
-            return (alpha, J_new, k + 1)
-
-        J_first, _ = f_and_g(retract(xs, alpha_start, ds))
-        alpha, J_new, k = jax.lax.while_loop(
-            cond, body, (jnp.asarray(alpha_start, J0.dtype), J_first, 0)
-        )
-        ok = J_new <= J0 + c1 * alpha * slope0
-        return alpha, J_new, ok
-
     @jax.jit
-    def optimise(x0_list):
+    def optimise(x0_list, radii_dyn=None):
+        """radii_dyn: optional traced per-sphere radii overriding the
+        static ones — lets one compiled executable serve a sweep of
+        constraint levels (e.g. critical-seed bisection)."""
+        rr = list(radii) if radii_dyn is None else list(radii_dyn)
+
+        def retract(xs, alpha, ds):
+            return [geom.retract(x, alpha, d, r, ip)
+                    for x, d, r, ip in zip(xs, ds, rr, ips)]
+
+        def armijo(xs, ds, J0, slope0, alpha_start):
+            """lax.while_loop backtracking; returns (alpha, J_new, ok)."""
+
+            def cond(state):
+                alpha, J_new, k = state
+                insufficient = J_new > J0 + c1 * alpha * slope0
+                return jnp.logical_and(insufficient, k < max_backtracks)
+
+            def body(state):
+                alpha, _, k = state
+                alpha = alpha * shrink
+                J_new, _ = f_and_g(retract(xs, alpha, ds))
+                return (alpha, J_new, k + 1)
+
+            J_first, _ = f_and_g(retract(xs, alpha_start, ds))
+            alpha, J_new, k = jax.lax.while_loop(
+                cond, body, (jnp.asarray(alpha_start, J0.dtype), J_first, 0)
+            )
+            ok = J_new <= J0 + c1 * alpha * slope0
+            return alpha, J_new, ok
+
         xs = [geom.normalise_sphere(x, r, ip)
-              for x, r, ip in zip(list(x0_list), radii, ips)]
+              for x, r, ip in zip(list(x0_list), rr, ips)]
         J0, nab0 = f_and_g(xs)
         g0 = tangent(xs, nab0)
         dtype = J0.dtype

@@ -180,3 +180,18 @@ def test_cli_device_loop(tmp_path):
     s = _json.loads(open(tmp_path / "dl" / "summary.json").read())
     assert s["driver"].startswith("device-resident")
     assert s["iterations"] >= 1
+
+
+def test_critical_seed_example(tmp_path):
+    """The bisection example runs end-to-end on CPU at small config."""
+    env = dict(os.environ,
+               PYTHONPATH="/root/.axon_site:/root/repo",
+               JAX_PLATFORM_NAME="cpu")
+    out = subprocess.run(
+        [sys.executable, "examples/sh23_critical_seed.py", "--platform", "cpu",
+         "--npts", "48", "--t-final", "10", "--bisections", "3",
+         "--max-iters", "20"],
+        capture_output=True, text=True, timeout=300, env=env, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    assert "critical_seed_energy" in out.stdout
