@@ -263,5 +263,37 @@ def main():
     )
 
 
+def _main_with_retry():
+    """The axon tunnel sporadically fails with transient INTERNAL /
+    UNIMPLEMENTED errors and a failed process does not recover; run the
+    benchmark in child processes and retry once on failure."""
+    import os
+    import subprocess
+
+    if os.environ.get("SMO_BENCH_CHILD") == "1":
+        main()
+        return
+    env = dict(os.environ, SMO_BENCH_CHILD="1")
+    last_err = ""
+    for attempt in range(2):
+        try:
+            out = subprocess.run(
+                [sys.executable, __file__], env=env, capture_output=True,
+                text=True, timeout=1650,
+            )
+            lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+            if out.returncode == 0 and lines:
+                print(lines[-1])
+                return
+            last_err = (out.stderr.strip().splitlines() or ["?"])[-1][:200]
+        except subprocess.TimeoutExpired:
+            last_err = "benchmark child timed out"
+    print(json.dumps({
+        "metric": "SH23 N=256 T=50 fwd+grad wall-clock (1 opt-iter unit)",
+        "value": None, "unit": "ms", "vs_baseline": None,
+        "detail": {"error": f"both attempts failed: {last_err}"},
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    _main_with_retry()
