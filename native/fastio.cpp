@@ -85,7 +85,13 @@ struct Writer {
       fwrite(rec.payload.data(), 1, payload_len, fp);
       written_records.fetch_add(1);
       written_bytes.fetch_add(static_cast<int64_t>(payload_len));
-      pending.fetch_sub(1);
+      {
+        // Decrement under the mutex: a flush waiter that checked the
+        // predicate just before an unlocked decrement could sleep
+        // through the notify (lost wakeup) until the next enqueue.
+        std::lock_guard<std::mutex> lk(mu);
+        pending.fetch_sub(1);
+      }
       cv.notify_all();
     }
     fflush(fp);

@@ -35,6 +35,16 @@ class NativeIOUnavailable(RuntimeError):
 _lib: Optional[ctypes.CDLL] = None
 
 
+def _build() -> None:
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+           _SRC, "-o", _LIB]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        raise NativeIOUnavailable(f"failed to build fastio: {e}") from e
+
+
 def _load() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
@@ -47,14 +57,22 @@ def _load() -> ctypes.CDLL:
     else:
         rebuild = src_mtime is not None and os.path.getmtime(_LIB) < src_mtime
     if rebuild:
-        os.makedirs(_BUILD_DIR, exist_ok=True)
-        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-               _SRC, "-o", _LIB]
+        _build()
+    try:
+        lib = ctypes.CDLL(_LIB)
+    except OSError as e:
+        # A stale/incompatible binary (e.g. built on a different
+        # arch/glibc) must not break the documented graceful-fallback
+        # contract: rebuild from source once, else report unavailable.
+        if src_mtime is None:
+            raise NativeIOUnavailable(f"cannot load {_LIB}: {e}") from e
+        _build()
         try:
-            subprocess.run(cmd, check=True, capture_output=True, text=True)
-        except (subprocess.CalledProcessError, FileNotFoundError) as e:
-            raise NativeIOUnavailable(f"failed to build fastio: {e}") from e
-    lib = ctypes.CDLL(_LIB)
+            lib = ctypes.CDLL(_LIB)
+        except OSError as e2:
+            raise NativeIOUnavailable(
+                f"rebuilt {_LIB} still fails to load: {e2}"
+            ) from e2
     lib.fio_open.restype = ctypes.c_void_p
     lib.fio_open.argtypes = [ctypes.c_char_p]
     lib.fio_enqueue.restype = ctypes.c_int

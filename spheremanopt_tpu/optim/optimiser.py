@@ -156,6 +156,7 @@ def optimise_on_multi_sphere(
     wolfe_c1: float = 1e-4,
     wolfe_c2: float = 0.4,
     f_and_g: Optional[Callable[[List[Any]], Any]] = None,
+    use_fused_phi: bool = True,
 ) -> OptimiseResult:
     """Minimise f(X) subject to <X_i, X_i> = radii[i] for each component.
 
@@ -216,12 +217,15 @@ def optimise_on_multi_sphere(
         # accepted trial. Trade-off: bracket/zoom trials REJECTED on the
         # sufficient-decrease test never call derphi, so their phi paid
         # an unused backward sweep; first-trial accepts dominate in
-        # practice, which is the case this optimises.
+        # practice, which is the case this optimises. Problems with poor
+        # first-trial accept rates (long backtracks on an expensive
+        # adjoint) can opt out via use_fused_phi=False.
         fused = {}
 
         def phi(alpha: float) -> float:
             x_new = K.retract(x_k, alpha, d_k)
-            if use_wolfe and f_and_g is not None and R.iterations > 0:
+            if (use_fused_phi and use_wolfe and f_and_g is not None
+                    and R.iterations > 0):
                 J, nab = f_and_g(x_new)
                 fused.clear()
                 fused[alpha] = (x_new, nab)

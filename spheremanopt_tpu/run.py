@@ -232,8 +232,8 @@ def main(argv=None) -> int:
         problem.gradient,
         problem.inner_product,
         err_tol=err_tol,
-        max_iters=args.max_iters or defaults["max_iters"],
-        alpha_k=args.alpha or defaults["alpha"],
+        max_iters=args.max_iters if args.max_iters is not None else defaults["max_iters"],
+        alpha_k=args.alpha if args.alpha is not None else defaults["alpha"],
         line_search=args.ls,
         cg=not args.sd,
         verbose=not args.quiet,
