@@ -96,20 +96,27 @@ def test_continuous_adjoint_directional_convergence():
     """The continuous-adjoint directional derivative <dX, g_cnts> along
     smooth (band-limited) perturbations converges to the exact one
     <dX, g_disc> as dt -> 0 — the reference's Adjoint_type='Continuous'
-    accuracy semantics (first-order in time, plateauing at the spatial
-    discretisation error; SURVEY.md section 4)."""
+    accuracy semantics: error = O(dt) + spatial plateau (SURVEY.md
+    section 4). The IC and perturbation are held FIXED across dt rows
+    (generate_ic's prep smoothing depends on the problem dt, so
+    per-config ICs would change the trajectory under test); the O(dt)
+    component is isolated as the successive difference of errors, which
+    must halve when dt halves."""
+    p_ic = OptimalMixing(MixingConfig(nx=32, nz=24, n_iters=20, dt=5e-3, s=0))
+    x0 = p_ic.generate_ic(seed=42)
+    dx = p_ic.generate_ic(seed=5)[0]
     rels = []
-    for dt, n in [(5e-3, 20), (1.25e-3, 80)]:
+    for dt, n in [(5e-3, 20), (2.5e-3, 40), (1.25e-3, 80)]:
         p = OptimalMixing(MixingConfig(nx=32, nz=24, n_iters=n, dt=dt, s=0,
                                        adjoint="continuous"))
-        x0 = p.generate_ic(seed=42)
-        dx = p.generate_ic(seed=5)[0]
         gd = p._gradient(p._ops, list(x0))[0]  # exact, same spectral IP
         gc = p.gradient(x0)[0]
         wd = float(p.inner_product(dx, gd))
         wc = float(p.inner_product(dx, gc))
         rels.append(abs(wc - wd) / abs(wd))
-    assert rels[1] < 0.25 * rels[0], rels  # ~O(dt): 4x dt -> >=4x error drop
+    assert rels[0] > rels[1] > rels[2], rels   # monotone convergence
+    ratio = (rels[0] - rels[1]) / (rels[1] - rels[2])
+    assert 1.4 < ratio < 2.8, (rels, ratio)    # O(dt): differences halve
 
 
 def test_short_optimisation(mix_problem, x0):
