@@ -38,6 +38,40 @@ def save_progress(path: str, result) -> None:
     os.replace(tmp, path if path.endswith(".npz") else path + ".npz")
 
 
+def save_pde_state(path: str, state: dict, step: int, meta: Optional[dict] = None) -> None:
+    """Atomically save a mid-trajectory PDE solver state.
+
+    The reference restarts long forward solves via Dedalus
+    `IVP_FWD.load_state(filename)` (`FWD_Solve_SH23.py:459-460`); here a
+    solver state is a dict of REAL arrays (problems split complex fields
+    into re/im planes — complex host transfers are unsupported on this
+    TPU platform) plus the step index it was taken at.
+    """
+    payload = {f"state_{k}": np.asarray(v) for k, v in state.items()}
+    payload["pde_step"] = np.asarray(int(step))
+    for k, v in (meta or {}).items():
+        payload[f"meta_{k}"] = np.asarray(v)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **payload)
+    os.replace(tmp, path if path.endswith(".npz") else path + ".npz")
+
+
+def load_pde_state(path: str):
+    """Load (state_dict, step, meta) saved by save_pde_state."""
+    if not path.endswith(".npz") and not os.path.exists(path):
+        path = path + ".npz"
+    state, meta, step = {}, {}, 0
+    with np.load(path) as data:
+        for k in data.files:
+            if k.startswith("state_"):
+                state[k[6:]] = data[k]
+            elif k == "pde_step":
+                step = int(data[k])
+            elif k.startswith("meta_"):
+                meta[k[5:]] = data[k]
+    return state, step, meta
+
+
 def load_progress(path: str):
     """Load a progress checkpoint back into an OptimiseResult."""
     from spheremanopt_tpu.optim.optimiser import OptimiseResult

@@ -58,12 +58,55 @@ def load_snapshots(path: str):
     return grids, fields
 
 
+class LightArchiver:
+    """Optimiser callback: per iteration, archive ONLY quantities the
+    iteration already produced — J history, residuals, step sizes, wall
+    times, and (optionally) the current iterate — to
+    `<prefix>_iter_<k>.npz`. No extra PDE solves.
+
+    This is the default archive mode: the reference's `File_Manips` is a
+    file COPY of already-written outputs (`FWD_Solve_SH23.py:731-746`),
+    so per-iteration archiving must not cost a forward solve. Full
+    diagnostics re-runs remain available via `IterationArchiver`
+    (opt-in, `run.py --archive-full`).
+    """
+
+    def __init__(self, prefix: str, out_dir: str = ".",
+                 save_iterate: bool = True):
+        self.prefix = prefix
+        self.out_dir = out_dir
+        self.save_iterate = save_iterate
+        os.makedirs(out_dir, exist_ok=True)
+        self.paths = []
+
+    def __call__(self, k: int, result) -> None:
+        payload = {
+            "iteration": np.asarray(k),
+            "function_values": np.asarray(result.function_values),
+            "residuals": np.asarray(
+                [r[: len(result.step_sizes)] for r in result.residuals]),
+            "step_sizes": np.asarray(result.step_sizes),
+            "wall_times": np.asarray(result.wall_times),
+            "function_evals": np.asarray(result.function_evals),
+            "gradient_evals": np.asarray(result.gradient_evals),
+        }
+        if self.save_iterate and result.x_opt is not None:
+            for i, x in enumerate(result.x_opt):
+                payload[f"x_opt_{i}"] = np.asarray(x)
+        path = os.path.join(self.out_dir, f"{self.prefix}_iter_{k}.npz")
+        np.savez(path, **payload)
+        self.paths.append(path)
+
+
 class IterationArchiver:
     """Optimiser callback: per iteration, evaluate `diagnostics(x_opt)`
     (a dict of arrays/scalars) and write `<prefix>_iter_<k>.npz`.
 
     Reference behaviour: `File_Manips` copies the latest
     scalar_data/CheckPoints h5 outputs to `*_iter_k.h5` each iteration.
+    NOTE: `diagnostics` re-runs the forward solve; at `--archive-every 1`
+    this doubles optimisation cost. Prefer `LightArchiver` (zero extra
+    solves) unless full field/spectra snapshots per iteration are needed.
     """
 
     def __init__(self, prefix: str, diagnostics: Callable, out_dir: str = "."):

@@ -35,6 +35,44 @@ class Problem(Protocol):
     def generate_ic(self, seed: int = 42) -> List[jnp.ndarray]: ...
 
 
+class SegmentAdvance:
+    """Cached jitted n-step solver advances for PDE-state restart.
+
+    Problems expose `initial_state(x_list) -> dict[str, real array]` and
+    `advance_state(state, n_steps) -> state` built on this helper — the
+    TPU analogue of the reference's Dedalus `IVP_FWD.load_state`
+    restart path (`FWD_Solve_SH23.py:459-460`). States are dicts of REAL
+    arrays (complex fields ride as stacked re/im planes: complex
+    host<->device transfers are unsupported on this platform), so they
+    round-trip through `io.checkpoint.save_pde_state`/`load_pde_state`.
+
+    `step_fn(state, *consts) -> state` must be jittable; `consts` carry
+    device-resident operator stacks (e.g. the mixing per-kx solves) as
+    jit ARGUMENTS rather than closures (axon rule: captured device
+    buffers re-ship per call). One executable is compiled and cached per
+    distinct segment length.
+    """
+
+    def __init__(self, step_fn: Callable):
+        self._step = step_fn
+        self._cache = {}
+
+    def __call__(self, state: dict, n_steps: int, *consts):
+        n = int(n_steps)
+        if n not in self._cache:
+            step = self._step
+
+            def run(state, *consts):
+                def body(s, _):
+                    return step(s, *consts), None
+
+                s, _ = jax.lax.scan(body, state, xs=None, length=n)
+                return s
+
+            self._cache[n] = jax.jit(run)
+        return self._cache[n](state, *consts)
+
+
 def riesz_gradient(objective: Callable, weights) -> Callable:
     """Gradient of `objective` as Riesz representatives under weighted
     inner products IP_i(x, y) = sum(w_i * x * y).

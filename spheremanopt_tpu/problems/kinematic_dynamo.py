@@ -289,6 +289,39 @@ class KinematicDynamo:
         _, J = self._integrate(b0_c, u_bl, self.cfg.n_iters)
         return -J
 
+    # ------------------------------------------------------------------
+    # PDE-state restart (ref `IVP_FWD.load_state`, FWD_Solve_SH23.py:459-460)
+    # ------------------------------------------------------------------
+
+    def initial_state(self, x_list) -> dict:
+        """Induction-solver state at t=0: B spectral coefficients as a
+        stacked re/im plane plus the (fixed) band-limited stirring field."""
+
+        @jax.jit
+        def make(b0, u):
+            b_c = self.to_coeff(b0.astype(self._rdtype))
+            u_bl = self.to_grid(self.to_coeff(u.astype(self._rdtype)))
+            return {"b": jnp.stack([b_c.real, b_c.imag]), "u": u_bl}
+
+        return make(jnp.asarray(x_list[0]), jnp.asarray(x_list[1]))
+
+    def advance_state(self, state: dict, n_steps: int) -> dict:
+        if not hasattr(self, "_advance"):
+            def step(s):
+                b = self._cnab1_step(s["b"][0] + 1j * s["b"][1], s["u"])
+                return {"b": jnp.stack([b.real, b.imag]), "u": s["u"]}
+
+            from spheremanopt_tpu.problems.base import SegmentAdvance
+            self._advance = SegmentAdvance(step)
+        return self._advance(state, n_steps)
+
+    def state_fields(self, state) -> dict:
+        @jax.jit
+        def grid(s):
+            return self.to_grid(s["b"][0] + 1j * s["b"][1])
+
+        return {"b_grid": grid(state), "b_hat_ri": state["b"], "u": state["u"]}
+
     def _curl_cross(self, a_c: jnp.ndarray, b_grid: jnp.ndarray) -> jnp.ndarray:
         """F(A, B) = (curl A) x B evaluated on the padded grid, truncated
         (the reference's F_x/F_y/F_z substitutions, `:841-848`)."""

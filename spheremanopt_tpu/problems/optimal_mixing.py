@@ -548,6 +548,51 @@ class OptimalMixing:
     def inner_products(self):
         return self.inner_product
 
+    # ------------------------------------------------------------------
+    # PDE-state restart (ref `IVP_FWD.load_state`, FWD_Solve_SH23.py:459-460)
+    # ------------------------------------------------------------------
+
+    def initial_state(self, x_list) -> dict:
+        """Boussinesq solver state at t=0: (u, w, rho) coefficient
+        fields as stacked re/im planes."""
+
+        @jax.jit
+        def make(x):
+            x = x.astype(self._rdtype)
+            u = self.to_coeff(x[0])
+            w = self.to_coeff(x[1])
+            r = jnp.asarray(self._rho0_c, self._cdtype)
+            return {"u": jnp.stack([u.real, u.imag]),
+                    "w": jnp.stack([w.real, w.imag]),
+                    "r": jnp.stack([r.real, r.imag])}
+
+        return make(jnp.asarray(x_list[0]))
+
+    def advance_state(self, state: dict, n_steps: int) -> dict:
+        if not hasattr(self, "_advance"):
+            def step(s, ops):
+                u, w, r = self._step(ops,
+                                     s["u"][0] + 1j * s["u"][1],
+                                     s["w"][0] + 1j * s["w"][1],
+                                     s["r"][0] + 1j * s["r"][1])
+                return {"u": jnp.stack([u.real, u.imag]),
+                        "w": jnp.stack([w.real, w.imag]),
+                        "r": jnp.stack([r.real, r.imag])}
+
+            from spheremanopt_tpu.problems.base import SegmentAdvance
+            self._advance = SegmentAdvance(step)
+        return self._advance(state, n_steps, self._ops)
+
+    def state_fields(self, state) -> dict:
+        @jax.jit
+        def grids(s):
+            return (self.to_grid(s["u"][0] + 1j * s["u"][1]),
+                    self.to_grid(s["w"][0] + 1j * s["w"][1]),
+                    self.to_grid(s["r"][0] + 1j * s["r"][1]))
+
+        ug, wg, rg = grids(state)
+        return {"u": ug, "w": wg, "rho": rg}
+
     def final_fields(self, x_list):
         """(u, w, rho) coefficient state at t = T, for diagnostics.
         CPU/analysis use only (returns complex arrays)."""

@@ -299,6 +299,42 @@ class SwiftHohenberg:
         c, _ = self._integrate(c0, self.cfg.n_iters, False)
         return self.basis.to_grid(c)
 
+    # ------------------------------------------------------------------
+    # PDE-state restart (ref `IVP_FWD.load_state`, FWD_Solve_SH23.py:459-460)
+    # ------------------------------------------------------------------
+
+    def initial_state(self, x_list) -> dict:
+        """Solver state at t=0 from the optimisation vector: rfft
+        coefficients as a stacked re/im plane (real, host-transferable)."""
+
+        @jax.jit
+        def make(x):
+            c = self.basis.to_coeff(x.astype(self._rdtype))
+            return {"c": jnp.stack([c.real, c.imag])}
+
+        return make(jnp.asarray(x_list[0]))
+
+    def advance_state(self, state: dict, n_steps: int) -> dict:
+        """Advance the solver state n_steps; composable and restartable:
+        advance(s, a+b) == advance(advance(s, a), b) exactly."""
+        if not hasattr(self, "_advance"):
+            def step(s):
+                c = self._sbdf1_step(s["c"][0] + 1j * s["c"][1])
+                return {"c": jnp.stack([c.real, c.imag])}
+
+            from spheremanopt_tpu.problems.base import SegmentAdvance
+            self._advance = SegmentAdvance(step)
+        return self._advance(state, n_steps)
+
+    def state_fields(self, state) -> dict:
+        """Named real fields for saving/plotting a solver state."""
+
+        @jax.jit
+        def grid(s):
+            return self.basis.to_grid(s["c"][0] + 1j * s["c"][1])
+
+        return {"u": grid(state), "u_hat_ri": state["c"]}
+
     def diagnostics(self, x_list) -> dict:
         """Per-step KE series, initial/final states and final spectrum —
         the reference's 'scalar_data' + 'CheckPoints' analysis tasks

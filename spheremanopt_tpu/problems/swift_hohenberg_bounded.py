@@ -187,6 +187,22 @@ class SwiftHohenbergBounded:
         return -J
 
     # ------------------------------------------------------------------
+    # PDE-state restart (ref `IVP_FWD.load_state`, FWD_Solve_SH23.py:459-460)
+    # ------------------------------------------------------------------
+
+    def initial_state(self, x_list) -> dict:
+        return {"u": jnp.asarray(x_list[0], self._rdtype)}
+
+    def advance_state(self, state: dict, n_steps: int) -> dict:
+        if not hasattr(self, "_advance"):
+            from spheremanopt_tpu.problems.base import SegmentAdvance
+            self._advance = SegmentAdvance(lambda s: {"u": self._step(s["u"])})
+        return self._advance(state, n_steps)
+
+    def state_fields(self, state) -> dict:
+        return {"u": state["u"]}
+
+    # ------------------------------------------------------------------
     # public triple
     # ------------------------------------------------------------------
 

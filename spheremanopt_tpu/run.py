@@ -47,11 +47,25 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--profile-dir", default=None,
                     help="write a jax.profiler trace of the run here")
     ap.add_argument("--archive-every", type=int, default=0,
-                    help="write a diagnostics archive every N iterations "
-                         "(0 = off; note each archive re-runs the forward "
-                         "solve, unlike the reference's file copies)")
+                    help="archive optimisation state every N iterations "
+                         "(0 = off). Default mode is light: J/residual/"
+                         "step histories + current iterate, zero extra "
+                         "solves (the reference File_Manips analogue)")
+    ap.add_argument("--archive-full", action="store_true",
+                    help="archives re-run diagnostics() for full field/"
+                         "spectra snapshots (costs one forward solve per "
+                         "archive)")
     ap.add_argument("--no-archive", action="store_true",
                     help="(deprecated alias for --archive-every 0)")
+    ap.add_argument("--solve-steps", type=int, default=None,
+                    help="forward-solve mode: advance the PDE state this "
+                         "many steps (no optimisation) and save it; "
+                         "restartable via --state-in/--state-out")
+    ap.add_argument("--state-in", default=None,
+                    help="resume the forward solve from this saved state")
+    ap.add_argument("--state-out", default=None,
+                    help="where to save the advanced PDE state "
+                         "(default <out-dir>/pde_state.npz)")
     ap.add_argument("--device-loop", action="store_true",
                     help="run the whole optimisation inside one jit "
                          "(optim.jit_driver: SD/CG + Armijo backtracking; "
@@ -153,6 +167,32 @@ def main(argv=None) -> int:
     radii = getattr(problem, "radii", [1.0])
     print(f"[{args.problem}] setup {time.time()-t0:.1f}s; spheres={list(radii)}")
 
+    if args.solve_steps is not None:
+        # pure forward-solve mode with PDE-state restart: the reference's
+        # `IVP_FWD.load_state(filename)` continuation (FWD_Solve_SH23.py:459-460)
+        import numpy as np
+
+        import jax.numpy as jnp
+
+        from spheremanopt_tpu.io.checkpoint import load_pde_state, save_pde_state
+
+        if args.state_in:
+            state_np, step0, _ = load_pde_state(args.state_in)
+            state = {k: jnp.asarray(v) for k, v in state_np.items()}
+        else:
+            state, step0 = problem.initial_state(x0), 0
+        state = problem.advance_state(state, args.solve_steps)
+        step1 = step0 + args.solve_steps
+        out_path = args.state_out or os.path.join(args.out_dir, "pde_state.npz")
+        save_pde_state(out_path, {k: np.asarray(v) for k, v in state.items()},
+                       step1, meta={"problem": args.problem})
+        fields = problem.state_fields(state)
+        norms = {k: float(np.linalg.norm(np.asarray(v))) for k, v in fields.items()}
+        print(json.dumps({"mode": "forward-solve", "problem": args.problem,
+                          "from_step": step0, "to_step": step1,
+                          "state_path": out_path, "field_norms": norms}))
+        return 0
+
     if args.test_grad:
         from spheremanopt_tpu.grad.testgrad import adjoint_gradient_test
 
@@ -172,7 +212,7 @@ def main(argv=None) -> int:
         print(f"gradient test {'PASSED' if ok else 'FAILED'}")
         return 0 if ok else 1
 
-    from spheremanopt_tpu.io.timeseries import IterationArchiver
+    from spheremanopt_tpu.io.timeseries import IterationArchiver, LightArchiver
     from spheremanopt_tpu.optim.optimiser import optimise_on_multi_sphere
     from spheremanopt_tpu.optim.plotting import plot_optimisation
 
@@ -216,8 +256,12 @@ def main(argv=None) -> int:
         return 0
 
     callback = None
-    if hasattr(problem, "diagnostics") and args.archive_every > 0:
-        archiver = IterationArchiver("diag", problem.diagnostics, args.out_dir)
+    if args.archive_every > 0:
+        if args.archive_full and hasattr(problem, "diagnostics"):
+            archiver = IterationArchiver("diag", problem.diagnostics,
+                                         args.out_dir)
+        else:
+            archiver = LightArchiver("progress", args.out_dir)
 
         def callback(k, result, _every=args.archive_every):
             if k % _every == 0:
