@@ -11,15 +11,26 @@ recording) compiles to a single XLA executable. Per-iteration overhead
 is zero; a full PCA optimisation or a many-iteration PDE optimisation
 runs without the host in the loop.
 
-Algorithmic deltas vs the host driver (documented, deliberate):
-  * line search is Armijo backtracking with a fixed shrink factor
-    (compiler-friendly `lax.while_loop`) instead of quadratic/cubic
-    interpolation / strong Wolfe;
+Two line-search modes:
+  * `line_search="wolfe"` (production parity): strong Wolfe via
+    `optim/device_wolfe.py` — the same bracket/zoom/interpolation state
+    machine as the host search, evaluation-for-evaluation, with the
+    reference's iteration-0 Armijo, SD-until-third-pass direction rule,
+    old-phi0 interpolated initial trials, and gradient-reuse handoff
+    (`Sphere_Grad_Descent.py:198-479,740-776`). A PDE-problem trajectory
+    matches the host driver's in f64 (tests/test_jit_driver.py).
+  * `line_search="armijo"` (default; compiled-loop classic): fixed-shrink
+    backtracking.
+
+Deltas vs the host driver (documented, deliberate):
   * a failed line search freezes the iterate (masked no-op) rather than
     early-returning;
-  * the step-size carry-over policy matches the reference's Armijo path
-    (next search starts from a modest expansion of the last accepted
-    step).
+  * armijo mode: fixed shrink instead of quadratic/cubic interpolation,
+    CG from the second pass, step-size carry-over from the last accepted
+    step;
+  * wolfe mode, iteration 0: first-trial accept matches the host
+    exactly; on backtrack the host interpolates while this driver
+    halves.
 """
 
 from __future__ import annotations
@@ -30,6 +41,7 @@ import jax
 import jax.numpy as jnp
 
 from spheremanopt_tpu.manifold import sphere as geom
+from spheremanopt_tpu.optim.device_wolfe import device_armijo, device_wolfe
 
 
 class JitOptResult(NamedTuple):
@@ -53,6 +65,8 @@ def jit_optimise_on_multi_sphere(
     max_backtracks: int = 30,
     err_tol: float = 1e-6,
     cg: bool = True,
+    line_search: str = "armijo",
+    c2: float = 0.4,
 ) -> Callable:
     """Build a jitted `optimise(x0_list) -> JitOptResult`.
 
@@ -180,4 +194,117 @@ def jit_optimise_on_multi_sphere(
         n_done = jnp.sum(a_hist > 0)
         return JitOptResult(xs, J_hist, r_hist, a_hist, n_done)
 
+    @jax.jit
+    def optimise_wolfe(x0_list, radii_dyn=None):
+        """Strong-Wolfe mode with host-driver semantics (see module
+        docstring): iteration 0 is Armijo at alpha0, subsequent
+        iterations run the device Wolfe state machine with gradient
+        handoff; CG directions start at the third pass."""
+        rr = list(radii) if radii_dyn is None else list(radii_dyn)
+
+        def retract(xs, alpha, ds):
+            return [geom.retract(x, alpha, d, r, ip)
+                    for x, d, r, ip in zip(xs, ds, rr, ips)]
+
+        xs = [geom.normalise_sphere(x, r, ip)
+              for x, r, ip in zip(list(x0_list), rr, ips)]
+        J0, nab0 = f_and_g(xs)
+        g0 = tangent(xs, nab0)
+        dtype = J0.dtype
+
+        J_hist = jnp.zeros(max_iters, dtype)
+        r_hist = jnp.zeros((max_iters, n), dtype)
+        a_hist = jnp.zeros(max_iters, dtype)
+
+        # ---- iteration 0: INTERPOLATED Armijo at alpha0, mirroring the
+        # host exactly (`if R.iterations == 0 ... armijo_search(...,
+        # alpha0=alpha_k)` with quadratic/cubic backtracking).
+        ds0 = [-g for g in g0]
+        slope00 = slope(g0, ds0)
+
+        def eval0(a):
+            xs_t = retract(xs, a, ds0)
+            J_t, nab_t = f_and_g(xs_t)
+            gs_t = tangent(xs_t, nab_t)
+            return J_t, jnp.zeros((), dtype), (xs_t, gs_t)
+
+        alpha_a, J_a, (xs1, gs1), ok0 = device_armijo(
+            eval0, J0, slope00, (xs, g0), alpha0=alpha0, c1=c1)
+
+        xs = [jnp.where(ok0, xn, x) for xn, x in zip(xs1, xs)]
+        J = jnp.where(ok0, J_a, J0)
+        res0 = residuals(g0)
+        J_hist = J_hist.at[0].set(-J)
+        r_hist = r_hist.at[0].set(res0)
+        a_hist = a_hist.at[0].set(jnp.where(ok0, alpha_a, 0.0))
+
+        # gradient at x_1: the host's pass 2 computes grad_f(x_1) fresh
+        # (no Armijo handoff); the fused eval at the accepted trial
+        # already produced the identical value.
+        gs = [jnp.where(ok0, gn, g) for gn, g in zip(gs1, g0)]
+
+        active = jnp.logical_and(ok0, res0.max() > err_tol)
+        J_old = J0                       # host J_k_old: None until the
+        has_old = jnp.asarray(False)     # first successful Wolfe search
+
+        def body(i, carry):
+            xs, J, J_old, has_old, gs, gs_old, ds_old, active, hists = carry
+            J_hist, r_hist, a_hist = hists
+
+            ds_sd = [-g for g in gs]
+            if cg:
+                ds_cg = cg_direction(xs, gs, gs_old, ds_old)
+                # host/reference: CG only from the third pass (i > 1,
+                # `Sphere_Grad_Descent.py:750`), and only if descent
+                use_cg = jnp.logical_and(i > 1, slope(gs, ds_cg) < 0)
+                ds = [jnp.where(use_cg, dc, dsd)
+                      for dc, dsd in zip(ds_cg, ds_sd)]
+            else:
+                ds = ds_sd
+
+            slope0 = slope(gs, ds)
+
+            def eval_fn(a):
+                xs_t = retract(xs, a, ds)
+                J_t, nab_t = f_and_g(xs_t)
+                gs_t, slope_t = [], jnp.zeros((), dtype)
+                for x_t, nb, d, ip in zip(xs_t, nab_t, ds, ips):
+                    g_t = geom.tangent_project(x_t, nb, ip)
+                    gs_t.append(g_t)
+                    slope_t = slope_t + ip(g_t, geom.transport(x_t, d, ip))
+                return J_t, slope_t, (xs_t, gs_t)
+
+            a_star, J_new, (xs_new, gs_new), ok = device_wolfe(
+                eval_fn, J, slope0, (xs, gs), J_old, has_old,
+                c1=c1, c2=c2, amax=alpha0,
+            )
+
+            step = jnp.logical_and(active, ok)
+            xs = [jnp.where(step, xn, x) for xn, x in zip(xs_new, xs)]
+            res = residuals(gs)
+            J_hist = J_hist.at[i].set(-jnp.where(step, J_new, J))
+            r_hist = r_hist.at[i].set(res)
+            a_hist = a_hist.at[i].set(jnp.where(step, a_star, 0.0))
+
+            gs_old_n = gs
+            ds_old_n = ds
+            gs = [jnp.where(step, gn, g) for gn, g in zip(gs_new, gs)]
+            J_old = jnp.where(step, J, J_old)
+            has_old = jnp.logical_or(has_old, step)
+            J = jnp.where(step, J_new, J)
+
+            active = jnp.logical_and(active,
+                                     jnp.logical_and(ok, res.max() > err_tol))
+            return (xs, J, J_old, has_old, gs, gs_old_n, ds_old_n, active,
+                    (J_hist, r_hist, a_hist))
+
+        init = (xs, J, J_old, has_old, gs, g0, ds0, active,
+                (J_hist, r_hist, a_hist))
+        xs, J, _, _, gs, _, _, active, (J_hist, r_hist, a_hist) = (
+            jax.lax.fori_loop(1, max_iters, body, init))
+        n_done = jnp.sum(a_hist > 0)
+        return JitOptResult(xs, J_hist, r_hist, a_hist, n_done)
+
+    if line_search == "wolfe":
+        return optimise_wolfe
     return optimise

@@ -68,8 +68,8 @@ def build_parser() -> argparse.ArgumentParser:
                          "(default <out-dir>/pde_state.npz)")
     ap.add_argument("--device-loop", action="store_true",
                     help="run the whole optimisation inside one jit "
-                         "(optim.jit_driver: SD/CG + Armijo backtracking; "
-                         "no host round-trips, no Wolfe)")
+                         "(optim.jit_driver: SD/CG with strong-Wolfe or "
+                         "Armijo per --ls; no host round-trips)")
     # problem-size overrides
     ap.add_argument("--npts", type=int, default=None)
     ap.add_argument("--nx", type=int, default=None)
@@ -228,10 +228,11 @@ def main(argv=None) -> int:
 
         opt = jit_optimise_on_multi_sphere(
             f_and_g, problem.inner_product, radii,
-            max_iters=args.max_iters or defaults["max_iters"],
-            alpha0=float(args.alpha or defaults["alpha"]),
+            max_iters=args.max_iters if args.max_iters is not None else defaults["max_iters"],
+            alpha0=float(args.alpha if args.alpha is not None else defaults["alpha"]),
             err_tol=args.err_tol if args.err_tol is not None else defaults.get("err_tol", 1e-6),
             cg=not args.sd,
+            line_search=args.ls,
         )
         t0 = time.time()
         r = opt(x0)
