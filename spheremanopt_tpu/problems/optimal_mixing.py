@@ -76,6 +76,9 @@ class MixingConfig:
     device_ops: bool = True      # False: skip device placement of the
                                  # operator stacks (CPU baselines that
                                  # only need the numpy operators)
+    prep_steps: int = 100        # IC prep: LINEAR solve iterations
+    prep_dt: float = 1e-4        # (ref FWD_Solve_IVP_Prep :520, Sim_Type
+                                 # ="Linear" build :480-484)
 
 
 def _cheb_mult_T(coeffs_of_factor: np.ndarray, n: int) -> np.ndarray:
@@ -225,7 +228,7 @@ class OptimalMixing:
     # operator assembly (init-time, f64 numpy)
     # ------------------------------------------------------------------
 
-    def _build_operators(self, adjoint: bool = False):
+    def _build_operators(self, adjoint: bool = False, dt: float = None):
         cfg = self.cfg
         nz = cfg.nz
         I = np.eye(nz)
@@ -249,7 +252,7 @@ class OptimalMixing:
         re_inv = 1.0 / cfg.reynolds
         pe_inv = 1.0 / (cfg.reynolds * cfg.prandtl)
         ri = cfg.richardson
-        a0 = 1.0 / cfg.dt
+        a0 = 1.0 / (cfg.dt if dt is None else dt)
 
         def solve_block(kx, mixnorm=False):
             ikx = 1j * kx
@@ -659,43 +662,65 @@ class OptimalMixing:
     # streamfunction, u = -psi_z, w = psi_x, prep smoothing, normalise)
     # ------------------------------------------------------------------
 
+    def _prep_solve_ops(self):
+        """Lazily build + cache the Sim_Type="Linear" prep solve operator
+        stack (the same tau systems at the prep dt; ref
+        `FWD_Solve_Build_Lin` with Sim_Type="Linear",
+        `FWD_Solve_Poiseuille.py:480-484,549`)."""
+        if not hasattr(self, "_prep_ops_cache"):
+            S_prep, _ = self._build_operators(dt=self.cfg.prep_dt)
+            rd = self._rdtype
+            self._prep_ops_cache = (
+                jax.device_put(jnp.asarray(S_prep.real, rd)),
+                jax.device_put(jnp.asarray(S_prep.imag, rd)),
+            )
+        return self._prep_ops_cache
+
     def generate_ic(self, seed: int = 42) -> List[jnp.ndarray]:
+        """Reference-exact IC pipeline (`Generate_IC` :301-385 +
+        `FWD_Solve_IVP_Prep` :520-608): filtered-noise streamfunction ->
+        u = -psi_z, w = psi_x -> LINEAR prep solve (Sim_Type="Linear",
+        prep_steps x prep_dt, with rho(0) = -erf(z/delta)/2 coupled in)
+        -> 2/3-rule dealias mask -> normalise onto the e0 sphere."""
         cfg = self.cfg
+        nz = cfg.nz
+
+        # 2/3-rule DA mask applied to the prep output (ref :593-606)
+        nx0, nz0 = 2 * cfg.nx // 3, 2 * nz // 3
+        da_x = (np.arange(self.kxn) < nx0 // 2).astype(float)
+        da_z = (np.arange(nz) < nz0).astype(float)
+        da = da_x[:, None] * da_z[None, :]
 
         @jax.jit
-        def make(ops, key):
+        def make(prep_ops, key):
             noise = jax.random.normal(key, (self.mgx, self.mgz), self._rdtype)
             psi = self.to_coeff(noise)
             # low-pass both axes at half band (ref filter_field frac=0.5)
             mx = (np.arange(self.kxn) <= 0.25 * cfg.nx).astype(float)
-            mz = (np.arange(cfg.nz) < 0.5 * cfg.nz).astype(float)
+            mz = (np.arange(nz) < 0.5 * nz).astype(float)
             psi = psi * jnp.asarray(mx[:, None] * mz[None, :])
             ikx = jnp.asarray(1j * self._kx)[:, None]
             u_c = -jnp.einsum("mn,kn->km", jnp.asarray(self._Dz), psi)
             w_c = ikx * psi
-            # Normalise to the target amplitude BEFORE smoothing: the
-            # reference's prep solve (:520-608) runs on the e0-scaled
-            # field. Raw filtered noise carries ~10^4 x e0 kinetic
-            # energy, and the explicit nonlinear term makes the
-            # implicit-linear step violently unstable at that amplitude
-            # (blows up within ~7 steps at the 256x128 reference config).
-            x = jnp.stack([self.to_grid(u_c), self.to_grid(w_c)])
-            norm = jnp.sum(jnp.asarray(self._w)[None] * x * x)
-            scale = jnp.sqrt(cfg.e0 / norm).astype(self._rdtype)
-            u_c = u_c * scale
-            w_c = w_c * scale
-            # short smoothing: a few implicit steps of the full system
-            # damp the noise like the reference's prep solve (:520-608)
-            r_c = jnp.zeros_like(u_c)
+            r_c = jnp.asarray(self._rho0_c, self._cdtype)
+
+            # LINEAR prep: rhs = state/dt_prep only (no nonlinear term;
+            # the implicit operator carries every linear coupling)
+            a0 = 1.0 / cfg.prep_dt
 
             def body(carry, _):
-                return self._step(ops, *carry), None
+                u, w, r = carry
+                rhs = jnp.concatenate([a0 * u, a0 * w, a0 * r], axis=-1)
+                sol = _solve_apply(prep_ops, rhs)
+                return (sol[:, :nz], sol[:, nz:2 * nz], sol[:, 2 * nz:]), None
 
             (u_c, w_c, r_c), _ = jax.lax.scan(
-                body, (u_c, w_c, r_c), xs=None, length=10
+                body, (u_c, w_c, r_c), xs=None, length=cfg.prep_steps
             )
+            u_c = u_c * jnp.asarray(da)
+            w_c = w_c * jnp.asarray(da)
             x = jnp.stack([self.to_grid(u_c), self.to_grid(w_c)])
             norm = jnp.sum(jnp.asarray(self._w)[None] * x * x)
             return x * jnp.sqrt(cfg.e0 / norm)
 
-        return [make(self._ops, jax.random.PRNGKey(seed))]
+        return [make(self._prep_solve_ops(), jax.random.PRNGKey(seed))]

@@ -32,6 +32,51 @@ def test_ic_on_sphere(ke_problem, x0):
     )
 
 
+def test_linear_prep_properties(ke_problem, x0):
+    """The Sim_Type="Linear" IC prep (ref FWD_Solve_Poiseuille.py:480-484,
+    520-608): prep output respects the wall BCs and the 2/3-rule dealias
+    mask, and the prep evolution itself is LINEAR in the velocity part
+    (additivity of the (u, w)-propagation with rho held at its
+    background: superposing velocity ICs superposes outputs)."""
+    p = ke_problem
+    nz, kxn = p.cfg.nz, p.kxn
+    u_c, w_c = np.asarray(p.to_coeff(x0[0][0])), np.asarray(p.to_coeff(x0[0][1]))
+    # 2/3-rule mask held
+    nx0, nz0 = 2 * p.cfg.nx // 3, 2 * nz // 3
+    assert np.abs(u_c[nx0 // 2:]).max() < 1e-14
+    assert np.abs(u_c[:, nz0:]).max() < 1e-14
+    assert np.abs(w_c[nx0 // 2:]).max() < 1e-14
+    # (wall BCs hold for the prep SOLVE output but are then perturbed by
+    # the 2/3-rule truncation — the reference output shares this:
+    # u['c'] *= DA happens after the prep, ref :604-606)
+
+    # linearity of the prep propagator in (u, w): S_prep applied to
+    # (a*u1 + b*u2, ..., rho=rho0) == superposition of the rho0-sourced
+    # response and the scaled homogeneous responses
+    import jax.numpy as jnp
+    from spheremanopt_tpu.problems.optimal_mixing import _solve_apply
+
+    prep = p._prep_solve_ops()
+    a0 = 1.0 / p.cfg.prep_dt
+
+    def adv(u, w, r):
+        rhs = jnp.concatenate([a0 * u, a0 * w, a0 * r], axis=-1)
+        sol = _solve_apply(prep, rhs)
+        return (np.asarray(sol[:, :nz]), np.asarray(sol[:, nz:2 * nz]),
+                np.asarray(sol[:, 2 * nz:]))
+
+    rng = np.random.RandomState(0)
+    u1 = jnp.asarray(rng.randn(kxn, nz) + 1j * rng.randn(kxn, nz))
+    u2 = jnp.asarray(rng.randn(kxn, nz) + 1j * rng.randn(kxn, nz))
+    z = jnp.zeros_like(u1)
+    out_sum = adv(2.0 * u1 + 3.0 * u2, z, z)
+    o1 = adv(u1, z, z)
+    o2 = adv(u2, z, z)
+    for k in range(3):
+        np.testing.assert_allclose(out_sum[k], 2.0 * o1[k] + 3.0 * o2[k],
+                                   rtol=1e-11, atol=1e-12)
+
+
 def test_step_enforces_constraints(ke_problem, x0):
     p = ke_problem
     u_c, w_c = p.to_coeff(x0[0][0]), p.to_coeff(x0[0][1])
@@ -102,9 +147,30 @@ def test_continuous_adjoint_directional_convergence():
     per-config ICs would change the trajectory under test); the O(dt)
     component is isolated as the successive difference of errors, which
     must halve when dt halves."""
+    # Smooth analytic ICs (low modes only, BC-compatible): psi = sin(ax)
+    # f(z) with f = (1-z^2)^2 gives u = -sin(ax) f'(z), w = a cos(ax) f(z)
+    # — u = w = 0 at the walls, content far inside the band, which is the
+    # regime the continuous adjoint's O(dt) statement covers. The
+    # reference-exact generate_ic keeps modes to the 2/3 band edge, where
+    # the (documented) spatial off-band plateau dominates at any dt.
     p_ic = OptimalMixing(MixingConfig(nx=32, nz=24, n_iters=20, dt=5e-3, s=0))
-    x0 = p_ic.generate_ic(seed=42)
-    dx = p_ic.generate_ic(seed=5)[0]
+    import numpy as np
+
+    xg = np.arange(p_ic.mgx) * p_ic.cfg.lx / p_ic.mgx
+    zg = p_ic._zgrid
+    a1 = 2.0 * np.pi / p_ic.cfg.lx
+
+    def smooth_field(kmul, fpow, amp):
+        f = (1.0 - zg ** 2) ** fpow
+        fp = -2.0 * fpow * zg * (1.0 - zg ** 2) ** (fpow - 1)
+        u = -np.sin(kmul * a1 * xg)[:, None] * fp[None, :]
+        w = (kmul * a1) * np.cos(kmul * a1 * xg)[:, None] * f[None, :]
+        return amp * np.stack([u, w])
+
+    # dx shares x0's kx=1 content (different z profile): with disjoint
+    # kx the directional derivative vanishes by mode orthogonality
+    x0 = [smooth_field(1, 2, 0.05)]
+    dx = smooth_field(1, 3, 0.05)
     rels = []
     for dt, n in [(5e-3, 20), (2.5e-3, 40), (1.25e-3, 80)]:
         p = OptimalMixing(MixingConfig(nx=32, nz=24, n_iters=n, dt=dt, s=0,
