@@ -94,7 +94,13 @@ def bench_tpu(u0, repeats=10):
 
 def bench_kdyn(repeats_tpu=5, repeats_cpu=1):
     """KDyn 24^3, Rm=1, dt=5e-4, 2000 steps, Cost='Final' — the second
-    north-star config (BASELINE.md). Unit: fused fwd+grad (both spheres)."""
+    north-star config (BASELINE.md). Unit: fused fwd+grad (both spheres).
+
+    Two precision modes are timed (matmul_precision): "highest" is the
+    framework default (3-pass f32 MXU transforms, J rel-err ~1.5e-4 —
+    the true f32 floor over 2000 steps); "default" is the single-pass
+    bf16 fast mode (rel-err ~3.9e-3, = the round-1 recorded accuracy).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -127,13 +133,25 @@ def bench_kdyn(repeats_tpu=5, repeats_cpu=1):
         g_b, g_u = sim.gradient(b_np, u_np)
     cpu_s = (time.perf_counter() - t0) / repeats_cpu
 
-    tpu_s = chained_value_ms(p.objective_and_gradient, x0, n=repeats_tpu) / 1e3
-    J, g = p.objective_and_gradient(x0)
-    rel_J = abs(float(J) - J_cpu) / abs(J_cpu)
-    rel_g = float(
-        np.linalg.norm(np.asarray(g[0], np.float64) - g_b) / np.linalg.norm(g_b)
-    )
-    return tpu_s, cpu_s, rel_J, rel_g
+    def one(pp):
+        tpu_s = chained_value_ms(pp.objective_and_gradient, x0, n=repeats_tpu) / 1e3
+        J, g = pp.objective_and_gradient(x0)
+        rel_J = abs(float(J) - J_cpu) / abs(J_cpu)
+        rel_g = float(
+            np.linalg.norm(np.asarray(g[0], np.float64) - g_b) / np.linalg.norm(g_b)
+        )
+        return tpu_s, rel_J, rel_g
+
+    tpu_s, rel_J, rel_g = one(p)  # default = "highest"
+    fast = {}
+    if on_tpu:
+        p_fast = KinematicDynamo(
+            KDynConfig(npts=24, n_iters=2000, dt=5e-4, dtype=dtype,
+                       project_gradients=False, matmul_precision="default")
+        )
+        t_f, rj_f, rg_f = one(p_fast)
+        fast = {"fast_s": t_f, "fast_rel_J": rj_f, "fast_rel_g": rg_f}
+    return tpu_s, cpu_s, rel_J, rel_g, fast
 
 
 def bench_shb23(repeats=10):
@@ -165,21 +183,39 @@ def bench_shb23(repeats=10):
 
 
 def bench_mixing(repeats=3):
-    """Mixing reference config (256x128, dt=5e-3, T=5, s=1): TPU fwd+grad ms."""
+    """Mixing reference config (256x128, dt=5e-3, T=5, s=1): TPU fwd+grad ms.
+
+    Times the default error-compensated f32 solve mode (J rel-err
+    5.4e-5 vs f64 over 1000 steps) and the bf16 fast mode (5.6e-2).
+    Accuracy is reported against the pinned f64-CPU J for the seed-42
+    linear-prep IC (BASELINE.md; breaks visibly if generate_ic changes).
+    """
     import jax
     import jax.numpy as jnp
 
     from spheremanopt_tpu.problems.optimal_mixing import MixingConfig, OptimalMixing
+
+    J64 = 0.03860067187575046  # jax f64 CPU @ reference config, seed 42;
+    #                            cross-validated by baselines/mixing_numpy
+    #                            to 2e-14 (BASELINE.md)
 
     on_tpu = jax.devices()[0].platform != "cpu"
     dtype = "float32" if on_tpu else "float64"
     p = OptimalMixing(MixingConfig(dtype=dtype, s=1))
     x0 = p.generate_ic(seed=42)
     ms = chained_value_ms(p.objective_and_gradient, x0, n=repeats)
-    # CPU baseline: same per-kx operator algorithm on numpy/BLAS. The
-    # full 1000-step fwd+reverse takes tens of minutes on CPU, so it is
-    # measured at 100 steps and scaled linearly (cost is exactly linear
-    # in steps; the per-step work is step-index independent).
+    rel_J = abs(float(p.objective(x0)) - J64) / abs(J64)
+    fast = {}
+    if on_tpu:
+        p_fast = OptimalMixing(MixingConfig(dtype=dtype, s=1,
+                                            solve_precision="bfloat16"))
+        ms_f = chained_value_ms(p_fast.objective_and_gradient, x0, n=repeats)
+        fast = {"fast_ms": ms_f,
+                "fast_rel_J": abs(float(p_fast.objective(x0)) - J64) / abs(J64)}
+    # CPU baseline: same per-kx operator algorithm on numpy/BLAS,
+    # measured at 100 steps and scaled linearly. The extrapolation is
+    # VALIDATED: one full 1000-step fwd+reverse measured 726.7 s vs
+    # 727 s extrapolated (BASELINE.md).
     sys.path.insert(0, "baselines")
     from mixing_numpy import MixingNumpy
 
@@ -189,7 +225,7 @@ def bench_mixing(repeats=3):
     t0 = time.perf_counter()
     sim.gradient(x_np)
     cpu_ms = (time.perf_counter() - t0) * 1e3 * (1000 / sub_steps)
-    return ms / 1e3, cpu_ms
+    return ms / 1e3, cpu_ms, rel_J, fast
 
 
 def main():
@@ -208,7 +244,7 @@ def main():
     rel_J = abs(J_tpu - J_cpu) / abs(J_cpu)
     rel_g = float(np.linalg.norm(g_tpu - g_cpu) / np.linalg.norm(g_cpu))
 
-    kd_tpu, kd_cpu, kd_rel_J, kd_rel_g = bench_kdyn()
+    kd_tpu, kd_cpu, kd_rel_J, kd_rel_g, kd_fast = bench_kdyn()
 
     # Secondary benches run in SUBPROCESSES: the axon tunnel is flaky
     # under long multi-compile sequences in one process (sporadic
@@ -216,25 +252,32 @@ def main():
     import subprocess
 
     extra = {}
-    for name, fn in (("shb23_512", "bench_shb23"),
-                     ("mixing_256x128", "bench_mixing")):
+    runners = {
+        "shb23_512": "t, c = bench.bench_shb23(); print('RES', __import__('json').dumps({'tpu_ms': t*1e3, 'cpu_ms': c}))",
+        "mixing_256x128": ("t, c, rj, fast = bench.bench_mixing(); "
+                           "print('RES', __import__('json').dumps("
+                           "{'tpu_ms': t*1e3, 'cpu_ms': c, 'rel_J': rj, **{'fast_'+k if not k.startswith('fast') else k: v for k, v in fast.items()}}))"),
+    }
+    for name, code in runners.items():
         remaining = budget_s - (time.perf_counter() - t_start)
         if remaining < 420:
             extra[name + "_skipped"] = f"budget ({int(remaining)}s left)"
             continue
         try:
             out = subprocess.run(
-                [sys.executable, "-c",
-                 f"import bench; t, c = bench.{fn}(); print('RES', t, c)"],
-                capture_output=True, text=True, timeout=min(1200, remaining - 30), cwd=".",
+                [sys.executable, "-c", f"import bench; {code}"],
+                capture_output=True, text=True, timeout=min(1500, remaining - 30), cwd=".",
             )
             line = [l for l in out.stdout.splitlines() if l.startswith("RES")]
             if line:
-                parts = line[0].split()
-                tpu_ms = float(parts[1]) * 1e3
-                cpu_ms = float(parts[2])
+                r = json.loads(line[0][4:])
+                tpu_ms = r.pop("tpu_ms")
+                cpu_ms = r.pop("cpu_ms")
                 extra[name + "_fwd_grad_ms"] = round(tpu_ms, 3)
                 extra[name + "_vs_baseline"] = round(cpu_ms / tpu_ms, 2)
+                for k, v in r.items():
+                    extra[f"{name}_{k}"] = (f"{v:.2e}" if "rel" in k
+                                            else round(float(v), 3))
             else:
                 extra[name + "_error"] = (out.stderr.strip().splitlines() or ["?"])[-1][:100]
         except Exception as e:
@@ -256,6 +299,9 @@ def main():
                     "kdyn24_vs_baseline": round(kd_cpu / kd_tpu, 2),
                     "kdyn24_J_rel_err": f"{kd_rel_J:.2e}",
                     "kdyn24_grad_rel_err": f"{kd_rel_g:.2e}",
+                    **{f"kdyn24_{k.replace('_s', '_ms') if k == 'fast_s' else k}":
+                       (round(v * 1e3, 3) if k == "fast_s" else f"{v:.2e}")
+                       for k, v in kd_fast.items()},
                     **extra,
                 },
             }

@@ -65,6 +65,14 @@ class KDynConfig:
     adjoint: str = "discrete"    # "discrete" (autodiff) | "continuous"
                                  # (the ref's 8-variable adjoint system,
                                  # `FWD_Solve_KDyn.py:766-1004`)
+    matmul_precision: str = "highest"
+                                 # MXU pass count for the f32 transform
+                                 # einsums. TPU default ("default") runs
+                                 # one bf16 pass: J rel-err 3.9e-3 vs
+                                 # f64 over 2000 steps. "highest"
+                                 # (3-pass) reaches the true f32 floor,
+                                 # 1.5e-4, at ~1.5x step cost (measured,
+                                 # BASELINE.md f32-accuracy table).
     project_gradients: bool = True
     # Leray-project dJ/dB0 and dJ/dU onto divergence-free fields. The
     # reference's adjoint systems solve with div G = div nu = 0 tau
@@ -174,9 +182,10 @@ class KinematicDynamo:
     def to_coeff(self, v_grid: jnp.ndarray) -> jnp.ndarray:
         """(c, mg, mg, mg) grid -> (c, n, n, n//2+1) truncated coeffs."""
         if self.cfg.transform == "matmul":
-            c = jnp.einsum("Zk,...abk->...abZ", self._Fz, v_grid)
-            c = jnp.einsum("Yb,...abZ->...aYZ", self._Ff, c)
-            c = jnp.einsum("Xa,...aYZ->...XYZ", self._Ff, c)
+            pr = self.cfg.matmul_precision
+            c = jnp.einsum("Zk,...abk->...abZ", self._Fz, v_grid, precision=pr)
+            c = jnp.einsum("Yb,...abZ->...aYZ", self._Ff, c, precision=pr)
+            c = jnp.einsum("Xa,...aYZ->...XYZ", self._Ff, c, precision=pr)
             return jnp.where(jnp.asarray(self._keep), c, 0.0)
         n, mg = self.cfg.npts, v_grid.shape[-1]
         c = jnp.fft.rfftn(v_grid, axes=(-3, -2, -1)) / (mg ** 3)
@@ -190,9 +199,10 @@ class KinematicDynamo:
         """Truncated coeffs -> (c, mg, mg, mg) oversampled grid."""
         n, mg = self.cfg.npts, self.mg
         if self.cfg.transform == "matmul":
-            g = jnp.einsum("aX,...XYZ->...aYZ", self._Bf, c)
-            g = jnp.einsum("bY,...aYZ->...abZ", self._Bf, g)
-            g = jnp.einsum("kZ,...abZ->...abk", self._Bz, g)
+            pr = self.cfg.matmul_precision
+            g = jnp.einsum("aX,...XYZ->...aYZ", self._Bf, c, precision=pr)
+            g = jnp.einsum("bY,...aYZ->...abZ", self._Bf, g, precision=pr)
+            g = jnp.einsum("kZ,...abZ->...abk", self._Bz, g, precision=pr)
             return g.real.astype(self._rdtype)
         h = n // 2
         batch = c.shape[:-3]

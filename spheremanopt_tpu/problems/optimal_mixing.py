@@ -79,6 +79,18 @@ class MixingConfig:
     prep_steps: int = 100        # IC prep: LINEAR solve iterations
     prep_dt: float = 1e-4        # (ref FWD_Solve_IVP_Prep :520, Sim_Type
                                  # ="Linear" build :480-484)
+    solve_precision: str = "compensated"
+                                 # f32 TPU accuracy of the per-kx solves
+                                 # (measured, 1000 steps vs f64; BASELINE.md):
+                                 #  "bfloat16"    J rel-err 5.6e-2, fastest
+                                 #                (operator hoisted to bf16,
+                                 #                VMEM-resident)
+                                 #  "compensated" 5.4e-5: operator stored as
+                                 #                bf16 hi/lo split planes, rhs
+                                 #                split via reduce_precision,
+                                 #                3 bf16 dots (lo.lo dropped)
+                                 #  "highest"     1.9e-5: 6-pass f32 emulation
+                                 # f64 runs (CPU/tests) are always exact.
 
 
 def _cheb_mult_T(coeffs_of_factor: np.ndarray, n: int) -> np.ndarray:
@@ -104,7 +116,7 @@ def _cx(pair):
     return pair[0] + 1j * pair[1]
 
 
-def _solve_apply(op_pair, rhs_c):
+def _solve_apply(op_pair, rhs_c, precision=None):
     """Batched per-kx solve in PACKED real-plane form: the complex rhs
     rides as a trailing channel dim c=(re, im), so each operator plane
     is applied by exactly ONE batched dot per step.
@@ -123,13 +135,47 @@ def _solve_apply(op_pair, rhs_c):
     """
     opr, opi = op_pair
     y = jnp.stack([rhs_c.real, rhs_c.imag], axis=-1)   # (k, n, 2)
-    p1 = jnp.einsum("kij,kjc->kic", opr, y)
-    p2 = jnp.einsum("kij,kjc->kic", opi, y)
+    p1 = jnp.einsum("kij,kjc->kic", opr, y, precision=precision)
+    p2 = jnp.einsum("kij,kjc->kic", opi, y, precision=precision)
+    return jax.lax.complex(p1[..., 0] - p2[..., 1], p1[..., 1] + p2[..., 0])
+
+
+def _solve_apply_compensated(op_quad, rhs_c):
+    """Error-compensated f32 solve on the bf16 MXU: the operator planes
+    are stored as bf16 hi/lo SPLIT pairs (hi = bf16(S), lo = S - hi) and
+    the rhs is split in-graph with lax.reduce_precision (a plain
+    f32->bf16->f32 convert pair is elided by XLA's excess-precision
+    simplifier, silently dropping the correction). Three bf16 dots per
+    plane (the lo.lo term is below f32 resolution), barriered so XLA
+    cannot re-fold hi+lo dots into one bf16 dot.
+
+    Measured (mixing reference config, 1000 steps vs f64): J rel-err
+    5.4e-5, vs 5.6e-2 for plain bf16 — the single-pass default's
+    per-step rhs rounding random-walks to percent-level error, and a
+    bf16-rounded OPERATOR alone is a badly perturbed propagator (620%
+    error): both splits are needed.
+    """
+    rhi, rlo, ihi, ilo = op_quad
+    y = jnp.stack([rhs_c.real, rhs_c.imag], axis=-1)
+    yh = jax.lax.reduce_precision(y, exponent_bits=8, mantissa_bits=7)
+    yl = y - yh
+    mm = lambda A, v: jnp.einsum("kij,kjc->kic", A, v)
+    p1 = mm(rhi, yh) + jax.lax.optimization_barrier(mm(rhi, yl) + mm(rlo, yh))
+    p2 = mm(ihi, yh) + jax.lax.optimization_barrier(mm(ihi, yl) + mm(ilo, yh))
     return jax.lax.complex(p1[..., 0] - p2[..., 1], p1[..., 1] + p2[..., 0])
 
 
 class OptimalMixing:
     """Mixing problem: X = [(2, mgx, mgz) velocity grid fields]."""
+
+    def _solve(self, op, rhs_c):
+        """Apply a stored per-kx solve operator at the configured
+        precision (see MixingConfig.solve_precision)."""
+        if self._smode == "compensated":
+            return _solve_apply_compensated(op, rhs_c)
+        if self._smode == "highest":
+            return _solve_apply(op, rhs_c, precision="highest")
+        return _solve_apply(op, rhs_c)
 
     def __init__(self, cfg: MixingConfig = MixingConfig()):
         self.cfg = cfg
@@ -164,14 +210,32 @@ class OptimalMixing:
         self._Dz = self._Dz_np.astype(rdtype)
         self._kx = (2.0 * np.pi * kxi / cfg.lx).astype(np.float64)
 
+        # Effective solve mode: the precision machinery only concerns the
+        # bf16 MXU; f64 runs (CPU tests/baselines) are exact by
+        # construction and use the plain packed form.
+        self._smode = (cfg.solve_precision if rdtype == jnp.float32
+                       else "exact")
+
         # --- per-kx implicit solve operators (device args, not consts) ---
-        # Stored as real/imag PAIRS: complex host<->device transfers are
+        # Stored as real/imag PAIRS (or bf16 hi/lo split QUADS in
+        # compensated mode): complex host<->device transfers are
         # unimplemented on this platform above small sizes, so the
         # complex operators are reassembled inside jit from real planes.
+        def _split(a):
+            a = np.asarray(a, np.float32)
+            hi = a.astype(jnp.bfloat16).astype(np.float32)
+            return hi, a - hi
+
         def _put(a):
             a = np.asarray(a)
+            if self._smode == "compensated":
+                rhi, rlo = _split(a.real)
+                ihi, ilo = _split(a.imag)
+                return tuple(jax.device_put(jnp.asarray(v, rdtype))
+                             for v in (rhi, rlo, ihi, ilo))
             return (jax.device_put(jnp.asarray(a.real, rdtype)),
                     jax.device_put(jnp.asarray(a.imag, rdtype)))
+        self._put_op = _put
 
         S, MN = self._build_operators()
         self._S_np, self._MN_np = S, MN   # exact f64 operators (baselines)
@@ -406,7 +470,7 @@ class OptimalMixing:
         rhs = jnp.concatenate(
             [a0 * u_c + nlu, a0 * w_c + nlw, a0 * r_c + nlr], axis=-1
         )  # (kxn, 3nz)
-        sol = _solve_apply(ops["S"], rhs)
+        sol = self._solve(ops["S"], rhs)
         nz = self.cfg.nz
         return sol[:, :nz], sol[:, nz : 2 * nz], sol[:, 2 * nz :]
 
@@ -418,7 +482,7 @@ class OptimalMixing:
         return jnp.sum(w * (ug * ug + wg * wg))
 
     def _mixnorm(self, ops, r_c):
-        psi = _solve_apply(ops["MN"], r_c)
+        psi = self._solve(ops["MN"], r_c)
         ikx = jnp.asarray(1j * self._kx)[:, None]
         psix = ikx * psi
         psiz = jnp.einsum("mn,kn->km", jnp.asarray(self._Dz), psi)
@@ -518,13 +582,13 @@ class OptimalMixing:
                 a0 * wa + self.to_coeff(nl_w),
                 a0 * ba + self.to_coeff(nl_b),
             ], axis=-1)
-            sol = _solve_apply(ops["SA"], rhs)
+            sol = self._solve(ops["SA"], rhs)
             return (sol[:, :nz], sol[:, nz : 2 * nz], sol[:, 2 * nz :]), None
 
         ua0 = jnp.zeros_like(u_c)
         wa0 = jnp.zeros_like(w_c)
         if cfg.s == 1:
-            psi = _solve_apply(ops["MN"], rT_c)
+            psi = self._solve(ops["MN"], rT_c)
             ba0 = -psi
         else:
             ba0 = jnp.zeros_like(r_c)
@@ -669,11 +733,7 @@ class OptimalMixing:
         `FWD_Solve_Poiseuille.py:480-484,549`)."""
         if not hasattr(self, "_prep_ops_cache"):
             S_prep, _ = self._build_operators(dt=self.cfg.prep_dt)
-            rd = self._rdtype
-            self._prep_ops_cache = (
-                jax.device_put(jnp.asarray(S_prep.real, rd)),
-                jax.device_put(jnp.asarray(S_prep.imag, rd)),
-            )
+            self._prep_ops_cache = self._put_op(S_prep)
         return self._prep_ops_cache
 
     def generate_ic(self, seed: int = 42) -> List[jnp.ndarray]:
@@ -711,7 +771,7 @@ class OptimalMixing:
             def body(carry, _):
                 u, w, r = carry
                 rhs = jnp.concatenate([a0 * u, a0 * w, a0 * r], axis=-1)
-                sol = _solve_apply(prep_ops, rhs)
+                sol = self._solve(prep_ops, rhs)
                 return (sol[:, :nz], sol[:, nz:2 * nz], sol[:, 2 * nz:]), None
 
             (u_c, w_c, r_c), _ = jax.lax.scan(

@@ -120,3 +120,45 @@ def test_nested_remat_matches_storeall(x0):
     ga, gb = pa.gradient(x0), pb.gradient(x0)
     for a, b in zip(ga, gb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10)
+
+
+def test_f32_optimisation_reaches_f64_optimum():
+    """f32 parity (BASELINE.md f32-accuracy table, VERDICT round-1
+    item 4), two levels. (1) Per-evaluation: one fused fwd+grad over the
+    100-step trajectory agrees with f64 to the f32 accumulation floor.
+    (2) Full 10-iteration optimisation: the final J agrees within 1% —
+    looser BY DESIGN: near-threshold line-search accept decisions flip
+    under 1e-5-level J perturbations, after which the two runs follow
+    different (equally valid) trajectories toward the optimum; this is
+    decision divergence, not numerical error, and the same effect caps
+    any f32-vs-f64 trajectory comparison. (The TPU bf16-MXU effect is a
+    separate axis, handled by matmul_precision='highest' and measured on
+    hardware.)"""
+    from spheremanopt_tpu.optim.jit_driver import jit_optimise_on_multi_sphere
+
+    # one IC for both dtypes: jax.random draws different bits per dtype
+    p64 = KinematicDynamo(KDynConfig(npts=12, n_iters=100, dt=1e-3,
+                                     dtype="float64"))
+    x0_np = [np.asarray(x, np.float64) for x in p64.generate_ic(seed=3)]
+
+    J_eval, g_eval, J_fin = {}, {}, {}
+    for dtype in ("float64", "float32"):
+        p = KinematicDynamo(KDynConfig(npts=12, n_iters=100, dt=1e-3,
+                                       dtype=dtype))
+        x0 = [jnp.asarray(x, p._rdtype) for x in x0_np]
+        J, g = p.objective_and_gradient(x0)
+        J_eval[dtype] = float(J)
+        g_eval[dtype] = np.asarray(g[0], np.float64)
+        opt = jit_optimise_on_multi_sphere(
+            p.objective_and_gradient, p.inner_product, p.radii,
+            max_iters=10, alpha0=0.5, cg=True, err_tol=1e-12)
+        r = opt(x0)
+        J_fin[dtype] = float(r.function_values[9])
+
+    rel_J = abs(J_eval["float32"] - J_eval["float64"]) / abs(J_eval["float64"])
+    rel_g = (np.linalg.norm(g_eval["float32"] - g_eval["float64"])
+             / np.linalg.norm(g_eval["float64"]))
+    assert rel_J < 2e-5, rel_J
+    assert rel_g < 2e-4, rel_g
+    rel_fin = abs(J_fin["float32"] - J_fin["float64"]) / abs(J_fin["float64"])
+    assert rel_fin < 1e-2, (J_fin, rel_fin)
