@@ -289,9 +289,12 @@ def main(argv=None) -> int:
     )
 
     plot_optimisation(res, save_path=os.path.join(args.out_dir, "convergence.pdf"))
-    if hasattr(problem, "diagnostics"):
-        from spheremanopt_tpu.io.figures import plot_energy_series
+    from spheremanopt_tpu.io.figures import PROBLEM_FIGURES, plot_energy_series
 
+    if args.problem in PROBLEM_FIGURES:
+        # the reference's per-problem figure assembly (plot_figure_*.py)
+        PROBLEM_FIGURES[args.problem](problem, res.x_opt, args.out_dir)
+    elif hasattr(problem, "diagnostics"):
         diag = problem.diagnostics(res.x_opt)
         plot_energy_series(diag, os.path.join(args.out_dir, "energy_series.pdf"))
 
