@@ -228,6 +228,37 @@ def bench_mixing(repeats=3):
     return ms / 1e3, cpu_ms, rel_J, fast
 
 
+def bench_kdyn48(repeats=3, n_iters=500):
+    """Scale demo (VERDICT round-1 item 10): KDyn at 48^3 with the
+    pencil-decomposed distributed FFT in the production step path vs the
+    matmul transforms, single chip (the same code scales over an ICI
+    mesh via n_shards; multi-chip correctness is pinned by
+    tests/test_parallel.py on the 8-device CPU mesh)."""
+    import jax
+    import jax.numpy as jnp
+
+    from spheremanopt_tpu.problems.kinematic_dynamo import (
+        KDynConfig,
+        KinematicDynamo,
+    )
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    dtype = "float32" if on_tpu else "float64"
+    out = {}
+    x0 = None
+    for tname in ("matmul", "distributed"):
+        p = KinematicDynamo(KDynConfig(npts=48, n_iters=n_iters, dt=5e-4,
+                                       dtype=dtype, transform=tname,
+                                       n_shards=1,
+                                       project_gradients=False))
+        if x0 is None:
+            x0 = p.generate_ic(seed=42)
+        ms = chained_value_ms(p.objective_and_gradient, x0, n=repeats)
+        out[tname + "_ms"] = ms
+        out[tname + "_J"] = float(p.objective(x0))
+    return out
+
+
 def main():
     t_start = time.perf_counter()
     # soft budget: secondaries are skipped when insufficient time remains
@@ -253,6 +284,8 @@ def main():
 
     extra = {}
     runners = {
+        "kdyn48_scale": ("r = bench.bench_kdyn48(); "
+                         "print('RES', __import__('json').dumps(r))"),
         "shb23_512": "t, c = bench.bench_shb23(); print('RES', __import__('json').dumps({'tpu_ms': t*1e3, 'cpu_ms': c}))",
         "mixing_256x128": ("t, c, rj, fast = bench.bench_mixing(); "
                            "print('RES', __import__('json').dumps("
@@ -271,13 +304,14 @@ def main():
             line = [l for l in out.stdout.splitlines() if l.startswith("RES")]
             if line:
                 r = json.loads(line[0][4:])
-                tpu_ms = r.pop("tpu_ms")
-                cpu_ms = r.pop("cpu_ms")
-                extra[name + "_fwd_grad_ms"] = round(tpu_ms, 3)
-                extra[name + "_vs_baseline"] = round(cpu_ms / tpu_ms, 2)
+                if "tpu_ms" in r:
+                    tpu_ms = r.pop("tpu_ms")
+                    cpu_ms = r.pop("cpu_ms")
+                    extra[name + "_fwd_grad_ms"] = round(tpu_ms, 3)
+                    extra[name + "_vs_baseline"] = round(cpu_ms / tpu_ms, 2)
                 for k, v in r.items():
                     extra[f"{name}_{k}"] = (f"{v:.2e}" if "rel" in k
-                                            else round(float(v), 3))
+                                            else round(float(v), 4))
             else:
                 extra[name + "_error"] = (out.stderr.strip().splitlines() or ["?"])[-1][:100]
         except Exception as e:

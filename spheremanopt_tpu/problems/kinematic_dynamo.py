@@ -60,8 +60,17 @@ class KDynConfig:
     remat: object = True         # True/"step": per-step jax.checkpoint;
                                  # "nested": sqrt(N)-memory two-level
                                  # checkpointing; False: store-all
+    n_shards: int = 0            # transform="distributed": mesh size
+                                 # (0 = all visible devices)
     transform: str = "matmul"    # "matmul" (per-axis DFT einsums, MXU-
-                                 # native, GSPMD-shardable) | "fft"
+                                 # native, GSPMD-shardable)
+                                 # | "distributed" (pencil-decomposed
+                                 # shard_map rfftn with all_to_all
+                                 # transposes riding ICI — the scaling
+                                 # path for grids beyond one chip,
+                                 # parallel/fft.py; full-grid coefficient
+                                 # layout, band kept by masking)
+                                 # | "fft"
     adjoint: str = "discrete"    # "discrete" (autodiff) | "continuous"
                                  # (the ref's 8-variable adjoint system,
                                  # `FWD_Solve_KDyn.py:766-1004`)
@@ -94,15 +103,22 @@ class KinematicDynamo:
         self._rdtype = rdtype
 
         # --- numpy constant tensors (compiled into the executable) ---
-        kfull = 2 * np.pi * np.fft.fftfreq(n, 1.0 / n) / cfg.length
-        kr = 2 * np.pi * np.fft.rfftfreq(n, 1.0 / n) / cfg.length
+        # For transform="distributed" the coefficient layout is the FULL
+        # oversampled-grid rfftn layout (mg, mg, mg//2+1): truncation
+        # becomes a band MASK instead of a reshape, so the pencil-
+        # decomposed FFT needs no cross-shard band gather, and the same
+        # step/Leray/energy code serves both layouts.
+        M = self.mg if cfg.transform == "distributed" else n
+        kfull = 2 * np.pi * np.fft.fftfreq(M, 1.0 / M) / cfg.length
+        kr = 2 * np.pi * np.fft.rfftfreq(M, 1.0 / M) / cfg.length
+        Mr = M // 2 + 1
         kx = kfull[:, None, None]
         ky = kfull[None, :, None]
         kz = kr[None, None, :]
         self._k = np.stack(
-            [np.broadcast_to(kx, (n, n, n // 2 + 1)),
-             np.broadcast_to(ky, (n, n, n // 2 + 1)),
-             np.broadcast_to(kz, (n, n, n // 2 + 1))]
+            [np.broadcast_to(kx, (M, M, Mr)),
+             np.broadcast_to(ky, (M, M, Mr)),
+             np.broadcast_to(kz, (M, M, Mr))]
         ).astype(rdtype)
         k2 = (self._k ** 2).sum(axis=0)
         self._k2 = k2.astype(rdtype)
@@ -110,29 +126,34 @@ class KinematicDynamo:
             inv_k2 = np.where(k2 > 0, 1.0 / k2, 0.0)
         self._inv_k2 = inv_k2.astype(rdtype)
 
-        # Nyquist-free keep mask (Dedalus keeps |k| < n/2), mean zeroed by
-        # the Leray/mean handling below.
+        # Nyquist-free keep mask (Dedalus keeps |k| < n/2 of the NPTS
+        # band), mean zeroed by the Leray/mean handling below. Identical
+        # retained mode set in both layouts.
         nyq = n // 2
-        full_keep = np.abs(np.fft.fftfreq(n) * n) != nyq
-        r_keep = np.ones(n // 2 + 1, bool)
-        if n % 2 == 0:
-            r_keep[-1] = False
+        fidx = np.abs(np.fft.fftfreq(M) * M)
+        full_keep = fidx < nyq
+        r_keep = np.arange(Mr) < nyq
         keep = (full_keep[:, None, None] & full_keep[None, :, None]
                 & r_keep[None, None, :])
-        self._keep = keep  # bool (n,n,n//2+1)
+        self._keep = keep  # bool (M,M,Mr)
 
         # rfftn Hermitian double-count weights for Parseval energies
-        wz = np.full(n // 2 + 1, 2.0)
+        wz = np.full(Mr, 2.0)
         wz[0] = 1.0
-        if n % 2 == 0:
+        if M % 2 == 0:
             wz[-1] = 1.0
-        self._pw = np.broadcast_to(wz[None, None, :], (n, n, n // 2 + 1)).astype(rdtype)
+        self._pw = np.broadcast_to(wz[None, None, :], (M, M, Mr)).astype(rdtype)
 
         # CNAB1 diagonal factors: (1/dt -+ k^2/(2Rm))
         a = 1.0 / cfg.dt
         nu = 1.0 / (2.0 * cfg.rm)
         self._lhs_inv = (1.0 / (a + nu * k2)).astype(rdtype)
         self._rhs_fac = (a - nu * k2).astype(rdtype)
+
+        if cfg.transform == "distributed":
+            from spheremanopt_tpu.parallel.mesh import make_mesh
+
+            self._mesh = make_mesh(cfg.n_shards or None)
 
         # Per-axis DFT matrices for the matmul transform path. On TPU,
         # 24^3-scale transforms are faster as three small batched einsums
@@ -146,8 +167,15 @@ class KinematicDynamo:
         self._Ff = (np.exp(-2j * np.pi * np.outer(freqs, j) / mg) / mg).astype(cdt)
         self._Fz = (np.exp(-2j * np.pi * np.outer(np.arange(n // 2 + 1), j) / mg) / mg).astype(cdt)
         # inverse: modes -> grid; z-axis carries the Hermitian doubling
+        # (wz_n: doubling weights of the TRUNCATED n-band layout — the
+        # module-level wz above is sized for the coefficient layout,
+        # which is the mg-grid in distributed mode)
+        wz_n = np.full(n // 2 + 1, 2.0)
+        wz_n[0] = 1.0
+        if n % 2 == 0:
+            wz_n[-1] = 1.0
         self._Bf = np.exp(2j * np.pi * np.outer(j, freqs) / mg).astype(cdt)
-        self._Bz = (np.exp(2j * np.pi * np.outer(j, np.arange(n // 2 + 1)) / mg) * wz[None, :]).astype(cdt)
+        self._Bz = (np.exp(2j * np.pi * np.outer(j, np.arange(n // 2 + 1)) / mg) * wz_n[None, :]).astype(cdt)
 
         self._objective = jax.jit(self._objective_impl)
         w = 1.0 / self.mg ** 3  # IP weight: sum over comps of grid means
@@ -180,7 +208,14 @@ class KinematicDynamo:
     # ------------------------------------------------------------------
 
     def to_coeff(self, v_grid: jnp.ndarray) -> jnp.ndarray:
-        """(c, mg, mg, mg) grid -> (c, n, n, n//2+1) truncated coeffs."""
+        """(c, mg, mg, mg) grid -> truncated coeffs: (c, n, n, n//2+1)
+        for matmul/fft, band-masked (c, mg, mg, mg//2+1) for
+        distributed."""
+        if self.cfg.transform == "distributed":
+            from spheremanopt_tpu.parallel.fft import distributed_rfftn
+
+            c = distributed_rfftn(v_grid, self._mesh) / (self.mg ** 3)
+            return jnp.where(jnp.asarray(self._keep), c, 0.0)
         if self.cfg.transform == "matmul":
             pr = self.cfg.matmul_precision
             c = jnp.einsum("Zk,...abk->...abZ", self._Fz, v_grid, precision=pr)
@@ -198,6 +233,10 @@ class KinematicDynamo:
     def to_grid(self, c: jnp.ndarray) -> jnp.ndarray:
         """Truncated coeffs -> (c, mg, mg, mg) oversampled grid."""
         n, mg = self.cfg.npts, self.mg
+        if self.cfg.transform == "distributed":
+            from spheremanopt_tpu.parallel.fft import distributed_irfftn
+
+            return distributed_irfftn(c * (mg ** 3), self._mesh, n_z=mg)
         if self.cfg.transform == "matmul":
             pr = self.cfg.matmul_precision
             g = jnp.einsum("aX,...XYZ->...aYZ", self._Bf, c, precision=pr)
@@ -462,10 +501,13 @@ class KinematicDynamo:
         noise = jax.random.normal(key, (self.mg,) * 3, self._rdtype)
         c = self.to_coeff(noise[None])[0]
         # low-pass: keep lowest `frac` of mode indices per axis (ref
-        # filter_field frac=0.25, :30-55)
+        # filter_field frac=0.25, :30-55); mask built on the actual
+        # coefficient layout so the retained mode set is identical for
+        # the truncated (matmul/fft) and full-grid (distributed) layouts
         n = self.cfg.npts
-        idx = np.minimum(np.arange(n), n - np.arange(n)) / (n // 2)
-        idxr = np.arange(n // 2 + 1) / (n // 2)
+        M, Mr = c.shape[0], c.shape[2]
+        idx = np.abs(np.fft.fftfreq(M) * M) / (n // 2)
+        idxr = np.arange(Mr) / (n // 2)
         keep = ((idx[:, None, None] <= frac) & (idx[None, :, None] <= frac)
                 & (idxr[None, None, :] <= frac))
         c = jnp.where(jnp.asarray(keep), c, 0.0)
@@ -481,6 +523,7 @@ class KinematicDynamo:
             npts=self.cfg.npts, length=self.cfg.length, rm=1.0, dt=1e-3,
             n_iters=100, cost="Final", pad_factor=self.cfg.pad_factor,
             dtype=self.cfg.dtype, remat=False, transform=self.cfg.transform,
+            n_shards=self.cfg.n_shards,
         ))
         if not u_noise:
             # Willis-type ABC-like base flow (ref :255-261)

@@ -78,3 +78,37 @@ def test_jit_and_grad_through_distributed_fft(mesh):
 
     g_ref = jax.grad(energy_local)(v)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-9)
+
+
+def test_kdyn_distributed_transform_in_step_path(eight_devices):
+    """transform="distributed" (pencil-decomposed shard_map rfftn with
+    all_to_all transposes) as the PRODUCTION step path: J and the fused
+    gradient at a 16^3 config match the matmul-transform problem to
+    roundoff on the 8-device mesh, and the IC pipeline itself runs
+    through the distributed transforms (VERDICT round-1 item 10)."""
+    import jax.numpy as jnp
+
+    from spheremanopt_tpu.problems.kinematic_dynamo import (
+        KDynConfig,
+        KinematicDynamo,
+    )
+
+    cfg = dict(npts=16, n_iters=5, dt=1e-3, dtype="float64",
+               project_gradients=False)
+    pm = KinematicDynamo(KDynConfig(transform="matmul", **cfg))
+    pd = KinematicDynamo(KDynConfig(transform="distributed", n_shards=8,
+                                    **cfg))
+
+    x0 = pm.generate_ic(seed=11)
+    x0d = pd.generate_ic(seed=11)
+    # identical IC through either transform pipeline
+    for a, b in zip(x0, x0d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-11, atol=1e-13)
+
+    Jm, gm = pm.objective_and_gradient(x0)
+    Jd, gd = pd.objective_and_gradient(x0)
+    np.testing.assert_allclose(float(Jd), float(Jm), rtol=1e-12)
+    for a, b in zip(gd, gm):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-12)
