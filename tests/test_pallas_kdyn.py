@@ -1,0 +1,94 @@
+"""Fused KDyn Pallas kernel: interpret-mode parity + FD validation.
+
+Per the repo custom-vjp rules (CLAUDE.md): (a) interpret-mode parity of
+the hand-derived reverse sweep against jax.grad of the XLA path, (b) FD
+checks of every cotangent, (c) a real-TPU compile check (done on
+hardware: Mosaic gaps do not show in interpret mode — see BASELINE.md
+round-2 notes and /tmp bench logs; tests here are CPU)."""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spheremanopt_tpu.ops.pallas.kdyn_step import (
+    make_consts,
+    make_fused_energy,
+    run_forward,
+)
+from spheremanopt_tpu.problems.kinematic_dynamo import KDynConfig, KinematicDynamo
+
+
+@pytest.fixture(scope="module")
+def setup():
+    p = KinematicDynamo(KDynConfig(npts=8, n_iters=2000, dt=1e-3,
+                                   dtype="float32", project_gradients=False))
+    x0 = p.generate_ic(seed=3)
+
+    @jax.jit
+    def prep(b0, u):
+        c = p.to_coeff(b0)
+        return c.real, c.imag, p.to_grid(p.to_coeff(u))
+
+    br0, bi0, u_bl = prep(jnp.asarray(x0[0]), jnp.asarray(x0[1]))
+    return p, br0, bi0, u_bl
+
+
+def _ref_J(p, n):
+    @partial(jax.jit, static_argnums=3)
+    def ref(br, bi, u_bl, n):
+        b_c = br + 1j * bi
+
+        def body(b, _):
+            return p._cnab1_step(b, u_bl), None
+
+        b, _ = jax.lax.scan(body, b_c, xs=None, length=n)
+        return p._energy(b)
+
+    return lambda br, bi, u: ref(br, bi, u, n)
+
+
+def test_forward_interpret_parity(setup):
+    p, br0, bi0, u_bl = setup
+    N = 12
+    C = make_consts(p)
+    brT, biT, J = run_forward(br0, bi0, u_bl, C, N, interpret=True)
+    J_ref = _ref_J(p, N)(br0, bi0, u_bl)
+    assert abs(float(J) - float(J_ref)) < 1e-5 * abs(float(J_ref)) + 1e-10
+
+
+def test_vjp_interpret_parity_vs_autodiff(setup):
+    """Hand-derived reverse sweep == jax.grad of the XLA forward, for
+    ALL THREE cotangents (B re/im planes and the stirring field)."""
+    p, br0, bi0, u_bl = setup
+    N = 12
+    f = make_fused_energy(make_consts(p), N, interpret=True)
+    J_ref, g_ref = jax.value_and_grad(_ref_J(p, N), argnums=(0, 1, 2))(
+        br0, bi0, u_bl)
+    J_pl, g_pl = jax.value_and_grad(f, argnums=(0, 1, 2))(br0, bi0, u_bl)
+    assert abs(float(J_pl) - float(J_ref)) < 1e-5 * abs(float(J_ref))
+    for name, a, b in zip(("dbr", "dbi", "du"), g_ref, g_pl):
+        denom = float(np.abs(np.asarray(a)).max()) + 1e-30
+        err = float(np.abs(np.asarray(a) - np.asarray(b)).max()) / denom
+        assert err < 5e-5, (name, err)
+
+
+def test_vjp_fd_every_cotangent(setup):
+    """Central finite differences along gradient-aligned directions for
+    each input; tolerances carry the f32 FD noise floor ~eps_f32*|J|/h."""
+    p, br0, bi0, u_bl = setup
+    N = 12
+    f = make_fused_energy(make_consts(p), N, interpret=True)
+    J, g = jax.value_and_grad(f, argnums=(0, 1, 2))(br0, bi0, u_bl)
+    args = [br0, bi0, u_bl]
+    h = 1e-3
+    noise = 4.0 * np.finfo(np.float32).eps * abs(float(J)) / h
+    for idx, name in enumerate(("br0", "bi0", "u")):
+        d = g[idx] / (jnp.sqrt(jnp.sum(g[idx] ** 2)) + 1e-30)
+        ap = list(args); ap[idx] = args[idx] + h * d
+        am = list(args); am[idx] = args[idx] - h * d
+        fd = (float(f(*ap)) - float(f(*am))) / (2 * h)
+        an = float(jnp.sum(g[idx] * d))
+        assert abs(fd - an) < 5e-3 * abs(an) + noise, (name, fd, an, noise)
