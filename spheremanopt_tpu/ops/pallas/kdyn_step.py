@@ -279,8 +279,8 @@ def _run_fwd_traj(br0, bi0, u, consts, n_steps, interpret, precision):
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ),
         scratch_shapes=[
             pltpu.VMEM(shp, jnp.float32),
@@ -310,7 +310,7 @@ def _run_bwd(u, brT, biT, gbar, trr, tri, consts, n_steps, interpret,
             [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
             + [pl.BlockSpec(memory_space=pltpu.SMEM)]
             + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(names)
-            + [pl.BlockSpec(memory_space=pltpu.ANY)] * 2
+            + [pl.BlockSpec(memory_space=pl.ANY)] * 2
         ),
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),

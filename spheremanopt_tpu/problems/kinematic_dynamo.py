@@ -74,6 +74,13 @@ class KDynConfig:
     adjoint: str = "discrete"    # "discrete" (autodiff) | "continuous"
                                  # (the ref's 8-variable adjoint system,
                                  # `FWD_Solve_KDyn.py:766-1004`)
+    method: str = "xla"          # "xla" (lax.scan step, any transform)
+                                 # | "pallas" (VMEM-resident fused
+                                 # integrator: the whole 2000-step CNAB1
+                                 # solve + hand-derived reverse sweep in
+                                 # one Mosaic kernel, ops/pallas/
+                                 # kdyn_step.py; f32, transform="matmul",
+                                 # cost="Final" only)
     matmul_precision: str = "highest"
                                  # MXU pass count for the f32 transform
                                  # einsums. TPU default ("default") runs
@@ -176,6 +183,26 @@ class KinematicDynamo:
             wz_n[-1] = 1.0
         self._Bf = np.exp(2j * np.pi * np.outer(j, freqs) / mg).astype(cdt)
         self._Bz = (np.exp(2j * np.pi * np.outer(j, np.arange(n // 2 + 1)) / mg) * wz_n[None, :]).astype(cdt)
+
+        if cfg.method == "pallas":
+            if cfg.dtype != "float32":
+                raise ValueError(
+                    "method='pallas' is an f32 TPU kernel; use "
+                    "dtype='float32' (or method='xla' for f64 runs)")
+            if cfg.transform != "matmul" or cfg.cost != "Final":
+                raise ValueError(
+                    "method='pallas' supports transform='matmul' and "
+                    "cost='Final' only")
+            from spheremanopt_tpu.ops.pallas.kdyn_step import (
+                make_consts, make_fused_energy)
+
+            prec = {"default": jax.lax.Precision.DEFAULT,
+                    "high": jax.lax.Precision.HIGH,
+                    "highest": jax.lax.Precision.HIGHEST}[cfg.matmul_precision]
+            self._fused_energy = make_fused_energy(
+                make_consts(self), cfg.n_iters,
+                interpret=jax.default_backend() != "tpu",
+                precision=prec)
 
         self._objective = jax.jit(self._objective_impl)
         w = 1.0 / self.mg ** 3  # IP weight: sum over comps of grid means
@@ -335,6 +362,11 @@ class KinematicDynamo:
         b0_c = self.to_coeff(b0)
         # band-limit U the way Vec_to_Field + Dedalus products do
         u_bl = self.to_grid(self.to_coeff(u))
+        if self.cfg.method == "pallas":
+            # whole solve in one VMEM-resident kernel (custom VJP carries
+            # the hand-derived transposed sweep); the outer transforms
+            # stay XLA and differentiate as usual
+            return -self._fused_energy(b0_c.real, b0_c.imag, u_bl)
         _, J = self._integrate(b0_c, u_bl, self.cfg.n_iters)
         return -J
 

@@ -78,6 +78,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--n-iters", type=int, default=None)
     ap.add_argument("--dim", type=int, default=100, help="PCA dimension")
     ap.add_argument("--cost", choices=["Final", "Integrated"], default="Final")
+    ap.add_argument("--method", default=None,
+                    help="step-method override (sh23: matmul|fft|pallas; "
+                         "kdyn: xla|pallas)")
     ap.add_argument("--s", type=int, choices=[0, 1], default=1, help="mixing objective")
     return ap
 
@@ -104,7 +107,8 @@ def make_problem(args):
         from spheremanopt_tpu.problems.swift_hohenberg import SH23Config, SwiftHohenberg
 
         kw = dict(dtype=dtype, adjoint=args.adjoint)
-        for name, val in [("npts", args.npts), ("dt", args.dt), ("n_iters", args.n_iters)]:
+        for name, val in [("npts", args.npts), ("dt", args.dt),
+                          ("n_iters", args.n_iters), ("method", args.method)]:
             if val is not None:
                 kw[name] = val
         p = SwiftHohenberg(SH23Config(**kw))
@@ -129,7 +133,8 @@ def make_problem(args):
         from spheremanopt_tpu.problems.kinematic_dynamo import KDynConfig, KinematicDynamo
 
         kw = dict(dtype=dtype, cost=args.cost, adjoint=args.adjoint)
-        for name, val in [("npts", args.npts), ("dt", args.dt), ("n_iters", args.n_iters)]:
+        for name, val in [("npts", args.npts), ("dt", args.dt),
+                          ("n_iters", args.n_iters), ("method", args.method)]:
             if val is not None:
                 kw[name] = val
         p = KinematicDynamo(KDynConfig(**kw))

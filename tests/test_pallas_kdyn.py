@@ -92,3 +92,27 @@ def test_vjp_fd_every_cotangent(setup):
         fd = (float(f(*ap)) - float(f(*am))) / (2 * h)
         an = float(jnp.sum(g[idx] * d))
         assert abs(fd - an) < 5e-3 * abs(an) + noise, (name, fd, an, noise)
+
+
+def test_wired_production_path_parity():
+    """KDynConfig(method='pallas') end to end: objective_and_gradient
+    (incl. the Riesz rescale + Leray projection wrapper) matches the
+    XLA-scan path on the same f32 config."""
+    kw = dict(npts=8, n_iters=10, dt=1e-3, dtype="float32")
+    p_x = KinematicDynamo(KDynConfig(method="xla", **kw))
+    p_p = KinematicDynamo(KDynConfig(method="pallas", **kw))
+    x0 = p_x.generate_ic(seed=5)
+    J_x, g_x = p_x.objective_and_gradient(x0)
+    J_p, g_p = p_p.objective_and_gradient(x0)
+    assert abs(float(J_p) - float(J_x)) < 1e-5 * abs(float(J_x))
+    for a, b in zip(g_x, g_p):
+        denom = float(np.abs(np.asarray(a)).max()) + 1e-30
+        assert float(np.abs(np.asarray(a) - np.asarray(b)).max()) / denom < 5e-5
+
+
+def test_wired_config_validation():
+    with pytest.raises(ValueError):
+        KinematicDynamo(KDynConfig(method="pallas", dtype="float64"))
+    with pytest.raises(ValueError):
+        KinematicDynamo(KDynConfig(method="pallas", dtype="float32",
+                                   cost="Integrated"))
