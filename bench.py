@@ -151,16 +151,10 @@ def bench_kdyn(repeats_tpu=5, repeats_cpu=1):
         )
         t_f, rj_f, rg_f = one(p_fast)
         fast = {"fast_s": t_f, "fast_rel_J": rj_f, "fast_rel_g": rg_f}
-    if on_tpu and os.environ.get("SMO_BENCH_PALLAS") == "1":
-        # VMEM-resident fused integrator (one Mosaic kernel per sweep);
-        # gated like SH23's pallas mode — adds a long one-time compile
-        p_pl = KinematicDynamo(
-            KDynConfig(npts=24, n_iters=2000, dt=5e-4, dtype=dtype,
-                       project_gradients=False, method="pallas")
-        )
-        t_p, rj_p, rg_p = one(p_pl)
-        fast.update({"pallas_s": t_p, "pallas_rel_J": rj_p,
-                     "pallas_rel_g": rg_p})
+    # NOTE: KDyn method="pallas" is deliberately NOT benched: Mosaic
+    # compile of the 22-einsum unaligned step body measures ~16 min per
+    # program through the compile helper (OOM-SIGKILL at 2000 steps) —
+    # see BASELINE.md round-2 notes. The XLA scan is the production path.
     return tpu_s, cpu_s, rel_J, rel_g, fast
 
 

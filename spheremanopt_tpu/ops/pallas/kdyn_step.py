@@ -192,81 +192,120 @@ def step_planes_T(cr, ci, u, C, prec=_HI):
     return br_bar + gr_bar, bi_bar + gi_bar, e_bar
 
 
+def _kahan(acc, x):
+    s, c = acc
+    y = x - c
+    t = s + y
+    return t, (t - s) - y
+
+
 def _fwd_traj_kernel(br0_ref, bi0_ref, u_ref, *refs, n_steps: int, prec,
-                     const_names):
+                     const_names, integrated: bool, dt: float):
     """Forward with per-step trajectory spill to HBM (for the reverse
-    sweep's dJ/dU term)."""
+    sweep's dJ/dU term), one grid step per timestep: the pipeline
+    machinery streams each (1,)+shp trajectory block out (manual
+    `make_async_copy` of a 13-lane slice hits Mosaic's 128-lane DMA
+    alignment requirement — measured on hardware; grid blocks don't).
+    State persists in VMEM scratch across the sequential grid.
+    integrated: J = dt*(sum_i E(b_i) + E(b_T)), Kahan-compensated in
+    SMEM, mirroring the XLA path's kahan_add scan."""
     n_c = len(const_names)
     C = {name: ref[:] for name, ref in zip(const_names, refs[:n_c])}
-    brT_ref, biT_ref, j_ref, trr_ref, tri_ref, scr_r, scr_i, sem = refs[n_c:]
-    u = u_ref[:]
+    brT_ref, biT_ref, j_ref, trr_ref, tri_ref, st_r, st_i, acc = refs[n_c:]
+    i = pl.program_id(0)
 
-    def body(i, carry):
-        br, bi = carry
-        scr_r[:] = br
-        scr_i[:] = bi
-        cp1 = pltpu.make_async_copy(scr_r, trr_ref.at[i], sem.at[0])
-        cp2 = pltpu.make_async_copy(scr_i, tri_ref.at[i], sem.at[1])
-        cp1.start()
-        cp2.start()
-        out = step_planes(br, bi, u, C, prec)
-        cp1.wait()
-        cp2.wait()
-        return out
+    @pl.when(i == 0)
+    def _init():
+        st_r[:] = br0_ref[:]
+        st_i[:] = bi0_ref[:]
+        if integrated:
+            acc[0] = 0.0
+            acc[1] = 0.0
 
-    br, bi = jax.lax.fori_loop(0, n_steps, body, (br0_ref[:], bi0_ref[:]))
-    brT_ref[:] = br
-    biT_ref[:] = bi
-    j_ref[0, 0] = energy_planes(br, bi, C)
+    br = st_r[:]
+    bi = st_i[:]
+    trr_ref[0] = br
+    tri_ref[0] = bi
+    if integrated:
+        s, c = _kahan((acc[0], acc[1]), energy_planes(br, bi, C))
+        acc[0] = s
+        acc[1] = c
+    nr, ni = step_planes(br, bi, u_ref[:], C, prec)
+    st_r[:] = nr
+    st_i[:] = ni
+
+    @pl.when(i == n_steps - 1)
+    def _final():
+        brT_ref[:] = nr
+        biT_ref[:] = ni
+        eT = energy_planes(nr, ni, C)
+        if integrated:
+            j_ref[0, 0] = dt * _kahan((acc[0], acc[1]), eT)[0]
+        else:
+            j_ref[0, 0] = eT
 
 
 def _bwd_kernel(u_ref, brT_ref, biT_ref, gbar_ref, *refs, n_steps: int,
-                prec, const_names):
-    """Reverse sweep: lam_T = 2*gbar*pw*B_T, lam_n = S^T lam_{n+1};
-    u_bar += bg_n x e_bar_n with b_n streamed back from the trajectory."""
+                prec, const_names, integrated: bool, dt: float):
+    """Reverse sweep, one grid step per timestep with the trajectory
+    blocks prefetched in reverse via the index map: lam_T = 2*gbar*w*B_T,
+    lam_n = S^T lam_{n+1} [+ 2*gbar*dt*pw*B_n when integrated: each
+    stored state also enters the cost]; u_bar += bg_n x e_bar_n."""
     n_c = len(const_names)
     C = {name: ref[:] for name, ref in zip(const_names, refs[:n_c])}
     (trr_ref, tri_ref, b0r_bar_ref, b0i_bar_ref, ubar_ref,
-     scr_r, scr_i, sem) = refs[n_c:]
-    u = u_ref[:]
+     lam_r_s, lam_i_s, ub_s) = refs[n_c:]
     gbar = gbar_ref[0, 0]
+    kk = pl.program_id(0)
 
-    lam_r0 = 2.0 * gbar * C["pw"] * brT_ref[:]
-    lam_i0 = 2.0 * gbar * C["pw"] * biT_ref[:]
-    ubar0 = jnp.zeros_like(u)
+    @pl.when(kk == 0)
+    def _init():
+        wT = (2.0 * dt) if integrated else 2.0
+        lam_r_s[:] = wT * gbar * C["pw"] * brT_ref[:]
+        lam_i_s[:] = wT * gbar * C["pw"] * biT_ref[:]
+        ub_s[:] = jnp.zeros_like(u_ref[:])
 
-    def body(kk, carry):
-        lam_r, lam_i, ubar = carry
-        i = n_steps - 1 - kk
-        cp1 = pltpu.make_async_copy(trr_ref.at[i], scr_r, sem.at[0])
-        cp2 = pltpu.make_async_copy(tri_ref.at[i], scr_i, sem.at[1])
-        cp1.start()
-        cp2.start()
-        lam_r, lam_i, e_bar = step_planes_T(lam_r, lam_i, u, C, prec)
-        cp1.wait()
-        cp2.wait()
-        bg_n = _to_grid(scr_r[:], scr_i[:], C, prec)
-        ubar = ubar + _cross(bg_n, e_bar)
-        return lam_r, lam_i, ubar
+    lam_r, lam_i, e_bar = step_planes_T(lam_r_s[:], lam_i_s[:], u_ref[:],
+                                        C, prec)
+    sr = trr_ref[0]  # b_i, i = n_steps-1-kk (reverse index map)
+    si = tri_ref[0]
+    if integrated:
+        lam_r = lam_r + (2.0 * dt) * gbar * C["pw"] * sr
+        lam_i = lam_i + (2.0 * dt) * gbar * C["pw"] * si
+    lam_r_s[:] = lam_r
+    lam_i_s[:] = lam_i
+    bg_n = _to_grid(sr, si, C, prec)
+    ub_s[:] = ub_s[:] + _cross(bg_n, e_bar)
 
-    lam_r, lam_i, ubar = jax.lax.fori_loop(
-        0, n_steps, body, (lam_r0, lam_i0, ubar0))
-    b0r_bar_ref[:] = lam_r
-    b0i_bar_ref[:] = lam_i
-    ubar_ref[:] = ubar
+    @pl.when(kk == n_steps - 1)
+    def _final():
+        b0r_bar_ref[:] = lam_r_s[:]
+        b0i_bar_ref[:] = lam_i_s[:]
+        ubar_ref[:] = ub_s[:]
 
 
 def _cparams():
     return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
-def _run_fwd_traj(br0, bi0, u, consts, n_steps, interpret, precision):
+def _whole(shape, space=pltpu.VMEM):
+    """BlockSpec: the whole array as one block, resident across the
+    sequential step grid (fetched/flushed once)."""
+    return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                        memory_space=space)
+
+
+def _run_fwd_traj(br0, bi0, u, consts, n_steps, interpret, precision,
+                  integrated=False, dt=0.0):
     names = sorted(consts)
     shp = br0.shape
     kern = partial(_fwd_traj_kernel, n_steps=n_steps, prec=precision,
-                   const_names=names)
+                   const_names=names, integrated=integrated, dt=dt)
+    traj_spec = pl.BlockSpec((1,) + shp, lambda i: (i,) + (0,) * len(shp),
+                             memory_space=pltpu.VMEM)
     brT, biT, J, trr, tri = pl.pallas_call(
         kern,
+        grid=(n_steps,),
         out_shape=(
             jax.ShapeDtypeStruct(shp, jnp.float32),
             jax.ShapeDtypeStruct(shp, jnp.float32),
@@ -274,18 +313,19 @@ def _run_fwd_traj(br0, bi0, u, consts, n_steps, interpret, precision):
             jax.ShapeDtypeStruct((n_steps,) + shp, jnp.float32),
             jax.ShapeDtypeStruct((n_steps,) + shp, jnp.float32),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 + len(names)),
+        in_specs=[_whole(br0.shape), _whole(bi0.shape), _whole(u.shape)]
+        + [_whole(np.shape(consts[n])) for n in names],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            _whole(shp),
+            _whole(shp),
+            _whole((1, 1), pltpu.SMEM),
+            traj_spec,
+            traj_spec,
         ),
         scratch_shapes=[
             pltpu.VMEM(shp, jnp.float32),
             pltpu.VMEM(shp, jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((2,), jnp.float32),
         ],
         compiler_params=_cparams(),
         interpret=interpret,
@@ -294,33 +334,36 @@ def _run_fwd_traj(br0, bi0, u, consts, n_steps, interpret, precision):
 
 
 def _run_bwd(u, brT, biT, gbar, trr, tri, consts, n_steps, interpret,
-             precision):
+             precision, integrated=False, dt=0.0):
     names = sorted(consts)
     shp = brT.shape
     kern = partial(_bwd_kernel, n_steps=n_steps, prec=precision,
-                   const_names=names)
+                   const_names=names, integrated=integrated, dt=dt)
+    # stream the stored trajectory backwards: block kk holds b_{n-1-kk}
+    traj_spec = pl.BlockSpec(
+        (1,) + shp, lambda kk: (n_steps - 1 - kk,) + (0,) * len(shp),
+        memory_space=pltpu.VMEM)
     b0r_bar, b0i_bar, ubar = pl.pallas_call(
         kern,
+        grid=(n_steps,),
         out_shape=(
             jax.ShapeDtypeStruct(shp, jnp.float32),
             jax.ShapeDtypeStruct(shp, jnp.float32),
             jax.ShapeDtypeStruct(u.shape, jnp.float32),
         ),
-        in_specs=(
-            [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
-            + [pl.BlockSpec(memory_space=pltpu.SMEM)]
-            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(names)
-            + [pl.BlockSpec(memory_space=pl.ANY)] * 2
-        ),
+        in_specs=[_whole(u.shape), _whole(shp), _whole(shp),
+                  _whole((1, 1), pltpu.SMEM)]
+        + [_whole(np.shape(consts[n])) for n in names]
+        + [traj_spec, traj_spec],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            _whole(shp),
+            _whole(shp),
+            _whole(u.shape),
         ),
         scratch_shapes=[
             pltpu.VMEM(shp, jnp.float32),
             pltpu.VMEM(shp, jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM(u.shape, jnp.float32),
         ],
         compiler_params=_cparams(),
         interpret=interpret,
@@ -330,9 +373,12 @@ def _run_bwd(u, brT, biT, gbar, trr, tri, consts, n_steps, interpret,
 
 
 def make_fused_energy(consts, n_steps: int, interpret: bool,
-                      precision=_HI):
-    """Build a custom-vjp callable J(br0, bi0, u) = <B_T, B_T> with the
-    forward AND reverse sweeps as VMEM-resident Pallas kernels.
+                      precision=_HI, integrated: bool = False,
+                      dt: float = 0.0):
+    """Build a custom-vjp callable J(br0, bi0, u) with the forward AND
+    reverse sweeps as VMEM-resident Pallas kernels. J = <B_T, B_T>
+    ("Final") or dt*(sum_i E(B_i) + E(B_T)) ("Integrated",
+    Kahan-compensated, ref `FWD_Solve_KDyn.py:655-673`).
     Differentiable in (br0, bi0, u); validated per the repo custom-vjp
     rules (interpret parity vs jax.grad of the XLA path, FD cotangent
     checks, real-TPU compile check — tests/test_pallas_kdyn.py)."""
@@ -340,19 +386,20 @@ def make_fused_energy(consts, n_steps: int, interpret: bool,
     @jax.custom_vjp
     def fused_energy(br0, bi0, u):
         _, _, J = run_forward(br0, bi0, u, consts, n_steps, interpret,
-                              precision)
+                              precision, integrated, dt)
         return J
 
     def vjp_fwd(br0, bi0, u):
         brT, biT, J, trr, tri = _run_fwd_traj(
-            br0, bi0, u, consts, n_steps, interpret, precision)
+            br0, bi0, u, consts, n_steps, interpret, precision,
+            integrated, dt)
         return J, (u, brT, biT, trr, tri)
 
     def vjp_bwd(res, gbar):
         u, brT, biT, trr, tri = res
         b0r_bar, b0i_bar, ubar = _run_bwd(
             u, brT, biT, gbar, trr, tri, consts, n_steps, interpret,
-            precision)
+            precision, integrated, dt)
         return b0r_bar, b0i_bar, ubar
 
     fused_energy.defvjp(vjp_fwd, vjp_bwd)
@@ -360,29 +407,34 @@ def make_fused_energy(consts, n_steps: int, interpret: bool,
 
 
 def _fwd_kernel(br0_ref, bi0_ref, u_ref, *refs, n_steps: int, prec,
-                const_names):
+                const_names, integrated: bool, dt: float):
     n_c = len(const_names)
     C = {name: ref[:] for name, ref in zip(const_names, refs[:n_c])}
     brT_ref, biT_ref, j_ref = refs[n_c:]
     u = u_ref[:]
 
     def body(_, carry):
-        br, bi = carry
-        return step_planes(br, bi, u, C, prec)
+        br, bi, acc = carry
+        if integrated:
+            acc = _kahan(acc, energy_planes(br, bi, C))
+        return step_planes(br, bi, u, C, prec) + (acc,)
 
-    br, bi = jax.lax.fori_loop(0, n_steps, body, (br0_ref[:], bi0_ref[:]))
+    zero = jnp.zeros((), jnp.float32)
+    br, bi, acc = jax.lax.fori_loop(
+        0, n_steps, body, (br0_ref[:], bi0_ref[:], (zero, zero)))
     brT_ref[:] = br
     biT_ref[:] = bi
-    j_ref[0, 0] = energy_planes(br, bi, C)
+    eT = energy_planes(br, bi, C)
+    j_ref[0, 0] = dt * _kahan(acc, eT)[0] if integrated else eT
 
 
 def run_forward(br0, bi0, u, consts, n_steps: int, interpret: bool,
-                precision=_HI):
-    """Fused forward solve: returns (brT, biT, J=<B_T,B_T>)."""
+                precision=_HI, integrated: bool = False, dt: float = 0.0):
+    """Fused forward solve: returns (brT, biT, J)."""
     names = sorted(consts)
     shp = br0.shape
     kern = partial(_fwd_kernel, n_steps=n_steps, prec=precision,
-                   const_names=names)
+                   const_names=names, integrated=integrated, dt=dt)
     brT, biT, J = pl.pallas_call(
         kern,
         out_shape=(

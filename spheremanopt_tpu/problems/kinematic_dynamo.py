@@ -74,13 +74,19 @@ class KDynConfig:
     adjoint: str = "discrete"    # "discrete" (autodiff) | "continuous"
                                  # (the ref's 8-variable adjoint system,
                                  # `FWD_Solve_KDyn.py:766-1004`)
-    method: str = "xla"          # "xla" (lax.scan step, any transform)
-                                 # | "pallas" (VMEM-resident fused
-                                 # integrator: the whole 2000-step CNAB1
-                                 # solve + hand-derived reverse sweep in
-                                 # one Mosaic kernel, ops/pallas/
-                                 # kdyn_step.py; f32, transform="matmul",
-                                 # cost="Final" only)
+    method: str = "xla"          # "xla" (lax.scan step, any transform —
+                                 # the production path)
+                                 # | "pallas" (EXPERIMENTAL: whole-solve
+                                 # VMEM-resident fused integrator with a
+                                 # hand-derived reverse sweep, ops/
+                                 # pallas/kdyn_step.py; f32 +
+                                 # transform="matmul" only. Fully
+                                 # validated in interpret mode and the
+                                 # forward verified on hardware, but
+                                 # Mosaic compile of the unaligned
+                                 # einsum body costs ~16 min/program on
+                                 # this toolchain — see BASELINE.md —
+                                 # so it is not the default anywhere)
     matmul_precision: str = "highest"
                                  # MXU pass count for the f32 transform
                                  # einsums. TPU default ("default") runs
@@ -189,10 +195,9 @@ class KinematicDynamo:
                 raise ValueError(
                     "method='pallas' is an f32 TPU kernel; use "
                     "dtype='float32' (or method='xla' for f64 runs)")
-            if cfg.transform != "matmul" or cfg.cost != "Final":
+            if cfg.transform != "matmul":
                 raise ValueError(
-                    "method='pallas' supports transform='matmul' and "
-                    "cost='Final' only")
+                    "method='pallas' supports transform='matmul' only")
             from spheremanopt_tpu.ops.pallas.kdyn_step import (
                 make_consts, make_fused_energy)
 
@@ -202,7 +207,8 @@ class KinematicDynamo:
             self._fused_energy = make_fused_energy(
                 make_consts(self), cfg.n_iters,
                 interpret=jax.default_backend() != "tpu",
-                precision=prec)
+                precision=prec,
+                integrated=cfg.cost == "Integrated", dt=cfg.dt)
 
         self._objective = jax.jit(self._objective_impl)
         w = 1.0 / self.mg ** 3  # IP weight: sum over comps of grid means

@@ -94,11 +94,12 @@ def test_vjp_fd_every_cotangent(setup):
         assert abs(fd - an) < 5e-3 * abs(an) + noise, (name, fd, an, noise)
 
 
-def test_wired_production_path_parity():
+@pytest.mark.parametrize("cost", ["Final", "Integrated"])
+def test_wired_production_path_parity(cost):
     """KDynConfig(method='pallas') end to end: objective_and_gradient
     (incl. the Riesz rescale + Leray projection wrapper) matches the
-    XLA-scan path on the same f32 config."""
-    kw = dict(npts=8, n_iters=10, dt=1e-3, dtype="float32")
+    XLA-scan path on the same f32 config, for both cost functionals."""
+    kw = dict(npts=8, n_iters=10, dt=1e-3, dtype="float32", cost=cost)
     p_x = KinematicDynamo(KDynConfig(method="xla", **kw))
     p_p = KinematicDynamo(KDynConfig(method="pallas", **kw))
     x0 = p_x.generate_ic(seed=5)
@@ -115,4 +116,4 @@ def test_wired_config_validation():
         KinematicDynamo(KDynConfig(method="pallas", dtype="float64"))
     with pytest.raises(ValueError):
         KinematicDynamo(KDynConfig(method="pallas", dtype="float32",
-                                   cost="Integrated"))
+                                   transform="fft"))
