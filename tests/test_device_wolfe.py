@@ -125,3 +125,52 @@ def test_wolfe_driver_converges_pca():
     assert err < 1e-5, err
     assert np.isclose(float(jnp.dot(res.x_opt[0], res.x_opt[0])), 1.0,
                       rtol=1e-12)
+
+
+def test_wolfe_driver_trajectory_parity_shb23():
+    """Device Wolfe+CG == host trajectory on the bounded Chebyshev
+    problem (completes device-driver coverage of all PDE problems)."""
+    from spheremanopt_tpu.problems.swift_hohenberg_bounded import (
+        SHB23Config, SwiftHohenbergBounded)
+
+    p = SwiftHohenbergBounded(SHB23Config(npts=64, n_iters=40, dt=0.01))
+    x0 = p.generate_ic(seed=4)
+    res_h = optimise_on_multi_sphere(
+        x0, p.radii, p.objective, p.gradient, p.inner_product,
+        max_iters=6, alpha_k=1.0, line_search="wolfe", cg=True,
+        verbose=False, f_and_g=p.objective_and_gradient)
+    opt = jit_optimise_on_multi_sphere(
+        p.objective_and_gradient, p.inner_product, p.radii,
+        max_iters=6, alpha0=1.0, cg=True, line_search="wolfe")
+    r = opt(x0)
+    jh = np.asarray(res_h.function_values)
+    np.testing.assert_allclose(np.asarray(r.function_values[: len(jh)]),
+                               jh, rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(r.step_sizes[: len(jh)]),
+                               np.asarray(res_h.step_sizes),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_wolfe_driver_trajectory_parity_mixing():
+    """Device Wolfe+CG == host trajectory on the Boussinesq mixing
+    problem (s=1 mix-norm minimisation)."""
+    from spheremanopt_tpu.problems.optimal_mixing import (
+        MixingConfig, OptimalMixing)
+
+    p = OptimalMixing(MixingConfig(nx=32, nz=16, n_iters=20,
+                                   prep_steps=5, s=1))
+    x0 = p.generate_ic(seed=3)
+    res_h = optimise_on_multi_sphere(
+        x0, p.radii, p.objective, p.gradient, p.inner_product,
+        max_iters=5, alpha_k=10.0, line_search="wolfe", cg=True,
+        verbose=False, f_and_g=p.objective_and_gradient)
+    opt = jit_optimise_on_multi_sphere(
+        p.objective_and_gradient, p.inner_product, p.radii,
+        max_iters=5, alpha0=10.0, cg=True, line_search="wolfe")
+    r = opt(x0)
+    jh = np.asarray(res_h.function_values)
+    np.testing.assert_allclose(np.asarray(r.function_values[: len(jh)]),
+                               jh, rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(r.step_sizes[: len(jh)]),
+                               np.asarray(res_h.step_sizes),
+                               rtol=1e-10, atol=1e-12)
