@@ -101,11 +101,17 @@ def jit_optimise_on_multi_sphere(
         return [-g + beta * td for g, td in zip(gs, tds)]
 
     @jax.jit
-    def optimise(x0_list, radii_dyn=None):
+    def optimise(x0_list, radii_dyn=None, aux=None):
         """radii_dyn: optional traced per-sphere radii overriding the
         static ones — lets one compiled executable serve a sweep of
-        constraint levels (e.g. critical-seed bisection)."""
+        constraint levels (e.g. critical-seed bisection). aux: optional
+        operand pytree passed through to `f_and_g(aux, xs)` as a real
+        jit ARGUMENT — required when the problem's operator stacks are
+        too large to embed as program constants (the axon compile tunnel
+        rejects oversized program bodies with HTTP 413; measured on the
+        mixing device-loop)."""
         rr = list(radii) if radii_dyn is None else list(radii_dyn)
+        fg = f_and_g if aux is None else (lambda xs_: f_and_g(aux, xs_))
 
         def retract(xs, alpha, ds):
             return [geom.retract(x, alpha, d, r, ip)
@@ -122,10 +128,10 @@ def jit_optimise_on_multi_sphere(
             def body(state):
                 alpha, _, k = state
                 alpha = alpha * shrink
-                J_new, _ = f_and_g(retract(xs, alpha, ds))
+                J_new, _ = fg(retract(xs, alpha, ds))
                 return (alpha, J_new, k + 1)
 
-            J_first, _ = f_and_g(retract(xs, alpha_start, ds))
+            J_first, _ = fg(retract(xs, alpha_start, ds))
             alpha, J_new, k = jax.lax.while_loop(
                 cond, body, (jnp.asarray(alpha_start, J0.dtype), J_first, 0)
             )
@@ -134,7 +140,7 @@ def jit_optimise_on_multi_sphere(
 
         xs = [geom.normalise_sphere(x, r, ip)
               for x, r, ip in zip(list(x0_list), rr, ips)]
-        J0, nab0 = f_and_g(xs)
+        J0, nab0 = fg(xs)
         g0 = tangent(xs, nab0)
         dtype = J0.dtype
 
@@ -173,7 +179,7 @@ def jit_optimise_on_multi_sphere(
 
             # next gradient (only meaningful while active; masked cheaply
             # by reusing the old state when frozen)
-            _, nab = f_and_g(xs)
+            _, nab = fg(xs)
             gs_new = tangent(xs, nab)
             gs_old_n = gs
             ds_old_n = ds
@@ -195,12 +201,14 @@ def jit_optimise_on_multi_sphere(
         return JitOptResult(xs, J_hist, r_hist, a_hist, n_done)
 
     @jax.jit
-    def optimise_wolfe(x0_list, radii_dyn=None):
+    def optimise_wolfe(x0_list, radii_dyn=None, aux=None):
         """Strong-Wolfe mode with host-driver semantics (see module
         docstring): iteration 0 is Armijo at alpha0, subsequent
         iterations run the device Wolfe state machine with gradient
-        handoff; CG directions start at the third pass."""
+        handoff; CG directions start at the third pass. aux: see
+        `optimise`."""
         rr = list(radii) if radii_dyn is None else list(radii_dyn)
+        fg = f_and_g if aux is None else (lambda xs_: f_and_g(aux, xs_))
 
         def retract(xs, alpha, ds):
             return [geom.retract(x, alpha, d, r, ip)
@@ -208,7 +216,7 @@ def jit_optimise_on_multi_sphere(
 
         xs = [geom.normalise_sphere(x, r, ip)
               for x, r, ip in zip(list(x0_list), rr, ips)]
-        J0, nab0 = f_and_g(xs)
+        J0, nab0 = fg(xs)
         g0 = tangent(xs, nab0)
         dtype = J0.dtype
 
@@ -224,7 +232,7 @@ def jit_optimise_on_multi_sphere(
 
         def eval0(a):
             xs_t = retract(xs, a, ds0)
-            J_t, nab_t = f_and_g(xs_t)
+            J_t, nab_t = fg(xs_t)
             gs_t = tangent(xs_t, nab_t)
             return J_t, jnp.zeros((), dtype), (xs_t, gs_t)
 
@@ -266,7 +274,7 @@ def jit_optimise_on_multi_sphere(
 
             def eval_fn(a):
                 xs_t = retract(xs, a, ds)
-                J_t, nab_t = f_and_g(xs_t)
+                J_t, nab_t = fg(xs_t)
                 gs_t, slope_t = [], jnp.zeros((), dtype)
                 for x_t, nb, d, ip in zip(xs_t, nab_t, ds, ips):
                     g_t = geom.tangent_project(x_t, nb, ip)

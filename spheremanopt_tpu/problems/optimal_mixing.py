@@ -614,6 +614,17 @@ class OptimalMixing:
     def objective_and_gradient(self, x_list):
         return self._obj_and_grad(self._ops, list(x_list))
 
+    @property
+    def objective_and_gradient_aux(self):
+        """(callable(ops, xs), ops): the fused objective+gradient with
+        the operator stacks as explicit jit operands. Outer-jit drivers
+        (optim/jit_driver) must use this form — tracing the bound
+        `objective_and_gradient` inside another jit would embed the
+        per-kx solve stacks (hundreds of MB) as program constants, which
+        the axon compile tunnel rejects (HTTP 413; measured on the
+        mixing device-loop run)."""
+        return self._obj_and_grad, self._ops
+
     def inner_product(self, x, y):
         return self._inner(x, y)
 

@@ -231,6 +231,14 @@ def main(argv=None) -> int:
             def f_and_g(xs):
                 return problem.objective(xs), problem.gradient(xs)
 
+        # problems with large operator stacks provide an (f(ops, xs), ops)
+        # pair so the stacks enter the driver jit as operands, not as
+        # program constants (the compile tunnel caps program-body size)
+        aux = None
+        pair = getattr(problem, "objective_and_gradient_aux", None)
+        if pair is not None and pair[1] is not None:
+            f_and_g, aux = pair
+
         opt = jit_optimise_on_multi_sphere(
             f_and_g, problem.inner_product, radii,
             max_iters=args.max_iters if args.max_iters is not None else defaults["max_iters"],
@@ -240,7 +248,7 @@ def main(argv=None) -> int:
             line_search=args.ls,
         )
         t0 = time.time()
-        r = opt(x0)
+        r = opt(x0, aux=aux) if aux is not None else opt(x0)
         k = int(r.iterations)
         wall = time.time() - t0
         summary = {

@@ -174,3 +174,29 @@ def test_wolfe_driver_trajectory_parity_mixing():
     np.testing.assert_allclose(np.asarray(r.step_sizes[: len(jh)]),
                                np.asarray(res_h.step_sizes),
                                rtol=1e-10, atol=1e-12)
+
+
+def test_wolfe_driver_aux_operands_match_closure():
+    """Passing the operator stacks as jit OPERANDS (aux=...) must give
+    the identical trajectory to the closure form — the aux path is how
+    large-operator problems (mixing) run under the device driver without
+    embedding the stacks as program constants."""
+    from spheremanopt_tpu.problems.optimal_mixing import (
+        MixingConfig, OptimalMixing)
+
+    p = OptimalMixing(MixingConfig(nx=32, nz=16, n_iters=20,
+                                   prep_steps=5, s=1))
+    x0 = p.generate_ic(seed=3)
+    opt = jit_optimise_on_multi_sphere(
+        p.objective_and_gradient, p.inner_product, p.radii,
+        max_iters=4, alpha0=10.0, cg=True, line_search="wolfe")
+    r_closure = opt(x0)
+    fg, ops = p.objective_and_gradient_aux
+    opt_aux = jit_optimise_on_multi_sphere(
+        fg, p.inner_product, p.radii,
+        max_iters=4, alpha0=10.0, cg=True, line_search="wolfe")
+    r_aux = opt_aux(x0, aux=ops)
+    np.testing.assert_array_equal(np.asarray(r_aux.function_values),
+                                  np.asarray(r_closure.function_values))
+    np.testing.assert_array_equal(np.asarray(r_aux.step_sizes),
+                                  np.asarray(r_closure.step_sizes))
