@@ -134,9 +134,9 @@ def _solve_apply(op_pair, rhs_c, precision=None):
     custom gradient is needed.
     """
     opr, opi = op_pair
-    y = jnp.stack([rhs_c.real, rhs_c.imag], axis=-1)   # (k, n, 2)
-    p1 = jnp.einsum("kij,kjc->kic", opr, y, precision=precision)
-    p2 = jnp.einsum("kij,kjc->kic", opi, y, precision=precision)
+    y = jnp.stack([rhs_c.real, rhs_c.imag], axis=-1)   # (..., n, 2)
+    p1 = jnp.einsum("...ij,...jc->...ic", opr, y, precision=precision)
+    p2 = jnp.einsum("...ij,...jc->...ic", opi, y, precision=precision)
     return jax.lax.complex(p1[..., 0] - p2[..., 1], p1[..., 1] + p2[..., 0])
 
 
@@ -159,7 +159,7 @@ def _solve_apply_compensated(op_quad, rhs_c):
     y = jnp.stack([rhs_c.real, rhs_c.imag], axis=-1)
     yh = jax.lax.reduce_precision(y, exponent_bits=8, mantissa_bits=7)
     yl = y - yh
-    mm = lambda A, v: jnp.einsum("kij,kjc->kic", A, v)
+    mm = lambda A, v: jnp.einsum("...ij,...jc->...ic", A, v)
     p1 = mm(rhi, yh) + jax.lax.optimization_barrier(mm(rhi, yl) + mm(rlo, yh))
     p2 = mm(ihi, yh) + jax.lax.optimization_barrier(mm(ihi, yl) + mm(ilo, yh))
     return jax.lax.complex(p1[..., 0] - p2[..., 1], p1[..., 1] + p2[..., 0])
@@ -170,12 +170,57 @@ class OptimalMixing:
 
     def _solve(self, op, rhs_c):
         """Apply a stored per-kx solve operator at the configured
-        precision (see MixingConfig.solve_precision)."""
+        precision (see MixingConfig.solve_precision).
+
+        Blocked form (op arrays are 4-D, (kxn, 2, h, h)): with the even
+        base flow U = 1 - z^2 the tau solve decouples EXACTLY into two
+        Chebyshev-parity families — (u even, w odd, rho odd) and the
+        mirror — verified to f64 roundoff at operator build. Applying
+        the two half-size blocks streams HALF the operator bytes per
+        step, and the operator stream is the measured binding cost of
+        the f32-width solves: fwd+grad 357 -> 218 ms (compensated,
+        reference config, v5e). The bf16 fast mode is NOT HBM-bound and
+        stays unblocked (see _put_blocked)."""
+        blocked = op[0].ndim == 4
+        if blocked:
+            # family A = (u even, w odd, rho odd); B = mirror. Strided
+            # slices + interleave reshapes (measured faster than an
+            # index gather inside the fused scan body)
+            nz = self.cfg.nz
+            kxn = rhs_c.shape[0]
+            uA, wA, rA = (rhs_c[:, 0:nz:2], rhs_c[:, nz + 1:2 * nz:2],
+                          rhs_c[:, 2 * nz + 1::2])
+            uB, wB, rB = (rhs_c[:, 1:nz:2], rhs_c[:, nz:2 * nz:2],
+                          rhs_c[:, 2 * nz::2])
+            rhs_c = jnp.stack([jnp.concatenate([uA, wA, rA], -1),
+                               jnp.concatenate([uB, wB, rB], -1)], axis=1)
         if self._smode == "compensated":
-            return _solve_apply_compensated(op, rhs_c)
-        if self._smode == "highest":
-            return _solve_apply(op, rhs_c, precision="highest")
-        return _solve_apply(op, rhs_c)
+            out = _solve_apply_compensated(op, rhs_c)
+        elif self._smode == "highest":
+            out = _solve_apply(op, rhs_c, precision="highest")
+        else:
+            out = _solve_apply(op, rhs_c)
+        if blocked:
+            h3 = nz // 2
+            ue, wo, ro = out[:, 0, :h3], out[:, 0, h3:2 * h3], out[:, 0, 2 * h3:]
+            uo, we, re = out[:, 1, :h3], out[:, 1, h3:2 * h3], out[:, 1, 2 * h3:]
+            u = jnp.stack([ue, uo], -1).reshape(kxn, nz)
+            w = jnp.stack([we, wo], -1).reshape(kxn, nz)
+            r = jnp.stack([re, ro], -1).reshape(kxn, nz)
+            out = jnp.concatenate([u, w, r], -1)
+        return out
+
+    def _parity_perm(self, m):
+        """(perm, iperm, h) splitting an m-column (u,w,rho)-stacked
+        coefficient layout into the two parity families."""
+        nz = self.cfg.nz
+        ev = np.arange(0, nz, 2)
+        od = np.arange(1, nz, 2)
+        fam_a = np.concatenate([ev, nz + od, 2 * nz + od])
+        fam_b = np.concatenate([od, nz + ev, 2 * nz + ev])
+        perm = np.concatenate([fam_a, fam_b])
+        assert m == 3 * nz, m
+        return perm, np.argsort(perm), len(fam_a)
 
     def __init__(self, cfg: MixingConfig = MixingConfig()):
         self.cfg = cfg
@@ -241,15 +286,36 @@ class OptimalMixing:
                              for v in (rhi, rlo, ihi, ilo))
             return (jax.device_put(jnp.asarray(a.real, rdtype)),
                     jax.device_put(jnp.asarray(a.imag, rdtype)))
-        self._put_op = _put
+
+        def _put_blocked(a):
+            """Store an S-type stack as its two parity blocks
+            (kxn, 2, h, h) — see _solve. Falls back to the full form if
+            the decoupling does not hold numerically (guard for exotic
+            configs; never expected with the U = 1 - z^2 base flow)."""
+            a = np.asarray(a)
+            m = a.shape[-1]
+            if nz % 2 or a.shape[-2] != m or self._smode == "bfloat16":
+                # bf16 fast mode measured FASTER unblocked (169 vs
+                # 109 ms): its solve is not HBM-bound, so halving the
+                # operator bytes only adds slicing overhead
+                return _put(a)
+            perm, _, h = self._parity_perm(m)
+            ap = a[:, perm][:, :, perm]
+            off = max(np.abs(ap[:, :h, h:]).max(), np.abs(ap[:, h:, :h]).max())
+            if off > 1e-11 * max(np.abs(ap).max(), 1e-300):
+                return _put(a)
+            return _put(np.stack([ap[:, :h, :h], ap[:, h:, h:]], axis=1))
+
+        self._put_op = _put_blocked
 
         S, MN = self._build_operators()
         self._S_np, self._MN_np = S, MN   # exact f64 operators (baselines)
         if cfg.device_ops:
-            self._ops: Dict[str, jnp.ndarray] = {"S": _put(S), "MN": _put(MN)}
+            self._ops: Dict[str, jnp.ndarray] = {"S": _put_blocked(S),
+                                                 "MN": _put(MN)}
             if cfg.adjoint == "continuous":
                 SA, _ = self._build_operators(adjoint=True)
-                self._ops["SA"] = _put(SA)
+                self._ops["SA"] = _put_blocked(SA)
         else:
             self._ops = None
 

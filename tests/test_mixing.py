@@ -54,14 +54,13 @@ def test_linear_prep_properties(ke_problem, x0):
     # (a*u1 + b*u2, ..., rho=rho0) == superposition of the rho0-sourced
     # response and the scaled homogeneous responses
     import jax.numpy as jnp
-    from spheremanopt_tpu.problems.optimal_mixing import _solve_apply
 
     prep = p._prep_solve_ops()
     a0 = 1.0 / p.cfg.prep_dt
 
     def adv(u, w, r):
         rhs = jnp.concatenate([a0 * u, a0 * w, a0 * r], axis=-1)
-        sol = _solve_apply(prep, rhs)
+        sol = p._solve(prep, rhs)   # handles the parity-blocked form
         return (np.asarray(sol[:, :nz]), np.asarray(sol[:, nz:2 * nz]),
                 np.asarray(sol[:, 2 * nz:]))
 
@@ -210,3 +209,20 @@ def test_final_fields_consistency(mix_problem, x0):
         uu, ww, rr = p._step(p._ops, uu, ww, rr)
     np.testing.assert_allclose(np.asarray(u_c), np.asarray(uu), atol=1e-12)
     np.testing.assert_allclose(np.asarray(r_c), np.asarray(rr), atol=1e-12)
+
+
+def test_parity_blocked_solve_matches_full(ke_problem):
+    """The parity-blocked operator application (two half-size stacks —
+    HALF the per-step HBM stream) equals the full dense solve to f64
+    roundoff: the tau systems decouple exactly into the two Chebyshev
+    parity families under the even base flow U = 1 - z^2."""
+    import jax.numpy as jnp
+
+    p = ke_problem
+    nz, kxn = p.cfg.nz, p.kxn
+    assert p._ops["S"][0].ndim == 4, "S should be stored parity-blocked"
+    rng = np.random.RandomState(1)
+    rhs = jnp.asarray(rng.randn(kxn, 3 * nz) + 1j * rng.randn(kxn, 3 * nz))
+    out_blk = np.asarray(p._solve(p._ops["S"], rhs))
+    out_full = np.einsum("kij,kj->ki", p._S_np, np.asarray(rhs))
+    np.testing.assert_allclose(out_blk, out_full, rtol=1e-12, atol=1e-13)
