@@ -92,3 +92,27 @@ def test_two_sphere_device_driver():
     e1 = np.linalg.norm(np.abs(p1.ground_truth()) - np.abs(np.asarray(res.x_opt[0])))
     e2 = np.linalg.norm(np.abs(p2.ground_truth()) - np.abs(np.asarray(res.x_opt[1])))
     assert e1 < 1e-4 and e2 < 1e-4, (e1, e2)
+
+
+def test_vmapped_batch_sweep_matches_unbatched():
+    """jax.vmap over the whole device driver (the batched-sweep
+    capability, examples/sh23_batch_sweep.py): every row of a vmapped
+    multi-E0 sweep equals its unbatched run exactly."""
+    from spheremanopt_tpu.problems.swift_hohenberg import (
+        SH23Config, SwiftHohenberg)
+
+    p = SwiftHohenberg(SH23Config(npts=64, n_iters=50, dt=0.05))
+    opt = jit_optimise_on_multi_sphere(
+        p.objective_and_gradient, p.inner_product, p.radii,
+        max_iters=4, alpha0=float(np.pi), cg=True, line_search="wolfe")
+    x0s = jnp.stack([p.generate_ic(seed=s)[0] for s in range(3)])
+    e0s = jnp.asarray([0.02, 0.0725, 0.1])
+    res = jax.jit(jax.vmap(lambda x, r: opt([x], radii_dyn=[r])))(x0s, e0s)
+    for i in range(3):
+        r1 = opt([x0s[i]], radii_dyn=[e0s[i]])
+        np.testing.assert_allclose(np.asarray(res.function_values[i]),
+                                   np.asarray(r1.function_values),
+                                   rtol=1e-10, atol=1e-14)
+        np.testing.assert_allclose(np.asarray(res.x_opt[0][i]),
+                                   np.asarray(r1.x_opt[0]),
+                                   rtol=1e-9, atol=1e-12)
