@@ -34,6 +34,8 @@ from spheremanopt_tpu.problems.swift_hohenberg import SH23Config, SwiftHohenberg
 def main(batch: int = 8) -> None:
     on_tpu = jax.devices()[0].platform not in ("cpu",)
     dtype = "float32" if on_tpu else "float64"
+    if not on_tpu:
+        jax.config.update("jax_enable_x64", True)
     cfg = SH23Config(dtype=dtype)  # full reference config: N=256, 1001 steps
     p = SwiftHohenberg(cfg)
     max_iters = 30

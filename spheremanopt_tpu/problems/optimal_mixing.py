@@ -211,8 +211,12 @@ class OptimalMixing:
         return out
 
     def _parity_perm(self, m):
-        """(perm, iperm, h) splitting an m-column (u,w,rho)-stacked
-        coefficient layout into the two parity families."""
+        """(perm, h) splitting an m-column (u,w,rho)-stacked coefficient
+        layout into the two parity families. SINGLE SOURCE OF TRUTH for
+        the family layout: _solve's strided slices implement exactly
+        this ordering (family A = u[::2], w[1::2], rho[1::2]; B = the
+        complements), and test_parity_blocked_solve_matches_full guards
+        the equivalence — change both together."""
         nz = self.cfg.nz
         ev = np.arange(0, nz, 2)
         od = np.arange(1, nz, 2)
@@ -220,7 +224,7 @@ class OptimalMixing:
         fam_b = np.concatenate([od, nz + ev, 2 * nz + ev])
         perm = np.concatenate([fam_a, fam_b])
         assert m == 3 * nz, m
-        return perm, np.argsort(perm), len(fam_a)
+        return perm, len(fam_a)
 
     def __init__(self, cfg: MixingConfig = MixingConfig()):
         self.cfg = cfg
@@ -299,7 +303,7 @@ class OptimalMixing:
                 # 109 ms): its solve is not HBM-bound, so halving the
                 # operator bytes only adds slicing overhead
                 return _put(a)
-            perm, _, h = self._parity_perm(m)
+            perm, h = self._parity_perm(m)
             ap = a[:, perm][:, :, perm]
             off = max(np.abs(ap[:, :h, h:]).max(), np.abs(ap[:, h:, :h]).max())
             if off > 1e-11 * max(np.abs(ap).max(), 1e-300):

@@ -79,14 +79,28 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--dim", type=int, default=100, help="PCA dimension")
     ap.add_argument("--cost", choices=["Final", "Integrated"], default="Final")
     ap.add_argument("--method", default=None,
+                    choices=["matmul", "fft", "xla", "pallas"],
                     help="step-method override (sh23: matmul|fft|pallas; "
-                         "kdyn: xla|pallas)")
+                         "shb23: matmul|pallas; kdyn: xla|pallas)")
     ap.add_argument("--s", type=int, choices=[0, 1], default=1, help="mixing objective")
     return ap
 
 
+_METHODS = {"sh23": ("matmul", "fft", "pallas"),
+            "shb23": ("matmul", "pallas"),
+            "kdyn": ("xla", "pallas")}
+
+
 def make_problem(args):
     import jax
+
+    if args.method is not None:
+        allowed = _METHODS.get(args.problem, ())
+        if args.method not in allowed:
+            raise SystemExit(
+                f"--method {args.method} not supported for {args.problem}"
+                + (f" (choose from {', '.join(allowed)})" if allowed
+                   else " (no method variants)"))
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -123,7 +137,8 @@ def make_problem(args):
         )
 
         kw = dict(dtype=dtype, adjoint=args.adjoint)
-        for name, val in [("npts", args.npts), ("dt", args.dt), ("n_iters", args.n_iters)]:
+        for name, val in [("npts", args.npts), ("dt", args.dt),
+                          ("n_iters", args.n_iters), ("method", args.method)]:
             if val is not None:
                 kw[name] = val
         p = SwiftHohenbergBounded(SHB23Config(**kw))
@@ -248,7 +263,7 @@ def main(argv=None) -> int:
             line_search=args.ls,
         )
         t0 = time.time()
-        r = opt(x0, aux=aux) if aux is not None else opt(x0)
+        r = opt(x0, aux=aux)
         k = int(r.iterations)
         wall = time.time() - t0
         summary = {

@@ -36,18 +36,23 @@ def setup():
     return p, br0, bi0, u_bl
 
 
-def _ref_J(p, n):
-    @partial(jax.jit, static_argnums=3)
-    def ref(br, bi, u_bl, n):
+def _ref_J(p, n, integrated=False):
+    @partial(jax.jit, static_argnums=(3, 4))
+    def ref(br, bi, u_bl, n, integ):
         b_c = br + 1j * bi
 
-        def body(b, _):
-            return p._cnab1_step(b, u_bl), None
+        def body(carry, _):
+            b, acc = carry
+            if integ:
+                acc = acc + p._energy(b)
+            return (p._cnab1_step(b, u_bl), acc), None
 
-        b, _ = jax.lax.scan(body, b_c, xs=None, length=n)
-        return p._energy(b)
+        (b, acc), _ = jax.lax.scan(body, (b_c, jnp.zeros((), jnp.float32)),
+                                   xs=None, length=n)
+        eT = p._energy(b)
+        return p.cfg.dt * (acc + eT) if integ else eT
 
-    return lambda br, bi, u: ref(br, bi, u, n)
+    return lambda br, bi, u: ref(br, bi, u, n, integrated)
 
 
 def test_forward_interpret_parity(setup):
@@ -59,14 +64,18 @@ def test_forward_interpret_parity(setup):
     assert abs(float(J) - float(J_ref)) < 1e-5 * abs(float(J_ref)) + 1e-10
 
 
-def test_vjp_interpret_parity_vs_autodiff(setup):
+@pytest.mark.parametrize("integrated", [False, True])
+def test_vjp_interpret_parity_vs_autodiff(setup, integrated):
     """Hand-derived reverse sweep == jax.grad of the XLA forward, for
-    ALL THREE cotangents (B re/im planes and the stirring field)."""
+    ALL THREE cotangents (B re/im planes and the stirring field), for
+    both cost functionals (Integrated adds per-step direct terms to the
+    reverse recursion)."""
     p, br0, bi0, u_bl = setup
     N = 12
-    f = make_fused_energy(make_consts(p), N, interpret=True)
-    J_ref, g_ref = jax.value_and_grad(_ref_J(p, N), argnums=(0, 1, 2))(
-        br0, bi0, u_bl)
+    f = make_fused_energy(make_consts(p), N, interpret=True,
+                          integrated=integrated, dt=p.cfg.dt)
+    J_ref, g_ref = jax.value_and_grad(
+        _ref_J(p, N, integrated), argnums=(0, 1, 2))(br0, bi0, u_bl)
     J_pl, g_pl = jax.value_and_grad(f, argnums=(0, 1, 2))(br0, bi0, u_bl)
     assert abs(float(J_pl) - float(J_ref)) < 1e-5 * abs(float(J_ref))
     for name, a, b in zip(("dbr", "dbi", "du"), g_ref, g_pl):
@@ -75,12 +84,15 @@ def test_vjp_interpret_parity_vs_autodiff(setup):
         assert err < 5e-5, (name, err)
 
 
-def test_vjp_fd_every_cotangent(setup):
+@pytest.mark.parametrize("integrated", [False, True])
+def test_vjp_fd_every_cotangent(setup, integrated):
     """Central finite differences along gradient-aligned directions for
-    each input; tolerances carry the f32 FD noise floor ~eps_f32*|J|/h."""
+    each input (both cost functionals); tolerances carry the f32 FD
+    noise floor ~eps_f32*|J|/h."""
     p, br0, bi0, u_bl = setup
     N = 12
-    f = make_fused_energy(make_consts(p), N, interpret=True)
+    f = make_fused_energy(make_consts(p), N, interpret=True,
+                          integrated=integrated, dt=p.cfg.dt)
     J, g = jax.value_and_grad(f, argnums=(0, 1, 2))(br0, bi0, u_bl)
     args = [br0, bi0, u_bl]
     h = 1e-3
