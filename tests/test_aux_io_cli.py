@@ -195,3 +195,33 @@ def test_critical_seed_example(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-1500:]
     assert "critical_seed_energy" in out.stdout
+
+
+def test_cli_device_loop_mixing_aux(tmp_path):
+    """Mixing under --device-loop exercises the aux-operand path (the
+    operator stacks enter the driver jit as arguments, not constants)."""
+    env = dict(os.environ, PYTHONPATH="/root/repo", JAX_PLATFORM_NAME="cpu")
+    out = subprocess.run(
+        [sys.executable, "-m", "spheremanopt_tpu.run", "mixing",
+         "--platform", "cpu", "--nx", "32", "--nz", "16", "--n-iters", "20",
+         "--max-iters", "2", "--device-loop", "--quiet",
+         "--out-dir", str(tmp_path / "mdl")],
+        capture_output=True, text=True, timeout=300, env=env, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    import json as _json
+
+    s = _json.loads(open(tmp_path / "mdl" / "summary.json").read())
+    assert s["driver"].startswith("device-resident")
+    assert np.isfinite(s["J_final"])
+
+
+def test_cli_method_validation():
+    env = dict(os.environ, PYTHONPATH="/root/repo", JAX_PLATFORM_NAME="cpu")
+    out = subprocess.run(
+        [sys.executable, "-m", "spheremanopt_tpu.run", "mixing",
+         "--platform", "cpu", "--method", "pallas"],
+        capture_output=True, text=True, timeout=120, env=env, cwd="/root/repo",
+    )
+    assert out.returncode != 0
+    assert "not supported for mixing" in out.stdout + out.stderr
