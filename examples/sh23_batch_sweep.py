@@ -20,6 +20,7 @@ concurrently) plus an independent IC seed per point.
 Run: python examples/sh23_batch_sweep.py [B]
 """
 
+import os
 import sys
 import time
 
@@ -36,9 +37,13 @@ def main(batch: int = 8) -> None:
     dtype = "float32" if on_tpu else "float64"
     if not on_tpu:
         jax.config.update("jax_enable_x64", True)
-    cfg = SH23Config(dtype=dtype)  # full reference config: N=256, 1001 steps
+    if os.environ.get("SMO_SWEEP_TINY") == "1":   # CI/CPU smoke mode
+        cfg = SH23Config(dtype=dtype, npts=48, n_iters=50)
+        max_iters = 4
+    else:
+        cfg = SH23Config(dtype=dtype)  # full reference config: N=256, 1001 steps
+        max_iters = 30
     p = SwiftHohenberg(cfg)
-    max_iters = 30
 
     opt = jit_optimise_on_multi_sphere(
         p.objective_and_gradient, p.inner_product, p.radii,

@@ -225,3 +225,16 @@ def test_cli_method_validation():
     )
     assert out.returncode != 0
     assert "not supported for mixing" in out.stdout + out.stderr
+
+
+def test_batch_sweep_example(tmp_path):
+    """The vmapped batch-sweep example runs end-to-end on CPU."""
+    env = dict(os.environ,
+               PYTHONPATH="/root/.axon_site:/root/repo",
+               JAX_PLATFORM_NAME="cpu", SMO_SWEEP_TINY="1")
+    out = subprocess.run(
+        [sys.executable, "examples/sh23_batch_sweep.py", "2"],
+        capture_output=True, text=True, timeout=420, env=env, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    assert "throughput gain" in out.stdout
