@@ -143,3 +143,21 @@ def test_two_sphere_product_manifold(problem):
     e1 = np.linalg.norm(np.abs(problem.ground_truth()) - np.abs(np.asarray(res.x_opt[0])))
     e2 = np.linalg.norm(np.abs(p2.ground_truth()) - np.abs(np.asarray(res.x_opt[1])))
     assert e1 < 1e-3 and e2 < 1e-3, (e1, e2)
+
+
+def test_zero_initial_vector_degrades_gracefully(problem):
+    """Zero X0 normalises to NaN (reference behavior: no guard) and the
+    optimiser must exit without hanging, returning a structured partial
+    result rather than raising."""
+    res = optimise_on_multi_sphere(
+        [jnp.zeros(64)], [1.0], problem.objective, problem.gradient,
+        problem.inner_product, max_iters=5, verbose=False)
+    assert res.iterations == 0
+    assert not res.converged
+
+
+def test_mismatched_radii_raises(problem):
+    with pytest.raises((IndexError, ValueError)):
+        optimise_on_multi_sphere(
+            _x0(), [1.0, 2.0], problem.objective, problem.gradient,
+            problem.inner_product, max_iters=2, verbose=False)
