@@ -382,6 +382,9 @@ def make_fused_energy(consts, n_steps: int, interpret: bool,
     Differentiable in (br0, bi0, u); validated per the repo custom-vjp
     rules (interpret parity vs jax.grad of the XLA path, FD cotangent
     checks, real-TPU compile check — tests/test_pallas_kdyn.py)."""
+    if integrated and dt <= 0.0:
+        raise ValueError("integrated=True requires dt > 0 (J would be "
+                         "identically zero otherwise)")
 
     @jax.custom_vjp
     def fused_energy(br0, bi0, u):

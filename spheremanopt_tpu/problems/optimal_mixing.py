@@ -220,10 +220,11 @@ class OptimalMixing:
         nz = self.cfg.nz
         ev = np.arange(0, nz, 2)
         od = np.arange(1, nz, 2)
+        if m != 3 * nz:
+            return None  # not a (u,w,rho) stack — caller falls back to _put
         fam_a = np.concatenate([ev, nz + od, 2 * nz + od])
         fam_b = np.concatenate([od, nz + ev, 2 * nz + ev])
         perm = np.concatenate([fam_a, fam_b])
-        assert m == 3 * nz, m
         return perm, len(fam_a)
 
     def __init__(self, cfg: MixingConfig = MixingConfig()):
@@ -303,7 +304,10 @@ class OptimalMixing:
                 # 109 ms): its solve is not HBM-bound, so halving the
                 # operator bytes only adds slicing overhead
                 return _put(a)
-            perm, h = self._parity_perm(m)
+            ph = self._parity_perm(m)
+            if ph is None:
+                return _put(a)
+            perm, h = ph
             ap = a[:, perm][:, :, perm]
             off = max(np.abs(ap[:, :h, h:]).max(), np.abs(ap[:, h:, :h]).max())
             if off > 1e-11 * max(np.abs(ap).max(), 1e-300):

@@ -105,7 +105,11 @@ def make_problem(args):
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     on_tpu = jax.devices()[0].platform not in ("cpu",)
-    dtype = args.dtype or ("float32" if on_tpu else "float64")
+    # Pallas kernels are f32-only; on CPU the default would be f64 and
+    # the problem constructor would reject it — pick f32 unless the user
+    # explicitly asked otherwise.
+    dtype = args.dtype or ("float32" if (on_tpu or args.method == "pallas")
+                           else "float64")
     if dtype == "float64" and not on_tpu:
         jax.config.update("jax_enable_x64", True)
 

@@ -226,3 +226,11 @@ def test_parity_blocked_solve_matches_full(ke_problem):
     out_blk = np.asarray(p._solve(p._ops["S"], rhs))
     out_full = np.einsum("kij,kj->ki", p._S_np, np.asarray(rhs))
     np.testing.assert_allclose(out_blk, out_full, rtol=1e-12, atol=1e-13)
+
+
+def test_parity_perm_non_applicable_returns_none(ke_problem):
+    """A square stack whose width is not 3*nz (e.g. the MN mix-norm
+    operator) must signal non-applicability instead of crashing, so
+    _put_blocked can fall back to the unblocked store (ADVICE r2)."""
+    assert ke_problem._parity_perm(2 * ke_problem.cfg.nz) is None
+    assert ke_problem._parity_perm(3 * ke_problem.cfg.nz) is not None

@@ -129,3 +129,12 @@ def test_wired_config_validation():
     with pytest.raises(ValueError):
         KinematicDynamo(KDynConfig(method="pallas", dtype="float32",
                                    transform="fft"))
+
+
+def test_integrated_requires_positive_dt(setup):
+    """integrated=True with dt<=0 would silently yield J=0 and zero
+    gradients; the builder must reject it (ADVICE r2)."""
+    p, *_ = setup
+    with pytest.raises(ValueError, match="dt"):
+        make_fused_energy(make_consts(p), 4, interpret=True,
+                          integrated=True)
