@@ -90,3 +90,96 @@ def test_sharded_gradient_matches_single_device(kdyn, eight_devices):
     for a, b in zip(g8, g1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-8, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Sharded mixing: the second reference-distributed workload. The reference
+# runs this problem on 4 MPI ranks (`mpiexec -np 4`, README.md:110, Dedalus
+# decomposing the Fourier-x direction); here the grid state is decomposed
+# over the mesh's x axis and the per-kx tau solves parallelise over the
+# coefficient axis under GSPMD.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mixing():
+    from spheremanopt_tpu.problems.optimal_mixing import (
+        MixingConfig, OptimalMixing)
+
+    # mgx = 1.5*32 = 48: divisible by the 8-device mesh
+    return OptimalMixing(MixingConfig(nx=32, nz=16, n_iters=20,
+                                      prep_steps=5, s=1))
+
+
+def _replicated(mesh, tree):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda a: jax.device_put(np.asarray(a), sh),
+                                  tree)
+
+
+def test_sharded_mixing_trajectory_matches_single_device(mixing, eight_devices):
+    p = mixing
+    fg, ops = p.objective_and_gradient_aux
+    opt = jit_optimise_on_multi_sphere(
+        fg, p.inner_product, p.radii,
+        max_iters=5, alpha0=10.0, cg=True, line_search="wolfe")
+    x0 = p.generate_ic(seed=3)
+
+    ops1 = jax.tree_util.tree_map(
+        lambda a: jax.device_put(np.asarray(a), eight_devices[0]), ops)
+    x0_single = [jax.device_put(np.asarray(x0[0]), eight_devices[0])]
+    res_1 = opt(x0_single, None, ops1)
+
+    mesh = make_mesh(8)
+    x0_sharded = shard_fields(mesh, [np.asarray(x0[0])], sharded_dim=1)
+    res_8 = opt(x0_sharded, None, _replicated(mesh, ops))
+
+    assert len(res_8.x_opt[0].sharding.device_set) == 8, res_8.x_opt[0].sharding
+
+    j1 = np.asarray(res_1.function_values)
+    j8 = np.asarray(res_8.function_values)
+    np.testing.assert_allclose(j8, j1, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(res_8.step_sizes), np.asarray(res_1.step_sizes),
+        rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(res_8.x_opt[0]),
+                               np.asarray(res_1.x_opt[0]),
+                               rtol=1e-7, atol=1e-10)
+    # at least the iteration-0 Armijo step was accepted (later Wolfe
+    # searches may fail at this tiny config — frozen-iterate semantics)
+    assert float(res_8.step_sizes[0]) > 0
+    ip = float(p.inner_product(res_8.x_opt[0], res_8.x_opt[0]))
+    assert np.isclose(ip, p.radii[0], rtol=1e-10)
+
+
+def test_sharded_mixing_gradient_other_mesh_shapes(eight_devices):
+    """Fused objective+gradient parity beyond the single 8-device even
+    decomposition tested elsewhere: an odd-sized 5-device mesh over the
+    x axis (mgx = 30 -> 6-wide shards) and an 8-device decomposition of
+    the OTHER (Chebyshev z) axis, closing the round-2 gap of one problem
+    x one mesh shape. (JAX device_put rejects non-divisible shardings
+    outright, so a padded-uneven case cannot exist at this API level.)"""
+    from spheremanopt_tpu.problems.optimal_mixing import (
+        MixingConfig, OptimalMixing)
+
+    p = OptimalMixing(MixingConfig(nx=20, nz=16, n_iters=10,
+                                   prep_steps=3, s=1))
+    fg, ops = p.objective_and_gradient_aux
+    x0 = p.generate_ic(seed=7)
+    x_np = np.asarray(x0[0])   # (2, 30, 24)
+
+    ops1 = jax.tree_util.tree_map(
+        lambda a: jax.device_put(np.asarray(a), eight_devices[0]), ops)
+    J1, g1 = jax.jit(fg)(ops1, [jax.device_put(x_np, eight_devices[0])])
+
+    for n_dev, dim in ((5, 1), (8, 2)):
+        mesh = make_mesh(n_dev)
+        xs = shard_fields(mesh, [x_np], sharded_dim=dim)
+        Jn, gn = jax.jit(fg)(_replicated(mesh, ops), xs)
+        np.testing.assert_allclose(float(Jn), float(J1), rtol=1e-12,
+                                   err_msg=f"mesh={n_dev} dim={dim}")
+        np.testing.assert_allclose(np.asarray(gn[0]), np.asarray(g1[0]),
+                                   rtol=1e-8, atol=1e-12,
+                                   err_msg=f"mesh={n_dev} dim={dim}")
