@@ -183,3 +183,35 @@ def test_sharded_mixing_gradient_other_mesh_shapes(eight_devices):
         np.testing.assert_allclose(np.asarray(gn[0]), np.asarray(g1[0]),
                                    rtol=1e-8, atol=1e-12,
                                    err_msg=f"mesh={n_dev} dim={dim}")
+
+
+def test_nested_remat_composes_with_distributed_sharded_step(eight_devices):
+    """Round-2 missing item 2: the two halves of the scaling story —
+    sqrt(N)-memory nested checkpointing (the GEN_BUFFER replacement,
+    ref `FWD_Solve_KDyn.py:341-355` prints the distributed buffer GB
+    estimate) and the pencil-decomposed distributed-FFT step — COMPOSED:
+    KDyn 64^3 (oversampled grid 96^3) fused objective+gradient with
+    remat="nested" + transform="distributed" and the state sharded over
+    the 8-device mesh matches the unsharded matmul-transform trajectory
+    to f64 roundoff."""
+    from spheremanopt_tpu.problems.kinematic_dynamo import (
+        KDynConfig, KinematicDynamo)
+
+    cfg = dict(npts=64, n_iters=9, dt=1e-3, dtype="float64")
+    pm = KinematicDynamo(KDynConfig(transform="matmul", remat=True, **cfg))
+    pd = KinematicDynamo(KDynConfig(transform="distributed", n_shards=8,
+                                    remat="nested", **cfg))
+    x0 = pm.generate_ic(seed=5)
+    x0_np = [np.asarray(x) for x in x0]
+
+    Jm, gm = pm.objective_and_gradient(x0)
+
+    mesh = make_mesh(8)
+    xs = shard_fields(mesh, x0_np, sharded_dim=1)
+    Jd, gd = jax.jit(pd.objective_and_gradient)(xs)
+
+    assert len(gd[0].sharding.device_set) == 8, gd[0].sharding
+    np.testing.assert_allclose(float(Jd), float(Jm), rtol=1e-12)
+    for a, b in zip(gd, gm):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-12)
