@@ -1,0 +1,85 @@
+"""Error-compensated bf16 application of complex constant operators.
+
+The TPU MXU natively multiplies bf16; an f32 matmul is emulated by
+multiple bf16 passes (jax `precision=`: "default" 1 pass, "high" 3,
+"highest" 6). The compensated scheme here is the hand-rolled 3-pass
+split — operator planes stored as bf16 hi/lo pairs (hi = bf16(A),
+lo = A - hi), traced operand split in-graph — generalised from the
+mixing solve (`problems/optimal_mixing._solve_apply_compensated`,
+where it measured J rel-err 5.4e-5 vs 5.6e-2 single-pass over 1000
+steps, within 3x of the f32 floor at half the 6-pass cost).
+
+Two measured traps (BASELINE.md round 2) are baked in:
+  * the operand split must use `lax.reduce_precision` — a plain
+    f32->bf16->f32 convert pair is elided by XLA's excess-precision
+    simplifier, silently dropping the correction term;
+  * the hi and lo dot sums must be separated by
+    `lax.optimization_barrier`, or XLA re-folds them into one bf16 dot.
+
+Why keep this next to the native `precision="high"` 3-pass mode: the
+pass structure is identical (Ah.yh + Ah.yl + Al.yh), but "high" applies
+per dot-general while this form lets the lo-terms of a whole transform
+chain fuse/schedule separately — which one wins is an empirical,
+per-problem question (the bench measures both; see KDynConfig
+.matmul_precision).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def split_complex_matrix(M: np.ndarray):
+    """Numpy complex operator -> (rhi, rlo, ihi, ilo) f32 planes.
+
+    f32 (not bf16) storage: the mixing measurements showed bf16-dtype
+    stored planes run 1.5x SLOWER (XLA's mixed-dtype dot path loses the
+    good schedule) with identical accuracy — the MXU casts per pass
+    either way.
+    """
+    out = []
+    for plane in (np.asarray(M).real, np.asarray(M).imag):
+        p32 = np.asarray(plane, np.float32)
+        hi = p32.astype(jnp.bfloat16).astype(np.float32)
+        out += [hi, p32 - hi]
+    return tuple(out)
+
+
+def comp_einsum_pair(spec: str, quad, y: jnp.ndarray):
+    """(A_real @ y, A_imag @ y) with each real dot compensated to 3 bf16
+    passes. `spec` is the einsum spec applying one REAL operator plane
+    (first operand) to the real array `y` (any trailing re/im channel is
+    the caller's bookkeeping, rolled into `spec`)."""
+    rhi, rlo, ihi, ilo = (jnp.asarray(q) for q in quad)
+    yh = jax.lax.reduce_precision(y, exponent_bits=8, mantissa_bits=7)
+    yl = y - yh
+
+    def ein(A, v):
+        return jnp.einsum(spec, A, v)
+
+    p1 = ein(rhi, yh) + jax.lax.optimization_barrier(ein(rhi, yl) + ein(rlo, yh))
+    p2 = ein(ihi, yh) + jax.lax.optimization_barrier(ein(ihi, yl) + ein(ilo, yh))
+    return p1, p2
+
+
+def comp_einsum_one(spec: str, hi, lo, y: jnp.ndarray) -> jnp.ndarray:
+    """One real operator plane applied compensated (3 bf16 passes)."""
+    yh = jax.lax.reduce_precision(y, exponent_bits=8, mantissa_bits=7)
+    yl = y - yh
+
+    def ein(A, v):
+        return jnp.einsum(spec, jnp.asarray(A), v)
+
+    return ein(hi, yh) + jax.lax.optimization_barrier(
+        ein(hi, yl) + ein(lo, yh))
+
+
+def repack(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
+    """Combine (A_r @ y, A_i @ y) of a CHANNEL-PACKED complex operand
+    y = stack([yr, yi], -1) into the packed complex product channel:
+    (A y)_r = p1[..., 0] - p2[..., 1], (A y)_i = p1[..., 1] + p2[..., 0].
+    """
+    return jnp.stack([p1[..., 0] - p2[..., 1], p1[..., 1] + p2[..., 0]],
+                     axis=-1)

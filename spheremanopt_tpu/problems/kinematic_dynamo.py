@@ -89,12 +89,19 @@ class KDynConfig:
                                  # so it is not the default anywhere)
     matmul_precision: str = "highest"
                                  # MXU pass count for the f32 transform
-                                 # einsums. TPU default ("default") runs
-                                 # one bf16 pass: J rel-err 3.9e-3 vs
-                                 # f64 over 2000 steps. "highest"
-                                 # (3-pass) reaches the true f32 floor,
-                                 # 1.5e-4, at ~1.5x step cost (measured,
-                                 # BASELINE.md f32-accuracy table).
+                                 # einsums (measured at the 24^3 x 2000
+                                 # reference config, BASELINE.md):
+                                 #  "default"     1 bf16 pass, J rel-err
+                                 #                3.9e-3 — fast mode
+                                 #  "compensated" hand-rolled 3-pass
+                                 #                hi/lo split (ops/
+                                 #                compensated.py) — the
+                                 #                ~1e-4-class middle mode
+                                 #  "high"        XLA's native 3-pass
+                                 #                (same pass structure,
+                                 #                per-dot lowering)
+                                 #  "highest"     f32 floor, 1.5e-4,
+                                 #                at ~2.7x the fast cost
     project_gradients: bool = True
     # Leray-project dJ/dB0 and dJ/dU onto divergence-free fields. The
     # reference's adjoint systems solve with div G = div nu = 0 tau
@@ -190,6 +197,18 @@ class KinematicDynamo:
         self._Bf = np.exp(2j * np.pi * np.outer(j, freqs) / mg).astype(cdt)
         self._Bz = (np.exp(2j * np.pi * np.outer(j, np.arange(n // 2 + 1)) / mg) * wz_n[None, :]).astype(cdt)
 
+        if cfg.matmul_precision == "compensated":
+            from spheremanopt_tpu.ops.compensated import split_complex_matrix
+
+            if rdtype != jnp.float32:
+                raise ValueError(
+                    "matmul_precision='compensated' is an f32 TPU mode; "
+                    "use dtype='float32' (or 'highest' for f64 runs)")
+            self._Ff_q = split_complex_matrix(self._Ff)
+            self._Fz_q = split_complex_matrix(self._Fz)
+            self._Bf_q = split_complex_matrix(self._Bf)
+            self._Bz_q = split_complex_matrix(self._Bz)
+
         if cfg.method == "pallas":
             if cfg.dtype != "float32":
                 raise ValueError(
@@ -251,6 +270,22 @@ class KinematicDynamo:
             return jnp.where(jnp.asarray(self._keep), c, 0.0)
         if self.cfg.transform == "matmul":
             pr = self.cfg.matmul_precision
+            if pr == "compensated":
+                from spheremanopt_tpu.ops.compensated import (
+                    comp_einsum_pair, repack)
+
+                # v real: first axis application yields the re/im pair
+                # directly; downstream applications ride a trailing
+                # re/im channel dim (c) through repack
+                p1, p2 = comp_einsum_pair("Zk,...abk->...abZ",
+                                          self._Fz_q, v_grid)
+                y = jnp.stack([p1, p2], axis=-1)
+                y = repack(*comp_einsum_pair("Yb,...abZc->...aYZc",
+                                             self._Ff_q, y))
+                y = repack(*comp_einsum_pair("Xa,...aYZc->...XYZc",
+                                             self._Ff_q, y))
+                c = jax.lax.complex(y[..., 0], y[..., 1])
+                return jnp.where(jnp.asarray(self._keep), c, 0.0)
             c = jnp.einsum("Zk,...abk->...abZ", self._Fz, v_grid, precision=pr)
             c = jnp.einsum("Yb,...abZ->...aYZ", self._Ff, c, precision=pr)
             c = jnp.einsum("Xa,...aYZ->...XYZ", self._Ff, c, precision=pr)
@@ -272,6 +307,26 @@ class KinematicDynamo:
             return distributed_irfftn(c * (mg ** 3), self._mesh, n_z=mg)
         if self.cfg.transform == "matmul":
             pr = self.cfg.matmul_precision
+            if pr == "compensated":
+                from spheremanopt_tpu.ops.compensated import (
+                    comp_einsum_pair, repack)
+
+                y = jnp.stack([c.real, c.imag], axis=-1)
+                y = repack(*comp_einsum_pair("aX,...XYZc->...aYZc",
+                                             self._Bf_q, y))
+                y = repack(*comp_einsum_pair("bY,...aYZc->...abZc",
+                                             self._Bf_q, y))
+                # final axis: only the real part of the grid survives —
+                # (B y)_r = Br@yr - Bi@yi; apply each plane to just the
+                # channel it needs (half the packed-channel work)
+                from spheremanopt_tpu.ops.compensated import comp_einsum_one
+
+                rhi, rlo, ihi, ilo = self._Bz_q
+                g = (comp_einsum_one("kZ,...abZ->...abk", rhi, rlo,
+                                     y[..., 0])
+                     - comp_einsum_one("kZ,...abZ->...abk", ihi, ilo,
+                                       y[..., 1]))
+                return g.astype(self._rdtype)
             g = jnp.einsum("aX,...XYZ->...aYZ", self._Bf, c, precision=pr)
             g = jnp.einsum("bY,...aYZ->...abZ", self._Bf, g, precision=pr)
             g = jnp.einsum("kZ,...abZ->...abk", self._Bz, g, precision=pr)

@@ -208,7 +208,10 @@ class OptimalMixing:
             w = jnp.stack([we, wo], -1).reshape(kxn, nz)
             r = jnp.stack([re, ro], -1).reshape(kxn, nz)
             out = jnp.concatenate([u, w, r], -1)
-        return out
+        # pin the output dtype (f32 configs under x64 processes pick up
+        # f64 promotions from numpy constants upstream; scan carries
+        # built from solves must stay at the config dtype)
+        return out.astype(self._cdtype)
 
     def _parity_perm(self, m):
         """(perm, h) splitting an m-column (u,w,rho)-stacked coefficient
@@ -513,7 +516,9 @@ class OptimalMixing:
     def to_coeff(self, g: jnp.ndarray) -> jnp.ndarray:
         c = jnp.einsum("kj,...jz->...kz", self._Fx, g.astype(self._cdtype))
         c = jnp.einsum("nz,...kz->...kn", self._Az.astype(self._rdtype), c)
-        return c * jnp.asarray(self._xmask[:, None])
+        # cast: the f64 numpy mask would promote f32-config arrays under
+        # an x64-enabled process, destabilising downstream scan carries
+        return (c * jnp.asarray(self._xmask[:, None])).astype(self._cdtype)
 
     def to_grid(self, c: jnp.ndarray) -> jnp.ndarray:
         g = jnp.einsum("zn,...kn->...kz", self._Vz, c)
@@ -862,11 +867,17 @@ class OptimalMixing:
             def body(carry, _):
                 u, w, r = carry
                 rhs = jnp.concatenate([a0 * u, a0 * w, a0 * r], axis=-1)
-                sol = self._solve(prep_ops, rhs)
+                # pin the carry dtype: under an x64-enabled process the
+                # f64 numpy constants above promote f32-config arrays,
+                # and a drifting carry dtype fails lax.scan
+                sol = self._solve(prep_ops, rhs).astype(self._cdtype)
                 return (sol[:, :nz], sol[:, nz:2 * nz], sol[:, 2 * nz:]), None
 
             (u_c, w_c, r_c), _ = jax.lax.scan(
-                body, (u_c, w_c, r_c), xs=None, length=cfg.prep_steps
+                body,
+                (u_c.astype(self._cdtype), w_c.astype(self._cdtype),
+                 r_c.astype(self._cdtype)),
+                xs=None, length=cfg.prep_steps,
             )
             u_c = u_c * jnp.asarray(da)
             w_c = w_c * jnp.asarray(da)

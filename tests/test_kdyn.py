@@ -162,3 +162,28 @@ def test_f32_optimisation_reaches_f64_optimum():
     assert rel_g < 2e-4, rel_g
     rel_fin = abs(J_fin["float32"] - J_fin["float64"]) / abs(J_fin["float64"])
     assert rel_fin < 1e-2, (J_fin, rel_fin)
+
+
+def test_compensated_precision_mode_matches_f32_floor():
+    """matmul_precision="compensated" (bf16 hi/lo split transforms,
+    ops/compensated.py — the middle accuracy mode between the 1-pass
+    bf16 fast path and "highest") must track the f64 truth at the f32
+    floor on CPU, for J and both sphere gradients, and must reject f64
+    configs."""
+    cfg = dict(npts=16, n_iters=20, dt=1e-3, project_gradients=False)
+    p64 = KinematicDynamo(KDynConfig(dtype="float64", **cfg))
+    pc = KinematicDynamo(KDynConfig(dtype="float32",
+                                    matmul_precision="compensated", **cfg))
+    x0 = p64.generate_ic(seed=3)
+    J64, g64 = p64.objective_and_gradient([np.asarray(x) for x in x0])
+    Jc, gc = pc.objective_and_gradient(
+        [np.asarray(x, np.float32) for x in x0])
+    assert abs(float(Jc) - float(J64)) / abs(float(J64)) < 5e-5
+    for a, b in zip(gc, g64):
+        rel = (np.linalg.norm(np.asarray(a, np.float64) - np.asarray(b))
+               / np.linalg.norm(np.asarray(b)))
+        assert rel < 5e-5, rel
+
+    with pytest.raises(ValueError, match="compensated"):
+        KinematicDynamo(KDynConfig(dtype="float64",
+                                   matmul_precision="compensated", **cfg))
