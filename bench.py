@@ -26,6 +26,24 @@ DT = 0.05
 E0 = 0.0725
 
 
+def _enable_compile_cache():
+    """Persistent on-disk XLA compilation cache: repeat bench runs (and
+    the retry child) skip the ~20-40 s/program remote compiles. Guarded:
+    harmless no-op if the backend rejects it."""
+    import os
+
+    try:
+        import jax
+
+        d = os.environ.get("SMO_JAX_CACHE", "/tmp/smo_jax_cache")
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
+
 
 
 def chained_value_ms(f_and_g, x_list, n, warm=2):
@@ -120,18 +138,41 @@ def bench_kdyn(repeats_tpu=5, repeats_cpu=1):
         KDynConfig(npts=24, n_iters=2000, dt=5e-4, dtype=dtype,
                    project_gradients=False)
     )
-    x0 = p.generate_ic(seed=42)
+    # IC from the f32 config always (jax.random draws a dtype-dependent
+    # stream; the pinned truth is computed at the f32 IC)
+    p_ic = p if dtype == "float32" else KinematicDynamo(
+        KDynConfig(npts=24, n_iters=2000, dt=5e-4, dtype="float32",
+                   project_gradients=False))
+    x0 = [jnp.asarray(np.asarray(x), p._rdtype)
+          for x in p_ic.generate_ic(seed=42)]
     b_np = np.asarray(x0[0], np.float64)
     u_np = np.asarray(x0[1], np.float64)
 
-    sim = KDynNumpy(npts=24, dt=5e-4, n_iters=2000)
-    J_cpu = sim.forward(b_np, u_np)
+    # Accuracy reference: pinned f64 truth (jax-CPU-f64 fused fwd+grad at
+    # the seed-42 f32 IC, cross-validated vs the hand-rolled numpy
+    # adjoint to 1e-14 — baselines/make_kdyn24_truth.py). Recomputing it
+    # live cost ~54 s of numpy per bench run; the pin breaks VISIBLY if
+    # generate_ic changes (IC equality asserted below).
+    truth = np.load("baselines/kdyn24_truth.npz")
+    J_cpu = float(truth["J"])
+    g_b = np.asarray(truth["gb"], np.float64)
+    if not (np.allclose(b_np, truth["b0"], rtol=0, atol=1e-6)
+            and np.allclose(u_np, truth["u0"], rtol=0, atol=1e-6)):
+        raise RuntimeError(
+            "generate_ic(seed=42) no longer matches the pinned truth IC; "
+            "regenerate with baselines/make_kdyn24_truth.py")
+
+    # CPU baseline timed at 200 steps and scaled x10 (strictly linear in
+    # steps; the same validated extrapolation as the mixing baseline —
+    # one full 1000-step mixing run measured 726.7 s vs 727 s
+    # extrapolated, BASELINE.md).
+    sub = KDynNumpy(npts=24, dt=5e-4, n_iters=200)
     t0 = time.perf_counter()
     for _ in range(repeats_cpu):
         # gradient() includes its own forward: 1 fwd + 1 reverse, the
         # same unit as the TPU fused value_and_grad
-        g_b, g_u = sim.gradient(b_np, u_np)
-    cpu_s = (time.perf_counter() - t0) / repeats_cpu
+        sub.gradient(b_np, u_np)
+    cpu_s = (time.perf_counter() - t0) / repeats_cpu * (2000 / 200)
 
     def one(pp):
         tpu_s = chained_value_ms(pp.objective_and_gradient, x0, n=repeats_tpu) / 1e3
@@ -142,7 +183,7 @@ def bench_kdyn(repeats_tpu=5, repeats_cpu=1):
         )
         return tpu_s, rel_J, rel_g
 
-    tpu_s, rel_J, rel_g = one(p)  # default = "highest"
+    tpu_s, rel_J, rel_g = one(p)  # the KDynConfig default mode
     fast = {}
     if on_tpu:
         p_fast = KinematicDynamo(
@@ -183,7 +224,13 @@ def bench_shb23(repeats=10):
     t0 = time.perf_counter()
     sim.gradient(u0)
     cpu_ms = (time.perf_counter() - t0) * 1e3
-    return ms / 1e3, cpu_ms
+
+    from spheremanopt_tpu.utils import profiling as prof
+
+    # npts=512 IS the effective (dealias-enlarged) grid, so the two
+    # propagators are (512 x 512)
+    rl = prof.roofline(ms, *prof.shb23_cost_model(p.cfg.npts, p.cfg.n_iters))
+    return ms / 1e3, cpu_ms, rl
 
 
 def bench_mixing(repeats=3):
@@ -235,7 +282,13 @@ def bench_mixing(repeats=3):
     t0 = time.perf_counter()
     sim.gradient(x_np)
     cpu_ms = (time.perf_counter() - t0) * 1e3 * (1000 / sub_steps)
-    return ms / 1e3, cpu_ms, rel_J, fast
+
+    from spheremanopt_tpu.utils import profiling as prof
+
+    passes = {"compensated": 3, "highest": 6}.get(p.cfg.solve_precision, 1)
+    rl = prof.roofline(ms, *prof.mixing_cost_model(
+        p.cfg.nx, p.cfg.nz, p.cfg.n_iters, passes=passes))
+    return ms / 1e3, cpu_ms, rel_J, fast, rl
 
 
 def bench_kdyn48(repeats=3, n_iters=500):
@@ -274,8 +327,11 @@ def main():
     # soft budget: secondaries are skipped when insufficient time remains
     # so the headline JSON always prints (driver timeouts vary)
     budget_s = float(__import__("os").environ.get("SMO_BENCH_BUDGET", "1500"))
+    _enable_compile_cache()
     sys.path.insert(0, "baselines")
     from sh23_numpy import generate_ic_like
+
+    from spheremanopt_tpu.utils import profiling as prof
 
     u0 = generate_ic_like(npts=NPTS, seed=42, e0=E0)
 
@@ -284,50 +340,78 @@ def main():
 
     rel_J = abs(J_tpu - J_cpu) / abs(J_cpu)
     rel_g = float(np.linalg.norm(g_tpu - g_cpu) / np.linalg.norm(g_cpu))
+    sh23_rl = prof.roofline(tpu_s * 1e3,
+                            *prof.sh23_cost_model(NPTS, N_ITERS))
 
     kd_tpu, kd_cpu, kd_rel_J, kd_rel_g, kd_fast = bench_kdyn()
+    from spheremanopt_tpu.problems.kinematic_dynamo import KDynConfig
+
+    kd_mode = KDynConfig().matmul_precision
+    kd_passes = {"compensated": 3, "high": 3, "highest": 6}.get(kd_mode, 1)
+    kd_rl = prof.roofline(kd_tpu * 1e3,
+                          *prof.kdyn_cost_model(24, 2000, passes=kd_passes))
 
     # Secondary benches run in SUBPROCESSES: the axon tunnel is flaky
     # under long multi-compile sequences in one process (sporadic
-    # UNIMPLEMENTED); isolation keeps the headline metric robust.
+    # UNIMPLEMENTED); isolation keeps the headline metric robust. Each
+    # child gets ONE retry (transient tunnel errors are the dominant
+    # failure, VERDICT r2 weak item 1) and its full stderr is kept in
+    # /tmp/smo_bench_<name>.stderr with the tail surfaced in the JSON.
+    import os
     import subprocess
 
     extra = {}
     # budget order: mixing first (the longest-compiling and most
     # informative secondary), then the cheap SHB23, then the 48^3 scale
     runners = {
-        "mixing_256x128": ("t, c, rj, fast = bench.bench_mixing(); "
+        "mixing_256x128": ("t, c, rj, fast, rl = bench.bench_mixing(); "
                            "print('RES', __import__('json').dumps("
-                           "{'tpu_ms': t*1e3, 'cpu_ms': c, 'rel_J': rj, **{'fast_'+k if not k.startswith('fast') else k: v for k, v in fast.items()}}))"),
-        "shb23_512": "t, c = bench.bench_shb23(); print('RES', __import__('json').dumps({'tpu_ms': t*1e3, 'cpu_ms': c}))",
+                           "{'tpu_ms': t*1e3, 'cpu_ms': c, 'rel_J': rj, 'roofline': rl, **{'fast_'+k if not k.startswith('fast') else k: v for k, v in fast.items()}}))"),
+        "shb23_512": ("t, c, rl = bench.bench_shb23(); "
+                      "print('RES', __import__('json').dumps("
+                      "{'tpu_ms': t*1e3, 'cpu_ms': c, 'roofline': rl}))"),
         "kdyn48_scale": ("r = bench.bench_kdyn48(); "
                          "print('RES', __import__('json').dumps(r))"),
     }
     for name, code in runners.items():
-        remaining = budget_s - (time.perf_counter() - t_start)
-        if remaining < 420:
-            extra[name + "_skipped"] = f"budget ({int(remaining)}s left)"
-            continue
-        try:
-            out = subprocess.run(
-                [sys.executable, "-c", f"import bench; {code}"],
-                capture_output=True, text=True, timeout=min(1500, remaining - 30), cwd=".",
-            )
-            line = [l for l in out.stdout.splitlines() if l.startswith("RES")]
-            if line:
-                r = json.loads(line[0][4:])
-                if "tpu_ms" in r:
-                    tpu_ms = r.pop("tpu_ms")
-                    cpu_ms = r.pop("cpu_ms")
-                    extra[name + "_fwd_grad_ms"] = round(tpu_ms, 3)
-                    extra[name + "_vs_baseline"] = round(cpu_ms / tpu_ms, 2)
-                for k, v in r.items():
-                    extra[f"{name}_{k}"] = (f"{v:.2e}" if "rel" in k
-                                            else round(float(v), 4))
-            else:
-                extra[name + "_error"] = (out.stderr.strip().splitlines() or ["?"])[-1][:100]
-        except Exception as e:
-            extra[name + "_error"] = str(e)[:100]
+        child = f"import bench; bench._enable_compile_cache(); {code}"
+        err_path = f"/tmp/smo_bench_{name}.stderr"
+        for attempt in (1, 2):
+            remaining = budget_s - (time.perf_counter() - t_start)
+            if remaining < 360:
+                if name + "_error" not in extra:
+                    extra[name + "_skipped"] = f"budget ({int(remaining)}s left)"
+                break
+            try:
+                out = subprocess.run(
+                    [sys.executable, "-c", child],
+                    capture_output=True, text=True,
+                    timeout=min(1500, remaining - 30), cwd=".",
+                )
+                with open(err_path, "a") as fh:
+                    fh.write(f"--- attempt {attempt} rc={out.returncode}\n"
+                             + out.stderr)
+                line = [l for l in out.stdout.splitlines() if l.startswith("RES")]
+                if line:
+                    r = json.loads(line[0][4:])
+                    extra.pop(name + "_error", None)
+                    if "tpu_ms" in r:
+                        tpu_ms = r.pop("tpu_ms")
+                        cpu_ms = r.pop("cpu_ms")
+                        extra[name + "_fwd_grad_ms"] = round(tpu_ms, 3)
+                        extra[name + "_vs_baseline"] = round(cpu_ms / tpu_ms, 2)
+                    for k, v in r.items():
+                        extra[f"{name}_{k}"] = (
+                            v if isinstance(v, dict)
+                            else f"{v:.2e}" if "rel" in k
+                            else round(float(v), 4))
+                    break
+                tail = out.stderr.strip()[-300:]
+                extra[name + "_error"] = f"(see {err_path}) {tail}"
+            except Exception as e:
+                with open(err_path, "a") as fh:
+                    fh.write(f"--- attempt {attempt} exception: {e}\n")
+                extra[name + "_error"] = str(e)[:300]
 
     print(
         json.dumps(
@@ -345,6 +429,9 @@ def main():
                     "kdyn24_vs_baseline": round(kd_cpu / kd_tpu, 2),
                     "kdyn24_J_rel_err": f"{kd_rel_J:.2e}",
                     "kdyn24_grad_rel_err": f"{kd_rel_g:.2e}",
+                    "kdyn24_precision_mode": kd_mode,
+                    "sh23_roofline": sh23_rl,
+                    "kdyn24_roofline": kd_rl,
                     **{f"kdyn24_{k.replace('_s', '_ms') if k == 'fast_s' else k}":
                        (round(v * 1e3, 3) if k == "fast_s" else f"{v:.2e}")
                        for k, v in kd_fast.items()},
