@@ -161,7 +161,7 @@ def make_problem(args):
 
     from spheremanopt_tpu.problems.optimal_mixing import MixingConfig, OptimalMixing
 
-    kw = dict(dtype=dtype, s=args.s)
+    kw = dict(dtype=dtype, s=args.s, adjoint=args.adjoint)
     for name, val in [("nx", args.nx), ("nz", args.nz), ("dt", args.dt), ("n_iters", args.n_iters)]:
         if val is not None:
             kw[name] = val

@@ -238,3 +238,20 @@ def test_batch_sweep_example(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-1500:]
     assert "throughput gain" in out.stdout
+
+
+def test_cli_mixing_adjoint_and_s_wiring():
+    """`run mixing --adjoint continuous` must actually construct a
+    continuous-adjoint problem (was silently dropped before r3), and
+    --s 0 selects the KE objective."""
+    from spheremanopt_tpu.run import build_parser, make_problem
+
+    a = build_parser().parse_args(
+        ["mixing", "--adjoint", "continuous", "--nx", "32", "--nz", "16",
+         "--n-iters", "20"])
+    p, _, _ = make_problem(a)
+    assert p.cfg.adjoint == "continuous"
+    a0 = build_parser().parse_args(["mixing", "--s", "0", "--nx", "32",
+                                    "--nz", "16", "--n-iters", "20"])
+    p0, _, _ = make_problem(a0)
+    assert p0.cfg.s == 0 and p0.cfg.adjoint == "discrete"
