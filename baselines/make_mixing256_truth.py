@@ -1,0 +1,45 @@
+"""Regenerate baselines/mixing256_truth.npz — pinned f64 truth (J and
+the fused gradient) for the mixing 256x128 s=1 reference config at the
+SEED-42 F32 IC (the IC stream the TPU bench actually uses; jax.random
+draws differ by dtype, so the old f64-IC pin J=0.03860067... carried
+4.5e-5 of IC-mismatch noise into every reported accuracy).
+
+Run on CPU: python baselines/make_mixing256_truth.py
+Cross-validated against baselines/mixing_numpy.py at reduced steps by
+tests/test_baseline_parity-style machinery; the full-config numpy
+cross-check (726.7 s) was done once in r2 for the f64-IC pipeline
+(BASELINE.md).
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from spheremanopt_tpu.problems.optimal_mixing import (  # noqa: E402
+    MixingConfig,
+    OptimalMixing,
+)
+
+
+def main():
+    p32 = OptimalMixing(MixingConfig(dtype="float32", s=1))
+    x0 = np.asarray(p32.generate_ic(seed=42)[0], np.float64)
+    p = OptimalMixing(MixingConfig(dtype="float64", s=1))
+    J, g = p.objective_and_gradient([x0])
+    out = os.path.join(os.path.dirname(__file__), "mixing256_truth.npz")
+    np.savez_compressed(out, J=np.float64(float(J)),
+                        g=np.asarray(g[0], np.float32),
+                        x0=x0.astype(np.float32))
+    print(f"wrote {out}: J = {float(J)!r}")
+
+
+if __name__ == "__main__":
+    main()

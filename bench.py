@@ -114,10 +114,11 @@ def bench_kdyn(repeats_tpu=5, repeats_cpu=1):
     """KDyn 24^3, Rm=1, dt=5e-4, 2000 steps, Cost='Final' — the second
     north-star config (BASELINE.md). Unit: fused fwd+grad (both spheres).
 
-    Two precision modes are timed (matmul_precision): "highest" is the
-    framework default (3-pass f32 MXU transforms, J rel-err ~1.5e-4 —
-    the true f32 floor over 2000 steps); "default" is the single-pass
-    bf16 fast mode (rel-err ~3.9e-3, = the round-1 recorded accuracy).
+    Two precision modes are timed (matmul_precision): "high" is the
+    framework default (native 3-pass MXU transforms, J rel-err ~9e-5 —
+    measured to dominate both "highest" and the hand-rolled compensated
+    split, BASELINE.md r3); "default" is the single-pass bf16 fast mode
+    (rel-err ~4.5e-3).
     """
     import jax
     import jax.numpy as jnp
@@ -246,21 +247,36 @@ def bench_mixing(repeats=3):
 
     from spheremanopt_tpu.problems.optimal_mixing import MixingConfig, OptimalMixing
 
-    J64 = 0.03860067187575046  # jax f64 CPU @ reference config, seed 42;
-    #                            cross-validated by baselines/mixing_numpy
-    #                            to 2e-14 (BASELINE.md)
+    # Pinned f64 truth at the seed-42 F32 IC (the stream this bench
+    # integrates; the r2 pin 0.03860067... was the f64-IC value and
+    # put 4.5e-5 of IC-mismatch noise into every accuracy row) —
+    # baselines/make_mixing256_truth.py. IC equality asserted below.
+    truth = np.load("baselines/mixing256_truth.npz")
+    J64 = float(truth["J"])
+    g64 = np.asarray(truth["g"], np.float64)
 
     on_tpu = jax.devices()[0].platform != "cpu"
     dtype = "float32" if on_tpu else "float64"
     p = OptimalMixing(MixingConfig(dtype=dtype, s=1))
-    x0 = p.generate_ic(seed=42)
+    p_ic = p if dtype == "float32" else OptimalMixing(
+        MixingConfig(dtype="float32", s=1))
+    import jax.numpy as jnp
+
+    x0 = [jnp.asarray(np.asarray(p_ic.generate_ic(seed=42)[0]), p._rdtype)]
+    if not np.allclose(np.asarray(x0[0], np.float64), truth["x0"],
+                       rtol=0, atol=1e-6):
+        raise RuntimeError(
+            "mixing generate_ic(seed=42) no longer matches the pinned "
+            "truth IC; regenerate with baselines/make_mixing256_truth.py")
     ms = chained_value_ms(p.objective_and_gradient, x0, n=repeats)
-    # J from the fused call: p.objective() would compile a SECOND
+    # J/grad from the fused call: p.objective() would compile a SECOND
     # program (~60-90 s through the tunnel) for a value the fused one
     # already computed — the extra compiles pushed the subprocess past
     # its bench-budget slice (measured TimeoutExpired in the r2 rehearsal)
-    J_fused, _ = p.objective_and_gradient(x0)
+    J_fused, g_fused = p.objective_and_gradient(x0)
     rel_J = abs(float(J_fused) - J64) / abs(J64)
+    rel_g = float(np.linalg.norm(np.asarray(g_fused[0], np.float64) - g64)
+                  / np.linalg.norm(g64))
     fast = {}
     if on_tpu:
         p_fast = OptimalMixing(MixingConfig(dtype=dtype, s=1,
@@ -285,10 +301,11 @@ def bench_mixing(repeats=3):
 
     from spheremanopt_tpu.utils import profiling as prof
 
-    passes = {"compensated": 3, "highest": 6}.get(p.cfg.solve_precision, 1)
+    passes = {"compensated": 3, "high": 3,
+              "highest": 6}.get(p.cfg.solve_precision, 1)
     rl = prof.roofline(ms, *prof.mixing_cost_model(
         p.cfg.nx, p.cfg.nz, p.cfg.n_iters, passes=passes))
-    return ms / 1e3, cpu_ms, rel_J, fast, rl
+    return ms / 1e3, cpu_ms, rel_J, rel_g, fast, rl
 
 
 def bench_kdyn48(repeats=3, n_iters=500):
@@ -364,9 +381,9 @@ def main():
     # budget order: mixing first (the longest-compiling and most
     # informative secondary), then the cheap SHB23, then the 48^3 scale
     runners = {
-        "mixing_256x128": ("t, c, rj, fast, rl = bench.bench_mixing(); "
+        "mixing_256x128": ("t, c, rj, rg, fast, rl = bench.bench_mixing(); "
                            "print('RES', __import__('json').dumps("
-                           "{'tpu_ms': t*1e3, 'cpu_ms': c, 'rel_J': rj, 'roofline': rl, **{'fast_'+k if not k.startswith('fast') else k: v for k, v in fast.items()}}))"),
+                           "{'tpu_ms': t*1e3, 'cpu_ms': c, 'rel_J': rj, 'rel_g': rg, 'roofline': rl, **{'fast_'+k if not k.startswith('fast') else k: v for k, v in fast.items()}}))"),
         "shb23_512": ("t, c, rl = bench.bench_shb23(); "
                       "print('RES', __import__('json').dumps("
                       "{'tpu_ms': t*1e3, 'cpu_ms': c, 'roofline': rl}))"),

@@ -16,12 +16,16 @@ Two measured traps (BASELINE.md round 2) are baked in:
   * the hi and lo dot sums must be separated by
     `lax.optimization_barrier`, or XLA re-folds them into one bf16 dot.
 
-Why keep this next to the native `precision="high"` 3-pass mode: the
-pass structure is identical (Ah.yh + Ah.yl + Al.yh), but "high" applies
-per dot-general while this form lets the lo-terms of a whole transform
-chain fuse/schedule separately — which one wins is an empirical,
-per-problem question (the bench measures both; see KDynConfig
-.matmul_precision).
+Versus the native `precision="high"` 3-pass mode: the pass structure is
+identical (Ah.yh + Ah.yl + Al.yh), but "high" applies per dot-general
+while this form splits by hand. MEASURED OUTCOME (KDyn 24^3 x 2000,
+r3, BASELINE.md): native "high" dominates for autodiff'd paths —
+118 ms @ ~1e-4 on J AND gradients vs 175 ms here with gradients at
+3e-3, because the VJP of the hand-split form does not hi/lo-split the
+incoming COTANGENT, so every reverse dot runs single-pass bf16 while
+"high" transposes to another 3-pass dot. Use the hand-rolled split only
+where the reverse sweep is also hand-written (the mixing solve's
+measured win) or no gradient flows through it.
 """
 
 from __future__ import annotations

@@ -87,21 +87,30 @@ class KDynConfig:
                                  # einsum body costs ~16 min/program on
                                  # this toolchain — see BASELINE.md —
                                  # so it is not the default anywhere)
-    matmul_precision: str = "highest"
+    matmul_precision: str = "high"
                                  # MXU pass count for the f32 transform
-                                 # einsums (measured at the 24^3 x 2000
-                                 # reference config, BASELINE.md):
-                                 #  "default"     1 bf16 pass, J rel-err
-                                 #                3.9e-3 — fast mode
-                                 #  "compensated" hand-rolled 3-pass
-                                 #                hi/lo split (ops/
-                                 #                compensated.py) — the
-                                 #                ~1e-4-class middle mode
-                                 #  "high"        XLA's native 3-pass
-                                 #                (same pass structure,
-                                 #                per-dot lowering)
-                                 #  "highest"     f32 floor, 1.5e-4,
-                                 #                at ~2.7x the fast cost
+                                 # einsums. Measured, 24^3 x 2000 fused
+                                 # fwd+grad vs pinned f64 truth (r3,
+                                 # BASELINE.md):
+                                 #  "default"     73 ms; J 4.5e-3,
+                                 #                grads ~1e-2 (1 bf16
+                                 #                pass) — fast mode
+                                 #  "high"        118 ms; J 9.3e-5,
+                                 #                grads ~1e-4 (native
+                                 #                3-pass) — DEFAULT:
+                                 #                dominates both modes
+                                 #                below
+                                 #  "compensated" 175 ms; J 1.3e-4 but
+                                 #                grads 3e-3: the VJP's
+                                 #                cotangent is not
+                                 #                hi/lo-split, so the
+                                 #                reverse dots run
+                                 #                single-pass (measured
+                                 #                dead end vs "high";
+                                 #                kept as the tested
+                                 #                negative result)
+                                 #  "highest"     197 ms; J 1.5e-4,
+                                 #                grads 1.6e-4 (6-pass)
     project_gradients: bool = True
     # Leray-project dJ/dB0 and dJ/dU onto divergence-free fields. The
     # reference's adjoint systems solve with div G = div nu = 0 tau
@@ -222,6 +231,8 @@ class KinematicDynamo:
 
             prec = {"default": jax.lax.Precision.DEFAULT,
                     "high": jax.lax.Precision.HIGH,
+                    "compensated": jax.lax.Precision.HIGH,  # kernel dots
+                    # carry no hand-split; HIGH is the same pass count
                     "highest": jax.lax.Precision.HIGHEST}[cfg.matmul_precision]
             self._fused_energy = make_fused_energy(
                 make_consts(self), cfg.n_iters,

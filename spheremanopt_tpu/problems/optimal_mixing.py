@@ -196,8 +196,8 @@ class OptimalMixing:
                                jnp.concatenate([uB, wB, rB], -1)], axis=1)
         if self._smode == "compensated":
             out = _solve_apply_compensated(op, rhs_c)
-        elif self._smode == "highest":
-            out = _solve_apply(op, rhs_c, precision="highest")
+        elif self._smode in ("highest", "high"):
+            out = _solve_apply(op, rhs_c, precision=self._smode)
         else:
             out = _solve_apply(op, rhs_c)
         if blocked:
