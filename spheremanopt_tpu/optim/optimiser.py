@@ -277,6 +277,21 @@ def optimise_on_multi_sphere(
                 print("\n Couldn't find a descent direction .... Terminating \n")
             break
 
+        if not np.isfinite(float(J_k)):
+            # A runaway trial (e.g. an amax-sized step blowing up the f32
+            # solve) returns a non-finite J that scipy-style Wolfe
+            # "accepts" because every NaN comparison is False; the
+            # reference would record the NaN into its histories
+            # (`Sphere_Grad_Descent.py:791-811` only guards alpha).
+            # Treat it as a failed search: keep the best-so-far iterate.
+            R.message = ("Line search returned a non-finite objective "
+                         "(runaway trial step); terminating with "
+                         "best-so-far.")
+            if verbose:
+                print("\n Non-finite objective in line search .... "
+                      "Terminating \n")
+            break
+
         # --- update + residual from pre-update gradient (ref :789-796) ---
         x_k = K.retract(x_k, alpha_k, d_k)
         error = np.asarray(K.residuals(g_k))

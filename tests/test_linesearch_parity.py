@@ -73,3 +73,37 @@ def test_wolfe_amax_semantics():
         r = ls.wolfe_search(phi, dphi, phi0=0.0, old_phi0=None, derphi0=-1.0,
                             amax=2.0)
     assert r.alpha is None or r.derphi_star is None
+
+def test_nonfinite_objective_terminates_with_best_so_far():
+    """A runaway Wolfe trial returning NaN must not be recorded into the
+    histories: scipy-style Wolfe 'accepts' it (NaN comparisons are all
+    False) and the reference would log the NaN; the driver treats it as
+    a failed search and early-returns the best-so-far iterate (observed
+    live: mixing continuous-adjoint full config, iteration 9, alpha=97).
+    """
+    import warnings
+
+    import jax.numpy as jnp
+
+    from spheremanopt_tpu.optim.optimiser import optimise_on_multi_sphere
+
+    calls = {"n": 0}
+
+    def f(xs):
+        calls["n"] += 1
+        if calls["n"] > 4:
+            return float("nan")
+        return -float(np.asarray(xs[0])[0])
+
+    def g(xs):
+        return [np.asarray([-1.0, 0.0, 0.0])]
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        r = optimise_on_multi_sphere(
+            [np.asarray([0.1, 0.7, 0.7])], [1.0], f, g,
+            lambda a, b: jnp.sum(a * b), max_iters=10, alpha_k=1.0,
+            line_search="wolfe", cg=True, verbose=False)
+    assert "non-finite" in r.message
+    assert all(np.isfinite(v) for v in r.function_values)
+    assert np.isfinite(np.asarray(r.x_opt[0])).all()
