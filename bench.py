@@ -139,29 +139,33 @@ def bench_kdyn(repeats_tpu=5, repeats_cpu=1):
         KDynConfig(npts=24, n_iters=2000, dt=5e-4, dtype=dtype,
                    project_gradients=False)
     )
-    # IC from the f32 config always (jax.random draws a dtype-dependent
-    # stream; the pinned truth is computed at the f32 IC)
+    truth = np.load("baselines/kdyn24_truth.npz")
+    # The integration runs from the PINNED IC (the accuracy reference's
+    # exact input): generating on-device would fold ~4e-5 of IC noise
+    # into every accuracy row (the jitted IC pipeline's MXU arithmetic
+    # differs from CPU f32 — measured r3). generate_ic still runs as a
+    # pipeline sanity check: it must land in the pinned IC's
+    # neighbourhood or the IC algorithm/seed changed.
     p_ic = p if dtype == "float32" else KinematicDynamo(
         KDynConfig(npts=24, n_iters=2000, dt=5e-4, dtype="float32",
-                   project_gradients=False))
-    x0 = [jnp.asarray(np.asarray(x), p._rdtype)
-          for x in p_ic.generate_ic(seed=42)]
+                   project_gradients=False))  # f32 stream (the truth's)
+    x0_gen = p_ic.generate_ic(seed=42)
+    if not np.allclose(np.asarray(x0_gen[0], np.float64), truth["b0"],
+                       rtol=0, atol=5e-4):
+        raise RuntimeError(
+            "generate_ic(seed=42) diverged from the pinned truth IC; "
+            "regenerate with baselines/make_kdyn24_truth.py")
+    x0 = [jnp.asarray(truth["b0"], p._rdtype),
+          jnp.asarray(truth["u0"], p._rdtype)]
     b_np = np.asarray(x0[0], np.float64)
     u_np = np.asarray(x0[1], np.float64)
 
     # Accuracy reference: pinned f64 truth (jax-CPU-f64 fused fwd+grad at
     # the seed-42 f32 IC, cross-validated vs the hand-rolled numpy
     # adjoint to 1e-14 — baselines/make_kdyn24_truth.py). Recomputing it
-    # live cost ~54 s of numpy per bench run; the pin breaks VISIBLY if
-    # generate_ic changes (IC equality asserted below).
-    truth = np.load("baselines/kdyn24_truth.npz")
+    # live cost ~54 s of numpy per bench run.
     J_cpu = float(truth["J"])
     g_b = np.asarray(truth["gb"], np.float64)
-    if not (np.allclose(b_np, truth["b0"], rtol=0, atol=1e-6)
-            and np.allclose(u_np, truth["u0"], rtol=0, atol=1e-6)):
-        raise RuntimeError(
-            "generate_ic(seed=42) no longer matches the pinned truth IC; "
-            "regenerate with baselines/make_kdyn24_truth.py")
 
     # CPU baseline timed at 200 steps and scaled x10 (strictly linear in
     # steps; the same validated extrapolation as the mixing baseline —
@@ -262,12 +266,15 @@ def bench_mixing(repeats=3):
         MixingConfig(dtype="float32", s=1))
     import jax.numpy as jnp
 
-    x0 = [jnp.asarray(np.asarray(p_ic.generate_ic(seed=42)[0]), p._rdtype)]
-    if not np.allclose(np.asarray(x0[0], np.float64), truth["x0"],
-                       rtol=0, atol=1e-6):
+    # integrate from the PINNED IC (see bench_kdyn: on-device IC
+    # generation carries MXU arithmetic noise vs the CPU truth's input);
+    # generate_ic runs as a loose-tolerance pipeline sanity check
+    x0_gen = np.asarray(p_ic.generate_ic(seed=42)[0], np.float64)
+    if not np.allclose(x0_gen, truth["x0"], rtol=0, atol=5e-4):
         raise RuntimeError(
-            "mixing generate_ic(seed=42) no longer matches the pinned "
+            "mixing generate_ic(seed=42) diverged from the pinned "
             "truth IC; regenerate with baselines/make_mixing256_truth.py")
+    x0 = [jnp.asarray(truth["x0"], p._rdtype)]
     ms = chained_value_ms(p.objective_and_gradient, x0, n=repeats)
     # J/grad from the fused call: p.objective() would compile a SECOND
     # program (~60-90 s through the tunnel) for a value the fused one
