@@ -205,13 +205,13 @@ def bench_kdyn(repeats_tpu=5, repeats_cpu=1):
     # steps; the same validated extrapolation as the mixing baseline —
     # one full 1000-step mixing run measured 726.7 s vs 727 s
     # extrapolated, BASELINE.md).
-    sub = KDynNumpy(npts=24, dt=5e-4, n_iters=200)
+    sub = KDynNumpy(npts=24, dt=5e-4, n_iters=100)
     t0 = time.perf_counter()
     for _ in range(repeats_cpu):
         # gradient() includes its own forward: 1 fwd + 1 reverse, the
         # same unit as the TPU fused value_and_grad
         sub.gradient(b_np, u_np)
-    cpu_s = (time.perf_counter() - t0) / repeats_cpu * (2000 / 200)
+    cpu_s = (time.perf_counter() - t0) / repeats_cpu * (2000 / 100)
 
     def one(pp):
         tpu_s = chained_value_ms(pp.objective_and_gradient, x0, n=repeats_tpu) / 1e3
@@ -336,7 +336,7 @@ def bench_mixing(repeats=3):
     sys.path.insert(0, "baselines")
     from mixing_numpy import MixingNumpy
 
-    sub_steps = 100
+    sub_steps = 50
     sim = MixingNumpy(n_iters=sub_steps)
     x_np = np.asarray(x0[0], np.float64)
     t0 = time.perf_counter()
@@ -415,34 +415,82 @@ def main():
     kd_rl = prof.roofline(kd_tpu * 1e3,
                           *prof.kdyn_cost_model(24, 2000, passes=kd_passes))
 
-    # Secondary benches run in SUBPROCESSES: the axon tunnel is flaky
-    # under long multi-compile sequences in one process (sporadic
-    # UNIMPLEMENTED); isolation keeps the headline metric robust. Each
-    # child gets ONE retry (transient tunnel errors are the dominant
-    # failure, VERDICT r2 weak item 1) and its full stderr is kept in
-    # /tmp/smo_bench_<name>.stderr with the tail surfaced in the JSON.
+    # Secondary benches. Happy path: run them IN-PROCESS — with the
+    # persistent compile cache warm there is almost nothing to compile,
+    # and every extra process is another tunnel device-init (the wedge
+    # correlates with process churn; measured r3: the wedge struck
+    # mid-bench in 3 of 4 multi-process runs). If an in-process bench
+    # throws, the process may be contaminated (platform rule: a process
+    # that hits UNIMPLEMENTED does not recover), so every remaining
+    # bench falls back to the SUBPROCESS path with one retry; full child
+    # stderr goes to /tmp/smo_bench_<name>.stderr, tail in the JSON.
     import os
     import subprocess
+
+    def _res_mixing():
+        t, c, rj, rg, fast, rl = bench_mixing()
+        return {"tpu_ms": t * 1e3, "cpu_ms": c, "rel_J": rj, "rel_g": rg,
+                "roofline": rl,
+                **{("fast_" + k if not k.startswith("fast") else k): v
+                   for k, v in fast.items()}}
+
+    def _res_shb23():
+        t, c, rl = bench_shb23()
+        return {"tpu_ms": t * 1e3, "cpu_ms": c, "roofline": rl}
 
     extra = {}
     # budget order: mixing first (the longest-compiling and most
     # informative secondary), then the cheap SHB23, then the 48^3 scale
     runners = {
-        "mixing_256x128": ("t, c, rj, rg, fast, rl = bench.bench_mixing(); "
-                           "print('RES', __import__('json').dumps("
-                           "{'tpu_ms': t*1e3, 'cpu_ms': c, 'rel_J': rj, 'rel_g': rg, 'roofline': rl, **{'fast_'+k if not k.startswith('fast') else k: v for k, v in fast.items()}}))"),
-        "shb23_512": ("t, c, rl = bench.bench_shb23(); "
-                      "print('RES', __import__('json').dumps("
-                      "{'tpu_ms': t*1e3, 'cpu_ms': c, 'roofline': rl}))"),
-        "kdyn48_scale": ("r = bench.bench_kdyn48(); "
-                         "print('RES', __import__('json').dumps(r))"),
+        "mixing_256x128": (
+            _res_mixing,
+            "t, c, rj, rg, fast, rl = bench.bench_mixing(); "
+            "print('RES', __import__('json').dumps("
+            "{'tpu_ms': t*1e3, 'cpu_ms': c, 'rel_J': rj, 'rel_g': rg, 'roofline': rl, **{'fast_'+k if not k.startswith('fast') else k: v for k, v in fast.items()}}))"),
+        "shb23_512": (
+            _res_shb23,
+            "t, c, rl = bench.bench_shb23(); "
+            "print('RES', __import__('json').dumps("
+            "{'tpu_ms': t*1e3, 'cpu_ms': c, 'roofline': rl}))"),
+        "kdyn48_scale": (
+            bench_kdyn48,
+            "r = bench.bench_kdyn48(); "
+            "print('RES', __import__('json').dumps(r))"),
     }
-    for name, code in runners.items():
+
+    def _record(name, r):
+        r = dict(r)
+        extra.pop(name + "_error", None)
+        if "tpu_ms" in r:
+            tpu_ms = r.pop("tpu_ms")
+            cpu_ms = r.pop("cpu_ms")
+            extra[name + "_fwd_grad_ms"] = round(tpu_ms, 3)
+            extra[name + "_vs_baseline"] = round(cpu_ms / tpu_ms, 2)
+        for k, v in r.items():
+            extra[f"{name}_{k}"] = (
+                v if isinstance(v, dict)
+                else f"{v:.2e}" if "rel" in k
+                else round(float(v), 4))
+
+    contaminated = False
+    for name, (inproc, code) in runners.items():
+        if not contaminated:
+            remaining = budget_s - (time.perf_counter() - t_start)
+            if remaining < 120:
+                extra[name + "_skipped"] = f"budget ({int(remaining)}s left)"
+                continue
+            try:
+                _record(name, inproc())
+                continue
+            except Exception as e:
+                contaminated = True
+                with open(f"/tmp/smo_bench_{name}.stderr", "a") as fh:
+                    fh.write(f"--- in-process attempt failed: {e!r}\n")
         child = f"import bench; bench._enable_compile_cache(); {code}"
         err_path = f"/tmp/smo_bench_{name}.stderr"
         for attempt in (1, 2):
             remaining = budget_s - (time.perf_counter() - t_start)
-            if remaining < 360:
+            if remaining < 300:
                 if name + "_error" not in extra:
                     extra[name + "_skipped"] = f"budget ({int(remaining)}s left)"
                 break
@@ -463,18 +511,7 @@ def main():
                              + out.stderr)
                 line = [l for l in out.stdout.splitlines() if l.startswith("RES")]
                 if line:
-                    r = json.loads(line[0][4:])
-                    extra.pop(name + "_error", None)
-                    if "tpu_ms" in r:
-                        tpu_ms = r.pop("tpu_ms")
-                        cpu_ms = r.pop("cpu_ms")
-                        extra[name + "_fwd_grad_ms"] = round(tpu_ms, 3)
-                        extra[name + "_vs_baseline"] = round(cpu_ms / tpu_ms, 2)
-                    for k, v in r.items():
-                        extra[f"{name}_{k}"] = (
-                            v if isinstance(v, dict)
-                            else f"{v:.2e}" if "rel" in k
-                            else round(float(v), 4))
+                    _record(name, json.loads(line[0][4:]))
                     break
                 tail = out.stderr.strip()[-300:]
                 extra[name + "_error"] = f"(see {err_path}) {tail}"
