@@ -255,3 +255,24 @@ def test_cli_mixing_adjoint_and_s_wiring():
                                     "--nz", "16", "--n-iters", "20"])
     p0, _, _ = make_problem(a0)
     assert p0.cfg.s == 0 and p0.cfg.adjoint == "discrete"
+
+
+def test_roofline_cost_models():
+    """The bench's roofline accounting (utils/profiling.py): achieved
+    rates scale inversely with time, % peaks are consistent with the
+    published v5e numbers, and the per-problem models return positive
+    dominant-term counts."""
+    from spheremanopt_tpu.utils import profiling as prof
+
+    f, b = prof.sh23_cost_model(256, 1000)
+    assert f > 0 and b > 0
+    r1 = prof.roofline(10.0, f, b)
+    r2 = prof.roofline(20.0, f, b)
+    assert abs(r1["achieved_hbm_gbps"] - 2 * r2["achieved_hbm_gbps"]) < 0.2
+    assert r1["pct_peak_hbm"] == round(
+        100.0 * r1["achieved_hbm_gbps"] / prof.V5E_HBM_GBPS, 1)
+    for fn, args in ((prof.shb23_cost_model, (512, 2000)),
+                     (prof.kdyn_cost_model, (24, 2000)),
+                     (prof.mixing_cost_model, (256, 128, 1000))):
+        fl, by = fn(*args)
+        assert fl > 0 and by > 0
