@@ -184,8 +184,10 @@ def bench_kdyn(repeats_tpu=5, repeats_cpu=1):
         KDynConfig(npts=24, n_iters=2000, dt=5e-4, dtype="float32",
                    project_gradients=False))  # f32 stream (the truth's)
     x0_gen = p_ic.generate_ic(seed=42)
-    if not np.allclose(np.asarray(x0_gen[0], np.float64), truth["b0"],
-                       rtol=0, atol=5e-4):
+    if not (np.allclose(np.asarray(x0_gen[0], np.float64), truth["b0"],
+                        rtol=0, atol=5e-4)
+            and np.allclose(np.asarray(x0_gen[1], np.float64), truth["u0"],
+                            rtol=0, atol=5e-4)):
         raise RuntimeError(
             "generate_ic(seed=42) diverged from the pinned truth IC; "
             "regenerate with baselines/make_kdyn24_truth.py")
@@ -201,10 +203,10 @@ def bench_kdyn(repeats_tpu=5, repeats_cpu=1):
     J_cpu = float(truth["J"])
     g_b = np.asarray(truth["gb"], np.float64)
 
-    # CPU baseline timed at 200 steps and scaled x10 (strictly linear in
-    # steps; the same validated extrapolation as the mixing baseline —
-    # one full 1000-step mixing run measured 726.7 s vs 727 s
-    # extrapolated, BASELINE.md).
+    # CPU baseline timed at 100 steps and scaled x20 (strictly linear in
+    # steps; the extrapolation methodology was validated on the mixing
+    # baseline — one full 1000-step run measured 726.7 s vs 727 s
+    # extrapolated from 100 steps, BASELINE.md).
     sub = KDynNumpy(npts=24, dt=5e-4, n_iters=100)
     t0 = time.perf_counter()
     for _ in range(repeats_cpu):
@@ -223,6 +225,12 @@ def bench_kdyn(repeats_tpu=5, repeats_cpu=1):
         return tpu_s, rel_J, rel_g
 
     tpu_s, rel_J, rel_g = one(p)  # the KDynConfig default mode
+    from spheremanopt_tpu.utils import profiling as prof
+
+    # effective mode: the f64 CPU fallback executes plain dots
+    kd_mode = p.cfg.matmul_precision if dtype == "float32" else "f64"
+    rl = prof.roofline(tpu_s * 1e3, *prof.kdyn_cost_model(
+        24, 2000, passes=prof.passes_for(kd_mode)))
     fast = {}
     if on_tpu:
         p_fast = KinematicDynamo(
@@ -235,7 +243,7 @@ def bench_kdyn(repeats_tpu=5, repeats_cpu=1):
     # compile of the 22-einsum unaligned step body measures ~16 min per
     # program through the compile helper (OOM-SIGKILL at 2000 steps) —
     # see BASELINE.md round-2 notes. The XLA scan is the production path.
-    return tpu_s, cpu_s, rel_J, rel_g, fast
+    return tpu_s, cpu_s, rel_J, rel_g, fast, kd_mode, rl
 
 
 def bench_shb23(repeats=10):
@@ -330,9 +338,9 @@ def bench_mixing(repeats=3):
         fast = {"fast_ms": ms_f,
                 "fast_rel_J": abs(float(J_ff) - J64) / abs(J64)}
     # CPU baseline: same per-kx operator algorithm on numpy/BLAS,
-    # measured at 100 steps and scaled linearly. The extrapolation is
-    # VALIDATED: one full 1000-step fwd+reverse measured 726.7 s vs
-    # 727 s extrapolated (BASELINE.md).
+    # measured at 50 steps and scaled x20. The extrapolation methodology
+    # is VALIDATED: one full 1000-step fwd+reverse measured 726.7 s vs
+    # 727 s extrapolated from 100 steps (BASELINE.md).
     sys.path.insert(0, "baselines")
     from mixing_numpy import MixingNumpy
 
@@ -345,10 +353,10 @@ def bench_mixing(repeats=3):
 
     from spheremanopt_tpu.utils import profiling as prof
 
-    passes = {"compensated": 3, "high": 3,
-              "highest": 6}.get(p.cfg.solve_precision, 1)
+    # effective mode (p._smode): f64 CPU fallback executes one exact dot
     rl = prof.roofline(ms, *prof.mixing_cost_model(
-        p.cfg.nx, p.cfg.nz, p.cfg.n_iters, passes=passes))
+        p.cfg.nx, p.cfg.nz, p.cfg.n_iters,
+        passes=prof.passes_for(p._smode)))
     return ms / 1e3, cpu_ms, rel_J, rel_g, fast, rl
 
 
@@ -399,7 +407,16 @@ def main():
     cpu_s, J_cpu, g_cpu = bench_baseline_cpu(u0)
     # a wedged tunnel would hang the first dispatch for ~20-45 min;
     # wait it out rather than compiling into it (budget-capped)
-    _wait_for_tpu(t_start, budget_s, reserve_s=300.0)
+    if not _wait_for_tpu(t_start, budget_s, reserve_s=300.0):
+        # budget exhausted waiting: emit a degraded-but-valid line
+        # rather than hanging into the driver's kill
+        print(json.dumps({
+            "metric": "SH23 N=256 T=50 fwd+grad wall-clock (1 opt-iter unit)",
+            "value": None, "unit": "ms", "vs_baseline": None,
+            "detail": {"error": "tunnel wedged; budget exhausted waiting",
+                       "sh23_cpu_baseline_ms": round(cpu_s * 1e3, 3)},
+        }))
+        return
     tpu_s, J_tpu, g_tpu = bench_tpu(u0)
 
     rel_J = abs(J_tpu - J_cpu) / abs(J_cpu)
@@ -407,13 +424,37 @@ def main():
     sh23_rl = prof.roofline(tpu_s * 1e3,
                             *prof.sh23_cost_model(NPTS, N_ITERS))
 
-    kd_tpu, kd_cpu, kd_rel_J, kd_rel_g, kd_fast = bench_kdyn()
-    from spheremanopt_tpu.problems.kinematic_dynamo import KDynConfig
+    kd_tpu, kd_cpu, kd_rel_J, kd_rel_g, kd_fast, kd_mode, kd_rl = bench_kdyn()
 
-    kd_mode = KDynConfig().matmul_precision
-    kd_passes = {"compensated": 3, "high": 3, "highest": 6}.get(kd_mode, 1)
-    kd_rl = prof.roofline(kd_tpu * 1e3,
-                          *prof.kdyn_cost_model(24, 2000, passes=kd_passes))
+    def emit(extra):
+        print(json.dumps({
+            "metric": "SH23 N=256 T=50 fwd+grad wall-clock (1 opt-iter unit)",
+            "value": round(tpu_s * 1e3, 3),
+            "unit": "ms",
+            "vs_baseline": round(cpu_s / tpu_s, 2),
+            "detail": {
+                "sh23_cpu_baseline_ms": round(cpu_s * 1e3, 3),
+                "sh23_J_rel_err_vs_f64_cpu": f"{rel_J:.2e}",
+                "sh23_grad_rel_err_vs_f64_cpu": f"{rel_g:.2e}",
+                "kdyn24_fwd_grad_ms": round(kd_tpu * 1e3, 3),
+                "kdyn24_cpu_baseline_ms": round(kd_cpu * 1e3, 3),
+                "kdyn24_vs_baseline": round(kd_cpu / kd_tpu, 2),
+                "kdyn24_J_rel_err": f"{kd_rel_J:.2e}",
+                "kdyn24_grad_rel_err": f"{kd_rel_g:.2e}",
+                "kdyn24_precision_mode": kd_mode,
+                "sh23_roofline": sh23_rl,
+                "kdyn24_roofline": kd_rl,
+                **{f"kdyn24_{k.replace('_s', '_ms') if k == 'fast_s' else k}":
+                   (round(v * 1e3, 3) if k == "fast_s" else f"{v:.2e}")
+                   for k, v in kd_fast.items()},
+                **extra,
+            },
+        }), flush=True)
+
+    # provisional line: if a wedge or the driver's timeout kills this
+    # process mid-secondaries, the headline work is not lost (the
+    # parent/driver takes the LAST complete line)
+    emit({"secondaries": "in progress"})
 
     # Secondary benches. Happy path: run them IN-PROCESS — with the
     # persistent compile cache warm there is almost nothing to compile,
@@ -479,6 +520,9 @@ def main():
             if remaining < 120:
                 extra[name + "_skipped"] = f"budget ({int(remaining)}s left)"
                 continue
+            if not _wait_for_tpu(t_start, budget_s, reserve_s=120.0):
+                extra[name + "_skipped"] = "tunnel wedged; budget exhausted waiting"
+                continue
             try:
                 _record(name, inproc())
                 continue
@@ -520,33 +564,7 @@ def main():
                     fh.write(f"--- attempt {attempt} exception: {e}\n")
                 extra[name + "_error"] = str(e)[:300]
 
-    print(
-        json.dumps(
-            {
-                "metric": "SH23 N=256 T=50 fwd+grad wall-clock (1 opt-iter unit)",
-                "value": round(tpu_s * 1e3, 3),
-                "unit": "ms",
-                "vs_baseline": round(cpu_s / tpu_s, 2),
-                "detail": {
-                    "sh23_cpu_baseline_ms": round(cpu_s * 1e3, 3),
-                    "sh23_J_rel_err_vs_f64_cpu": f"{rel_J:.2e}",
-                    "sh23_grad_rel_err_vs_f64_cpu": f"{rel_g:.2e}",
-                    "kdyn24_fwd_grad_ms": round(kd_tpu * 1e3, 3),
-                    "kdyn24_cpu_baseline_ms": round(kd_cpu * 1e3, 3),
-                    "kdyn24_vs_baseline": round(kd_cpu / kd_tpu, 2),
-                    "kdyn24_J_rel_err": f"{kd_rel_J:.2e}",
-                    "kdyn24_grad_rel_err": f"{kd_rel_g:.2e}",
-                    "kdyn24_precision_mode": kd_mode,
-                    "sh23_roofline": sh23_rl,
-                    "kdyn24_roofline": kd_rl,
-                    **{f"kdyn24_{k.replace('_s', '_ms') if k == 'fast_s' else k}":
-                       (round(v * 1e3, 3) if k == "fast_s" else f"{v:.2e}")
-                       for k, v in kd_fast.items()},
-                    **extra,
-                },
-            }
-        )
-    )
+    emit(extra)
 
 
 def _main_with_retry():
@@ -561,6 +579,7 @@ def _main_with_retry():
         return
     env = dict(os.environ, SMO_BENCH_CHILD="1")
     last_err = ""
+    partial = None
     for attempt in range(2):
         try:
             out = subprocess.run(
@@ -571,9 +590,28 @@ def _main_with_retry():
             if out.returncode == 0 and lines:
                 print(lines[-1])
                 return
+            if lines:
+                partial = lines[-1]  # provisional emit from a killed child
             last_err = (out.stderr.strip().splitlines() or ["?"])[-1][:200]
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as e:
+            # the child's provisional emit (printed right after the
+            # headline work) survives in the captured partial stdout
+            stdout = e.stdout or b""
+            if isinstance(stdout, bytes):
+                stdout = stdout.decode(errors="replace")
+            lines = [l for l in stdout.splitlines() if l.startswith("{")]
+            if lines:
+                partial = lines[-1]
             last_err = "benchmark child timed out"
+    if partial is not None:
+        try:
+            d = json.loads(partial)
+            d.setdefault("detail", {})["partial"] = (
+                f"headline only; child did not finish ({last_err})")
+            print(json.dumps(d))
+            return
+        except Exception:
+            pass
     print(json.dumps({
         "metric": "SH23 N=256 T=50 fwd+grad wall-clock (1 opt-iter unit)",
         "value": None, "unit": "ms", "vs_baseline": None,

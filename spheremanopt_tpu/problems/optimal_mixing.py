@@ -155,13 +155,12 @@ def _solve_apply_compensated(op_quad, rhs_c):
     bf16-rounded OPERATOR alone is a badly perturbed propagator (620%
     error): both splits are needed.
     """
-    rhi, rlo, ihi, ilo = op_quad
+    from spheremanopt_tpu.ops.compensated import comp_einsum_pair
+
+    # shared helper = single source of the reduce_precision/barrier
+    # traps (ops/compensated.py generalises exactly this solve)
     y = jnp.stack([rhs_c.real, rhs_c.imag], axis=-1)
-    yh = jax.lax.reduce_precision(y, exponent_bits=8, mantissa_bits=7)
-    yl = y - yh
-    mm = lambda A, v: jnp.einsum("...ij,...jc->...ic", A, v)
-    p1 = mm(rhi, yh) + jax.lax.optimization_barrier(mm(rhi, yl) + mm(rlo, yh))
-    p2 = mm(ihi, yh) + jax.lax.optimization_barrier(mm(ihi, yl) + mm(ilo, yh))
+    p1, p2 = comp_einsum_pair("...ij,...jc->...ic", op_quad, y)
     return jax.lax.complex(p1[..., 0] - p2[..., 1], p1[..., 1] + p2[..., 0])
 
 
@@ -274,11 +273,6 @@ class OptimalMixing:
         # compensated mode): complex host<->device transfers are
         # unimplemented on this platform above small sizes, so the
         # complex operators are reassembled inside jit from real planes.
-        def _split(a):
-            a = np.asarray(a, np.float32)
-            hi = a.astype(jnp.bfloat16).astype(np.float32)
-            return hi, a - hi
-
         def _put(a):
             a = np.asarray(a)
             if self._smode == "compensated":
@@ -287,11 +281,12 @@ class OptimalMixing:
                 # than f32 storage in-process (513 vs 332 ms fwd+grad) —
                 # XLA's mixed-dtype dot path loses the good schedule —
                 # with identical accuracy (the MXU casts per pass either
-                # way). Keep f32 storage.
-                rhi, rlo = _split(a.real)
-                ihi, ilo = _split(a.imag)
+                # way). Keep f32 storage (split_complex_matrix is f32).
+                from spheremanopt_tpu.ops.compensated import (
+                    split_complex_matrix)
+
                 return tuple(jax.device_put(jnp.asarray(v, rdtype))
-                             for v in (rhi, rlo, ihi, ilo))
+                             for v in split_complex_matrix(a))
             return (jax.device_put(jnp.asarray(a.real, rdtype)),
                     jax.device_put(jnp.asarray(a.imag, rdtype)))
 

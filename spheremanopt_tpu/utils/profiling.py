@@ -69,6 +69,14 @@ V5E_PEAK_BF16_FLOPS = 197e12
 V5E_HBM_GBPS = 819.0
 
 
+def passes_for(mode: str) -> int:
+    """MXU passes per f32 dot for a precision-mode string (the single
+    source of truth for roofline FLOP multipliers). f64/CPU paths
+    execute plain dots — callers must pass their EFFECTIVE mode, not
+    the config string, when falling back off-TPU."""
+    return {"compensated": 3, "high": 3, "highest": 6}.get(mode, 1)
+
+
 def roofline(ms: float, flops: float, hbm_bytes: float) -> dict:
     """Achieved throughput of one fused fwd+grad against the v5e peaks.
 

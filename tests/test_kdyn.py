@@ -187,3 +187,22 @@ def test_compensated_precision_mode_matches_f32_floor():
     with pytest.raises(ValueError, match="compensated"):
         KinematicDynamo(KDynConfig(dtype="float64",
                                    matmul_precision="compensated", **cfg))
+
+
+def test_taylor_compensated_precision_mode():
+    """CLAUDE.md gradient-change rule: the compensated transform path
+    (reduce_precision splits + optimization_barrier + hi/lo einsums) is
+    a NEW differentiated forward, so it needs its own Taylor-remainder
+    order-2 check — jax.grad must be the exact discrete adjoint OF THE
+    SPLIT FORWARD (f32: epsilon large enough that the O(eps^2)
+    remainder sits above the f32 noise floor)."""
+    from spheremanopt_tpu import adjoint_gradient_test
+
+    p = KinematicDynamo(KDynConfig(npts=12, n_iters=30, dt=1e-3,
+                                   dtype="float32",
+                                   matmul_precision="compensated"))
+    r = adjoint_gradient_test(
+        p.generate_ic(seed=3), p.generate_ic(seed=7), p.objective,
+        p.gradient, p.inner_product, epsilon=3e-2, verbose=False)
+    assert abs(r.gamma1 - 1.0) < 0.1, r.gamma1
+    assert abs(r.gamma2 - 2.0) < 0.2, r.gamma2
