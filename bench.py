@@ -180,6 +180,16 @@ def bench_kdyn(repeats_tpu=5, repeats_cpu=1):
     # differs from CPU f32 — measured r3). generate_ic still runs as a
     # pipeline sanity check: it must land in the pinned IC's
     # neighbourhood or the IC algorithm/seed changed.
+    b_np = np.asarray(truth["b0"], np.float64)
+    u_np = np.asarray(truth["u0"], np.float64)
+    # CPU baseline FIRST: numpy-only, so it spends no healthy-tunnel
+    # minutes (the wedge makes TPU-active windows the scarce resource)
+    sub = KDynNumpy(npts=24, dt=5e-4, n_iters=100)
+    t0 = time.perf_counter()
+    for _ in range(repeats_cpu):
+        sub.gradient(b_np, u_np)
+    cpu_s = (time.perf_counter() - t0) / repeats_cpu * (2000 / 100)
+
     p_ic = p if dtype == "float32" else KinematicDynamo(
         KDynConfig(npts=24, n_iters=2000, dt=5e-4, dtype="float32",
                    project_gradients=False))  # f32 stream (the truth's)
@@ -193,8 +203,6 @@ def bench_kdyn(repeats_tpu=5, repeats_cpu=1):
             "regenerate with baselines/make_kdyn24_truth.py")
     x0 = [jnp.asarray(truth["b0"], p._rdtype),
           jnp.asarray(truth["u0"], p._rdtype)]
-    b_np = np.asarray(x0[0], np.float64)
-    u_np = np.asarray(x0[1], np.float64)
 
     # Accuracy reference: pinned f64 truth (jax-CPU-f64 fused fwd+grad at
     # the seed-42 f32 IC, cross-validated vs the hand-rolled numpy
@@ -203,17 +211,6 @@ def bench_kdyn(repeats_tpu=5, repeats_cpu=1):
     J_cpu = float(truth["J"])
     g_b = np.asarray(truth["gb"], np.float64)
 
-    # CPU baseline timed at 100 steps and scaled x20 (strictly linear in
-    # steps; the extrapolation methodology was validated on the mixing
-    # baseline — one full 1000-step run measured 726.7 s vs 727 s
-    # extrapolated from 100 steps, BASELINE.md).
-    sub = KDynNumpy(npts=24, dt=5e-4, n_iters=100)
-    t0 = time.perf_counter()
-    for _ in range(repeats_cpu):
-        # gradient() includes its own forward: 1 fwd + 1 reverse, the
-        # same unit as the TPU fused value_and_grad
-        sub.gradient(b_np, u_np)
-    cpu_s = (time.perf_counter() - t0) / repeats_cpu * (2000 / 100)
 
     def one(pp):
         tpu_s = chained_value_ms(pp.objective_and_gradient, x0, n=repeats_tpu) / 1e3
@@ -280,7 +277,22 @@ def bench_shb23(repeats=10):
     return ms / 1e3, cpu_ms, rl
 
 
-def bench_mixing(repeats=3):
+def _mixing_cpu_baseline_ms():
+    """numpy/BLAS per-kx baseline, 50 steps scaled x20 (extrapolation
+    methodology validated at 100 steps vs a full run, BASELINE.md).
+    CPU-only — callable before any TPU work."""
+    sys.path.insert(0, "baselines")
+    from mixing_numpy import MixingNumpy
+
+    truth = np.load("baselines/mixing256_truth.npz")
+    sub_steps = 50
+    sim = MixingNumpy(n_iters=sub_steps)
+    t0 = time.perf_counter()
+    sim.gradient(np.asarray(truth["x0"], np.float64))
+    return (time.perf_counter() - t0) * 1e3 * (1000 / sub_steps)
+
+
+def bench_mixing(repeats=3, cpu_ms=None):
     """Mixing reference config (256x128, dt=5e-3, T=5, s=1): TPU fwd+grad ms.
 
     Times the default error-compensated f32 solve mode (J rel-err
@@ -337,19 +349,8 @@ def bench_mixing(repeats=3):
         J_ff, _ = p_fast.objective_and_gradient(x0)
         fast = {"fast_ms": ms_f,
                 "fast_rel_J": abs(float(J_ff) - J64) / abs(J64)}
-    # CPU baseline: same per-kx operator algorithm on numpy/BLAS,
-    # measured at 50 steps and scaled x20. The extrapolation methodology
-    # is VALIDATED: one full 1000-step fwd+reverse measured 726.7 s vs
-    # 727 s extrapolated from 100 steps (BASELINE.md).
-    sys.path.insert(0, "baselines")
-    from mixing_numpy import MixingNumpy
-
-    sub_steps = 50
-    sim = MixingNumpy(n_iters=sub_steps)
-    x_np = np.asarray(x0[0], np.float64)
-    t0 = time.perf_counter()
-    sim.gradient(x_np)
-    cpu_ms = (time.perf_counter() - t0) * 1e3 * (1000 / sub_steps)
+    if cpu_ms is None:
+        cpu_ms = _mixing_cpu_baseline_ms()
 
     from spheremanopt_tpu.utils import profiling as prof
 
@@ -405,6 +406,7 @@ def main():
     u0 = generate_ic_like(npts=NPTS, seed=42, e0=E0)
 
     cpu_s, J_cpu, g_cpu = bench_baseline_cpu(u0)
+    mixing_cpu_ms = _mixing_cpu_baseline_ms()   # numpy-only, pre-TPU
     # a wedged tunnel would hang the first dispatch for ~20-45 min;
     # wait it out rather than compiling into it (budget-capped)
     if not _wait_for_tpu(t_start, budget_s, reserve_s=300.0):
@@ -469,7 +471,7 @@ def main():
     import subprocess
 
     def _res_mixing():
-        t, c, rj, rg, fast, rl = bench_mixing()
+        t, c, rj, rg, fast, rl = bench_mixing(cpu_ms=mixing_cpu_ms)
         return {"tpu_ms": t * 1e3, "cpu_ms": c, "rel_J": rj, "rel_g": rg,
                 "roofline": rl,
                 **{("fast_" + k if not k.startswith("fast") else k): v
