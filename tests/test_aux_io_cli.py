@@ -276,3 +276,18 @@ def test_roofline_cost_models():
                      (prof.mixing_cost_model, (256, 128, 1000))):
         fl, by = fn(*args)
         assert fl > 0 and by > 0
+
+
+def test_mixing_sharded_example(tmp_path):
+    """The sharded mixing example (the reference's second distributed
+    workload) runs end-to-end on the virtual mesh."""
+    env = dict(os.environ,
+               PYTHONPATH="/root/.axon_site:/root/repo",
+               JAX_PLATFORM_NAME="cpu")
+    out = subprocess.run(
+        [sys.executable, "examples/mixing_sharded_optimisation.py",
+         "--platform", "cpu", "--iters", "3"],
+        capture_output=True, text=True, timeout=420, env=env, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    assert "final_sharding" in out.stdout and "'x': 8" in out.stdout
