@@ -141,3 +141,56 @@ def test_full_optimisation_loop_parity_vs_numpy_baseline(pair):
     np.testing.assert_allclose(np.asarray(res_j.x_opt[0]),
                                np.asarray(res_n.x_opt[0]),
                                rtol=1e-9, atol=1e-12)
+
+
+def test_kdyn_full_optimisation_loop_parity_vs_numpy_baseline():
+    """Second full-loop cross-validation: the TWO-SPHERE problem (KDyn)
+    driven by the hand-rolled numpy fwd/adjoint matches the JAX problem
+    iterate-for-iterate through 6 Armijo+CG iterations — independently
+    validating the multi-sphere transport/CG/retraction machinery on
+    top of the per-solve gradient parity already pinned."""
+    import warnings
+
+    import jax.numpy as jnp
+
+    sys.path.insert(0, "baselines")
+    from kdyn_numpy import KDynNumpy
+
+    from spheremanopt_tpu.optim.optimiser import optimise_on_multi_sphere
+    from spheremanopt_tpu.problems.kinematic_dynamo import (
+        KDynConfig, KinematicDynamo)
+
+    jx = KinematicDynamo(KDynConfig(npts=12, n_iters=30, dt=1e-3,
+                                    dtype="float64",
+                                    project_gradients=False))
+    npy = KDynNumpy(npts=12, dt=1e-3, n_iters=30)
+    x0 = [np.asarray(x) for x in jx.generate_ic(seed=3)]
+    kw = dict(max_iters=6, alpha_k=0.5, line_search="armijo", cg=True,
+              verbose=False)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        res_j = optimise_on_multi_sphere(
+            list(x0), jx.radii, jx.objective, jx.gradient,
+            jx.inner_product, **kw)
+
+        def f_np(xs):
+            return float(npy.forward(np.asarray(xs[0]), np.asarray(xs[1])))
+
+        def g_np(xs):
+            gb, gu = npy.gradient(np.asarray(xs[0]), np.asarray(xs[1]))
+            return [gb, gu]
+
+        res_n = optimise_on_multi_sphere(
+            [x.copy() for x in x0], jx.radii, f_np, g_np,
+            lambda a, b: jnp.sum(jnp.mean(a * b, axis=(-3, -2, -1))), **kw)
+
+    assert len(res_j.function_values) == 6
+    np.testing.assert_allclose(np.asarray(res_j.function_values),
+                               np.asarray(res_n.function_values),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(res_j.step_sizes),
+                               np.asarray(res_n.step_sizes), rtol=1e-9)
+    for a, b in zip(res_j.x_opt, res_n.x_opt):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-12)
