@@ -15,6 +15,7 @@ npz-based recorders:
 from __future__ import annotations
 
 import os
+from collections import OrderedDict
 from typing import Callable, Dict, Optional
 
 import numpy as np
@@ -95,6 +96,81 @@ class LightArchiver:
                 payload[f"x_opt_{i}"] = np.asarray(x)
         path = os.path.join(self.out_dir, f"{self.prefix}_iter_{k}.npz")
         np.savez(path, **payload)
+        self.paths.append(path)
+
+
+class FusedArchiver:
+    """Optimiser callback that archives FULL diagnostics per iteration at
+    ZERO extra PDE solves: it substitutes the problem's fused
+    `objective_and_diagnostics` / `objective_gradient_and_diagnostics`
+    callables for `f` / `f_and_g` in the optimiser, so every line-search
+    trial's forward solve also yields its diagnostics payload, cached by
+    the (exact) objective value. When the optimiser accepts an iterate
+    and fires the callback, the accepted J — which is bit-identical to
+    the trial evaluation that produced it — looks the payload up and it
+    is written with no further compute.
+
+    This is the fused analogue of the reference's design, where the
+    scalar_data/CheckPoints handlers ride the SAME Dedalus FWD solve the
+    cost uses and `File_Manips` merely copies the files per iteration
+    (`FWD_Solve_SH23.py:478-483,731-746`); `IterationArchiver` (below)
+    re-runs the forward instead and is kept as the fallback for problem
+    configs without an aux-output objective (pallas kernels, nested
+    remat).
+
+    Usage (see `run.py --archive-full`):
+
+        arch = FusedArchiver("diag", problem, out_dir)
+        optimise_on_multi_sphere(x0, radii, arch.f, problem.gradient,
+                                 problem.inner_product,
+                                 f_and_g=arch.f_and_g, callback=arch)
+    """
+
+    def __init__(self, prefix: str, problem, out_dir: str = ".",
+                 keep: int = 8):
+        if not getattr(problem, "has_fused_diagnostics", False):
+            raise ValueError(
+                "problem config has no fused-diagnostics objective; use "
+                "IterationArchiver (re-runs diagnostics) instead")
+        self.prefix = prefix
+        self.problem = problem
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        self.paths = []
+        self.fallback_recomputes = 0   # cache misses (should stay 0)
+        self._keep = keep
+        self._cache: "OrderedDict[float, dict]" = OrderedDict()
+
+    def _store(self, J: float, diag: dict) -> None:
+        # diag values may be device arrays; keep them lazy (no host
+        # transfer) until the accepted iterate is actually archived
+        self._cache[J] = diag
+        self._cache.move_to_end(J)
+        while len(self._cache) > self._keep:
+            self._cache.popitem(last=False)
+
+    def f(self, xs):
+        J, diag = self.problem.objective_and_diagnostics(xs)
+        J = float(J)
+        self._store(J, diag)
+        return J
+
+    def f_and_g(self, xs):
+        J, g, diag = self.problem.objective_gradient_and_diagnostics(xs)
+        self._store(float(J), diag)
+        return J, g
+
+    def __call__(self, k: int, result) -> None:
+        # optimiser convention: function_values holds -J of the accepted
+        # iterate (negation is exact, so the cache key matches bitwise)
+        J = -float(result.function_values[-1])
+        diag = self._cache.get(J)
+        if diag is None:
+            # e.g. resumed mid-run or a driver that bypassed f/f_and_g
+            self.fallback_recomputes += 1
+            diag = self.problem.diagnostics(result.x_opt)
+        path = os.path.join(self.out_dir, f"{self.prefix}_iter_{k}.npz")
+        np.savez(path, **{key: np.asarray(val) for key, val in diag.items()})
         self.paths.append(path)
 
 

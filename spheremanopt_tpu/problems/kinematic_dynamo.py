@@ -261,6 +261,20 @@ class KinematicDynamo:
 
         self._gradient = jax.jit(_grad)
         self._obj_and_grad = jax.jit(_obj_and_grad)
+        if cfg.method == "pallas" or cfg.remat == "nested":
+            # no aux-output form: the Pallas objective is a closed kernel
+            # and nested_checkpoint_scan carries no per-step ys; archivers
+            # fall back to the re-running `diagnostics`
+            self._obj_and_diag = self._obj_grad_and_diag = None
+        else:
+            self._obj_and_diag = jax.jit(self._objective_aux_impl)
+
+            def _obj_grad_diag(xs):
+                (J, diag), raw = jax.value_and_grad(
+                    self._objective_aux_impl, has_aux=True)(list(xs))
+                return J, _riesz(raw), diag
+
+            self._obj_grad_and_diag = jax.jit(_obj_grad_diag)
         self._grad_cnts = jax.jit(self._gradient_continuous_impl)
         self._inner = jax.jit(
             lambda x, y: jnp.sum(jnp.mean(x * y, axis=(-3, -2, -1)))
@@ -442,6 +456,48 @@ class KinematicDynamo:
         _, J = self._integrate(b0_c, u_bl, self.cfg.n_iters)
         return -J
 
+    def _integrate_aux(self, b0_c, u_grid, n_steps: int):
+        """`_integrate` (scan modes only, not nested) that also scans out
+        the per-step magnetic-energy series from the SAME solve; the J
+        arithmetic is op-identical to the plain path for both costs."""
+        step = self._cnab1_step
+        if self.cfg.remat is True or self.cfg.remat == "step":
+            step = jax.checkpoint(step)
+        integrated = self.cfg.cost == "Integrated"
+
+        def body(carry, _):
+            b, acc = carry
+            e = self._energy(b)
+            if integrated:
+                acc = kahan_add(acc, e)
+            b = step(b, u_grid)
+            return (b, acc), e
+
+        acc0 = kahan_zero(self._rdtype)
+        (b, acc), es = jax.lax.scan(body, (b0_c, acc0), xs=None,
+                                    length=n_steps)
+        eN = self._energy(b)
+        energies = jnp.concatenate([es, eN[None]])
+        if integrated:
+            acc = kahan_add(acc, eN)
+            return b, self.cfg.dt * acc[0], energies
+        return b, eN, energies
+
+    def _objective_aux_impl(self, x_list):
+        """(-J, diagnostics) captured from one forward solve — the ME
+        series + div-B invariant the reference's GlobalFlowProperty
+        monitors track along the FWD solve (`FWD_Solve_KDyn.py:
+        608-650,941-973`). All aux outputs are real (host rule)."""
+        b0 = x_list[0].astype(self._rdtype)
+        u = x_list[1].astype(self._rdtype)
+        b0_c = self.to_coeff(b0)
+        u_bl = self.to_grid(self.to_coeff(u))
+        b, J, energies = self._integrate_aux(b0_c, u_bl, self.cfg.n_iters)
+        k = jnp.asarray(self._k)
+        div_b = jnp.abs(jnp.sum(k * b, axis=0)).max()
+        return -J, {"magnetic_energy": energies, "max_div_B": div_b,
+                    "B_final": self.to_grid(b)}
+
     # ------------------------------------------------------------------
     # PDE-state restart (ref `IVP_FWD.load_state`, FWD_Solve_SH23.py:459-460)
     # ------------------------------------------------------------------
@@ -554,6 +610,38 @@ class KinematicDynamo:
 
     def objective_and_gradient(self, x_list):
         return self._obj_and_grad(list(x_list))
+
+    # ------------------------------------------------------------------
+    # fused diagnostics: same-solve capture for zero-extra-cost archiving
+    # ------------------------------------------------------------------
+
+    @property
+    def has_fused_diagnostics(self) -> bool:
+        return self._obj_and_diag is not None
+
+    def _diag_host(self, diag: dict) -> dict:
+        out = dict(diag)
+        out["sim_time"] = self.cfg.dt * np.arange(self.cfg.n_iters + 1)
+        return out
+
+    def objective_and_diagnostics(self, x_list):
+        """(J, diagnostics dict) from ONE forward solve (vs `diagnostics`,
+        which re-runs it). Used by `io.timeseries.FusedArchiver`."""
+        if self._obj_and_diag is None:
+            raise ValueError(
+                "fused diagnostics unavailable for "
+                f"method={self.cfg.method!r}, remat={self.cfg.remat!r}")
+        J, diag = self._obj_and_diag(list(x_list))
+        return J, self._diag_host(diag)
+
+    def objective_gradient_and_diagnostics(self, x_list):
+        """(J, grads, diagnostics) from one fused fwd+bwd solve."""
+        if self._obj_grad_and_diag is None:
+            raise ValueError(
+                "fused diagnostics unavailable for "
+                f"method={self.cfg.method!r}, remat={self.cfg.remat!r}")
+        J, g, diag = self._obj_grad_and_diag(list(x_list))
+        return J, g, self._diag_host(diag)
 
     def inner_product(self, x, y):
         """(1/V) int f . g dV = sum over components of grid means

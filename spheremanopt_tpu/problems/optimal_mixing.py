@@ -361,6 +361,15 @@ class OptimalMixing:
 
         self._gradient = jax.jit(_grad)
         self._obj_and_grad = jax.jit(_obj_and_grad)
+        self._obj_and_diag = jax.jit(self._objective_aux_impl)
+
+        def _obj_grad_diag(ops, xs):
+            (J, diag), raw = jax.value_and_grad(
+                self._objective_aux_impl, argnums=1, has_aux=True
+            )(ops, list(xs))
+            return J, [raw[0] / jnp.asarray(self._w)[None]], diag
+
+        self._obj_grad_and_diag = jax.jit(_obj_grad_diag)
         self._grad_cnts = jax.jit(self._gradient_continuous_impl)
         self._inner = jax.jit(
             lambda x, y: jnp.sum(jnp.asarray(self._w)[None] * x * y)
@@ -597,6 +606,56 @@ class OptimalMixing:
             return -0.5 * cfg.dt * acc[0]   # maximise time-avg KE (ref :1137)
         return self._mixnorm(ops, r_c)       # minimise mix-norm (ref :1117)
 
+    def _objective_aux_impl(self, ops, x_list):
+        """(J, diagnostics) captured from one forward solve — the KE and
+        buoyancy-variance series plus final vorticity/density fields the
+        reference's scalar_data/CheckPoints handlers record along the FWD
+        solve (`FWD_Solve_Poiseuille.py:939-1026`). The J arithmetic is
+        op-identical to `_objective_impl` for both s modes."""
+        cfg = self.cfg
+        x = x_list[0].astype(self._rdtype)
+        u_c = self.to_coeff(x[0])
+        w_c = self.to_coeff(x[1])
+        r_c = jnp.asarray(self._rho0_c, self._cdtype)
+        wq = jnp.asarray(self._w)
+
+        def de(r):
+            rg = self.to_grid(r)
+            return jnp.sum(wq * rg * rg)
+
+        step = self._step
+        if cfg.remat:
+            step = jax.checkpoint(step, static_argnums=())
+
+        def body(carry, _):
+            u, w, r, acc = carry
+            ke = self._ke(u, w)
+            if cfg.s == 0:
+                acc = kahan_add(acc, ke)
+            stats = (ke, de(r))
+            u, w, r = step(ops, u, w, r)
+            return (u, w, r, acc), stats
+
+        acc0 = kahan_zero(self._rdtype)
+        (u_c, w_c, r_c, acc), (ke, dev) = jax.lax.scan(
+            body, (u_c, w_c, r_c, acc0), xs=None, length=cfg.n_iters
+        )
+        keN = self._ke(u_c, w_c)
+        ikx = jnp.asarray(1j * self._kx)[:, None]
+        vort = self.to_grid(
+            ikx * w_c - jnp.einsum("mn,kn->km", jnp.asarray(self._Dz), u_c)
+        )
+        diag = {
+            "kinetic_energy": jnp.concatenate([ke, keN[None]]),
+            "buoyancy_energy": jnp.concatenate([dev, de(r_c)[None]]),
+            "rho_final": self.to_grid(r_c),
+            "vorticity_final": vort,
+        }
+        if cfg.s == 0:
+            acc = kahan_add(acc, keN)
+            return -0.5 * cfg.dt * acc[0], diag
+        return self._mixnorm(ops, r_c), diag
+
     # ------------------------------------------------------------------
     # public triple
     # ------------------------------------------------------------------
@@ -687,6 +746,32 @@ class OptimalMixing:
 
     def objective_and_gradient(self, x_list):
         return self._obj_and_grad(self._ops, list(x_list))
+
+    # ------------------------------------------------------------------
+    # fused diagnostics: same-solve capture for zero-extra-cost archiving
+    # ------------------------------------------------------------------
+
+    @property
+    def has_fused_diagnostics(self) -> bool:
+        return True
+
+    def _diag_host(self, diag: dict) -> dict:
+        out = dict(diag)
+        out["sim_time"] = self.cfg.dt * np.arange(self.cfg.n_iters + 1)
+        out["x_grid"] = np.arange(self.mgx) * self.cfg.lx / self.mgx
+        out["z_grid"] = self._zgrid
+        return out
+
+    def objective_and_diagnostics(self, x_list):
+        """(J, diagnostics dict) from ONE forward solve (vs `diagnostics`,
+        which re-runs it). Used by `io.timeseries.FusedArchiver`."""
+        J, diag = self._obj_and_diag(self._ops, list(x_list))
+        return J, self._diag_host(diag)
+
+    def objective_gradient_and_diagnostics(self, x_list):
+        """(J, grads, diagnostics) from one fused fwd+bwd solve."""
+        J, g, diag = self._obj_grad_and_diag(self._ops, list(x_list))
+        return J, g, self._diag_host(diag)
 
     @property
     def objective_and_gradient_aux(self):

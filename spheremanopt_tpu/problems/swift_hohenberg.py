@@ -159,6 +159,9 @@ class SwiftHohenberg:
                 return J, [raw * self.basis.n_grid]
 
             self._obj_and_grad = jax.jit(_obj_and_grad_pl)
+            # the Pallas objective has no aux-output form; archivers fall
+            # back to the re-running `diagnostics`
+            self._obj_and_diag = self._obj_grad_and_diag = None
         else:
             self._objective = jax.jit(self._objective_impl)
             self._gradient = jax.jit(
@@ -170,6 +173,14 @@ class SwiftHohenberg:
                 return J, [g * self.basis.n_grid for g in raw]
 
             self._obj_and_grad = jax.jit(_obj_and_grad)
+            self._obj_and_diag = jax.jit(self._objective_aux_impl)
+
+            def _obj_grad_diag(xs):
+                (J, diag), raw = jax.value_and_grad(
+                    self._objective_aux_impl, has_aux=True)(xs)
+                return J, [g * self.basis.n_grid for g in raw], diag
+
+            self._obj_grad_and_diag = jax.jit(_obj_grad_diag)
         self._grad_cnts = jax.jit(self._gradient_continuous_impl)
         self._inner = jax.jit(lambda x, y: jnp.mean(x * y))
 
@@ -234,6 +245,45 @@ class SwiftHohenberg:
             _, J = self._integrate(c0, self.cfg.n_iters, False)
         return -J
 
+    def _integrate_aux(self, s0, n_steps: int, use_matmul: bool):
+        """`_integrate` that additionally scans out the per-step energy
+        series (the 'scalar_data' KE monitor) from the SAME solve. The J
+        arithmetic is identical op-for-op, so objective values match the
+        plain path bitwise."""
+        step = self._matmul_step if use_matmul else self._sbdf1_step
+        energy = (lambda u: jnp.mean(u * u)) if use_matmul else self._energy
+        if self.cfg.remat:
+            step = jax.checkpoint(step)
+
+        def body(carry, _):
+            s, acc = carry
+            e = energy(s)
+            acc = kahan_add(acc, e)
+            s = step(s)
+            return (s, acc), e
+
+        acc0 = kahan_zero(self._rdtype)
+        (s, acc), es = jax.lax.scan(body, (s0, acc0), xs=None, length=n_steps)
+        eN = energy(s)
+        acc = kahan_add(acc, eN)
+        return s, self.cfg.dt * acc[0], jnp.concatenate([es, eN[None]])
+
+    def _objective_aux_impl(self, x_list):
+        """(-J, diagnostics) from ONE forward solve — the fused-capture
+        analogue of the reference's shared FWD trajectory feeding both
+        the cost and the 'scalar_data' handler (`FWD_Solve_SH23.py:
+        478-483,499-503`). All aux outputs are real (host rule)."""
+        x = x_list[0].astype(self._rdtype)
+        if self.cfg.method == "matmul":
+            u0 = jnp.dot(self._P, x, preferred_element_type=self._rdtype)
+            s, J, energies = self._integrate_aux(u0, self.cfg.n_iters, True)
+            u_final = s
+        else:
+            c0 = self.basis.to_coeff(x)
+            c, J, energies = self._integrate_aux(c0, self.cfg.n_iters, False)
+            u_final = self.basis.to_grid(c)
+        return -J, {"kinetic_energy": energies, "u_final": u_final}
+
     def _gradient_continuous_impl(self, x_list):
         """Continuous-adjoint gradient (ref `ADJ_Solve_IVP_Lin` with
         Adjoint_type='Continuous', `FWD_Solve_SH23.py:632-656,717-719`):
@@ -288,6 +338,38 @@ class SwiftHohenberg:
     @property
     def inner_products(self):
         return self.inner_product
+
+    # ------------------------------------------------------------------
+    # fused diagnostics: same-solve capture for zero-extra-cost archiving
+    # ------------------------------------------------------------------
+
+    @property
+    def has_fused_diagnostics(self) -> bool:
+        return self._obj_and_diag is not None
+
+    def _diag_host(self, x_list, diag: dict) -> dict:
+        out = dict(diag)
+        out["sim_time"] = self.cfg.dt * np.arange(self.cfg.n_iters + 1)
+        out["x_grid"] = self.basis.grid()
+        out["u_initial"] = np.asarray(x_list[0])
+        return out
+
+    def objective_and_diagnostics(self, x_list):
+        """(J, diagnostics dict) from ONE forward solve (vs `diagnostics`,
+        which re-runs it). Used by `io.timeseries.FusedArchiver`."""
+        if self._obj_and_diag is None:
+            raise ValueError("fused diagnostics unavailable for "
+                             f"method={self.cfg.method!r}")
+        J, diag = self._obj_and_diag(list(x_list))
+        return J, self._diag_host(x_list, diag)
+
+    def objective_gradient_and_diagnostics(self, x_list):
+        """(J, grads, diagnostics) from one fused fwd+bwd solve."""
+        if self._obj_grad_and_diag is None:
+            raise ValueError("fused diagnostics unavailable for "
+                             f"method={self.cfg.method!r}")
+        J, g, diag = self._obj_grad_and_diag(list(x_list))
+        return J, g, self._diag_host(x_list, diag)
 
     # ------------------------------------------------------------------
     # initial conditions (ref Generate_IC, `FWD_Solve_SH23.py:174-236`)

@@ -146,6 +146,19 @@ class SwiftHohenbergBounded:
 
         self._gradient = jax.jit(_grad)
         self._obj_and_grad = jax.jit(_obj_and_grad)
+        if cfg.method == "pallas":
+            # no aux-output form of the Pallas objective; archivers fall
+            # back to the re-running `diagnostics`
+            self._obj_and_diag = self._obj_grad_and_diag = None
+        else:
+            self._obj_and_diag = jax.jit(self._objective_aux_impl)
+
+            def _obj_grad_diag(xs):
+                (J, diag), raw = jax.value_and_grad(
+                    self._objective_aux_impl, has_aux=True)(xs)
+                return J, [raw[0] / jnp.asarray(self._w)], diag
+
+            self._obj_grad_and_diag = jax.jit(_obj_grad_diag)
         self._grad_cnts = jax.jit(self._gradient_continuous_impl)
         self._inner = jax.jit(lambda x, y: jnp.sum(jnp.asarray(self._w) * x * y))
 
@@ -185,6 +198,32 @@ class SwiftHohenbergBounded:
         u0 = x_list[0].astype(self._rdtype)
         _, J = self._integrate(u0, self.cfg.n_iters)
         return -J
+
+    def _integrate_aux(self, u0: jnp.ndarray, n_steps: int):
+        """`_integrate` that also scans out the per-step KE series from
+        the SAME solve; J arithmetic is op-identical to the plain path."""
+        step = jax.checkpoint(self._step) if self.cfg.remat else self._step
+
+        def body(carry, _):
+            u, acc = carry
+            e = self._energy(u)
+            acc = kahan_add(acc, e)
+            u = step(u)
+            return (u, acc), e
+
+        acc0 = kahan_zero(self._rdtype)
+        (u, acc), es = jax.lax.scan(body, (u0, acc0), xs=None, length=n_steps)
+        eN = self._energy(u)
+        acc = kahan_add(acc, eN)
+        return u, self.cfg.dt * acc[0], jnp.concatenate([es, eN[None]])
+
+    def _objective_aux_impl(self, x_list):
+        """(-J, diagnostics) captured from one forward solve (the fused
+        analogue of the reference's scalar_data handler riding the FWD
+        trajectory, `FWD_Solve_SHB23.py:604-676`)."""
+        u0 = x_list[0].astype(self._rdtype)
+        u, J, energies = self._integrate_aux(u0, self.cfg.n_iters)
+        return -J, {"kinetic_energy": energies, "u_final": u}
 
     # ------------------------------------------------------------------
     # PDE-state restart (ref `IVP_FWD.load_state`, FWD_Solve_SH23.py:459-460)
@@ -248,6 +287,38 @@ class SwiftHohenbergBounded:
     @property
     def inner_products(self):
         return self.inner_product
+
+    # ------------------------------------------------------------------
+    # fused diagnostics: same-solve capture for zero-extra-cost archiving
+    # ------------------------------------------------------------------
+
+    @property
+    def has_fused_diagnostics(self) -> bool:
+        return self._obj_and_diag is not None
+
+    def _diag_host(self, x_list, diag: dict) -> dict:
+        out = dict(diag)
+        out["sim_time"] = self.cfg.dt * np.arange(self.cfg.n_iters + 1)
+        out["z_grid"] = self.basis.grid
+        out["u_initial"] = np.asarray(x_list[0])
+        return out
+
+    def objective_and_diagnostics(self, x_list):
+        """(J, diagnostics dict) from ONE forward solve (vs `diagnostics`,
+        which re-runs it). Used by `io.timeseries.FusedArchiver`."""
+        if self._obj_and_diag is None:
+            raise ValueError("fused diagnostics unavailable for "
+                             f"method={self.cfg.method!r}")
+        J, diag = self._obj_and_diag(list(x_list))
+        return J, self._diag_host(x_list, diag)
+
+    def objective_gradient_and_diagnostics(self, x_list):
+        """(J, grads, diagnostics) from one fused fwd+bwd solve."""
+        if self._obj_grad_and_diag is None:
+            raise ValueError("fused diagnostics unavailable for "
+                             f"method={self.cfg.method!r}")
+        J, g, diag = self._obj_grad_and_diag(list(x_list))
+        return J, g, self._diag_host(x_list, diag)
 
     def final_state(self, x_list) -> jnp.ndarray:
         u, _ = self._integrate(jnp.asarray(x_list[0], self._rdtype), self.cfg.n_iters)

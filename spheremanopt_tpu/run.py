@@ -236,7 +236,11 @@ def main(argv=None) -> int:
         print(f"gradient test {'PASSED' if ok else 'FAILED'}")
         return 0 if ok else 1
 
-    from spheremanopt_tpu.io.timeseries import IterationArchiver, LightArchiver
+    from spheremanopt_tpu.io.timeseries import (
+        FusedArchiver,
+        IterationArchiver,
+        LightArchiver,
+    )
     from spheremanopt_tpu.optim.optimiser import optimise_on_multi_sphere
     from spheremanopt_tpu.optim.plotting import plot_optimisation
 
@@ -289,8 +293,17 @@ def main(argv=None) -> int:
         return 0
 
     callback = None
+    obj_fn = problem.objective
+    fg_fn = getattr(problem, "objective_and_gradient", None)
     if args.archive_every > 0:
-        if args.archive_full and hasattr(problem, "diagnostics"):
+        if args.archive_full and getattr(problem, "has_fused_diagnostics",
+                                         False):
+            # full diagnostics captured from the optimisation's own
+            # solves — zero extra forward runs (vs IterationArchiver,
+            # which re-runs diagnostics() per archive)
+            archiver = FusedArchiver("diag", problem, args.out_dir)
+            obj_fn, fg_fn = archiver.f, archiver.f_and_g
+        elif args.archive_full and hasattr(problem, "diagnostics"):
             archiver = IterationArchiver("diag", problem.diagnostics,
                                          args.out_dir)
         else:
@@ -305,7 +318,7 @@ def main(argv=None) -> int:
     res = optimise_on_multi_sphere(
         x0,
         radii,
-        problem.objective,
+        obj_fn,
         problem.gradient,
         problem.inner_product,
         err_tol=err_tol,
@@ -317,7 +330,7 @@ def main(argv=None) -> int:
         callback=callback,
         checkpoint_path=os.path.join(args.out_dir, "DAL_PROGRESS.npz"),
         log_path=os.path.join(args.out_dir, "optimize_result.txt"),
-        f_and_g=getattr(problem, "objective_and_gradient", None),
+        f_and_g=fg_fn,
     )
 
     plot_optimisation(res, save_path=os.path.join(args.out_dir, "convergence.pdf"))
