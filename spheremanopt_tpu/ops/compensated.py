@@ -68,6 +68,31 @@ def comp_einsum_pair(spec: str, quad, y: jnp.ndarray):
     return p1, p2
 
 
+def comp_einsum_pair_2dot(spec: str, quad, y: jnp.ndarray):
+    """2-dot middle mode: p = Ah.yh + Al.yh — the full-width OPERATOR
+    applied to a bf16-rounded rhs. Drops the Ah.yl rhs-correction term
+    of the 3-dot form (`comp_einsum_pair`): 2/3 the MXU passes, and the
+    per-step rhs rounding it reintroduces random-walks to a ~1e-3-class
+    J error over 1000-step trajectories — far from plain bf16's
+    percent-class failure, because the operator split still prevents the
+    perturbed-propagator error (a bf16-rounded operator alone measured
+    620% on the mixing solve; BASELINE.md round 2).
+
+    The optimization_barrier is load-bearing exactly as in the 3-dot
+    form: without it XLA folds Ah.yh + Al.yh into (Ah+Al).yh — one
+    single-pass bf16 dot of the reconstructed f32 operator — and the
+    mode silently degrades to plain bf16."""
+    rhi, rlo, ihi, ilo = (jnp.asarray(q) for q in quad)
+    yh = jax.lax.reduce_precision(y, exponent_bits=8, mantissa_bits=7)
+
+    def ein(A, v):
+        return jnp.einsum(spec, A, v)
+
+    p1 = ein(rhi, yh) + jax.lax.optimization_barrier(ein(rlo, yh))
+    p2 = ein(ihi, yh) + jax.lax.optimization_barrier(ein(ilo, yh))
+    return p1, p2
+
+
 def comp_einsum_one(spec: str, hi, lo, y: jnp.ndarray) -> jnp.ndarray:
     """One real operator plane applied compensated (3 bf16 passes)."""
     yh = jax.lax.reduce_precision(y, exponent_bits=8, mantissa_bits=7)

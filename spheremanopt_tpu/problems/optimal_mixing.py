@@ -85,11 +85,16 @@ class MixingConfig:
                                  #  "bfloat16"    J rel-err 5.6e-2, fastest
                                  #                (operator hoisted to bf16,
                                  #                VMEM-resident)
-                                 #  "compensated" 5.4e-5: operator stored as
+                                 #  "compensated2" ~1e-3 class: full-width
+                                 #                operator on a bf16-rounded
+                                 #                rhs, 2 bf16 dots — the
+                                 #                middle point (2/3 the pass
+                                 #                count of "compensated")
+                                 #  "compensated" 1.45e-4: operator stored as
                                  #                bf16 hi/lo split planes, rhs
                                  #                split via reduce_precision,
                                  #                3 bf16 dots (lo.lo dropped)
-                                 #  "highest"     1.9e-5: 6-pass f32 emulation
+                                 #  "highest"     2.4e-3: 6-pass f32 emulation
                                  # f64 runs (CPU/tests) are always exact.
 
 
@@ -164,6 +169,18 @@ def _solve_apply_compensated(op_quad, rhs_c):
     return jax.lax.complex(p1[..., 0] - p2[..., 1], p1[..., 1] + p2[..., 0])
 
 
+def _solve_apply_compensated2(op_quad, rhs_c):
+    """2-dot middle mode (`ops.compensated.comp_einsum_pair_2dot`):
+    full-width operator, bf16-rounded rhs — 2/3 the MXU passes of
+    "compensated" for a ~1e-3-class J error. See MixingConfig
+    .solve_precision for the measured accuracy/cost ladder."""
+    from spheremanopt_tpu.ops.compensated import comp_einsum_pair_2dot
+
+    y = jnp.stack([rhs_c.real, rhs_c.imag], axis=-1)
+    p1, p2 = comp_einsum_pair_2dot("...ij,...jc->...ic", op_quad, y)
+    return jax.lax.complex(p1[..., 0] - p2[..., 1], p1[..., 1] + p2[..., 0])
+
+
 class OptimalMixing:
     """Mixing problem: X = [(2, mgx, mgz) velocity grid fields]."""
 
@@ -195,6 +212,8 @@ class OptimalMixing:
                                jnp.concatenate([uB, wB, rB], -1)], axis=1)
         if self._smode == "compensated":
             out = _solve_apply_compensated(op, rhs_c)
+        elif self._smode == "compensated2":
+            out = _solve_apply_compensated2(op, rhs_c)
         elif self._smode in ("highest", "high"):
             out = _solve_apply(op, rhs_c, precision=self._smode)
         else:
@@ -265,6 +284,14 @@ class OptimalMixing:
         # Effective solve mode: the precision machinery only concerns the
         # bf16 MXU; f64 runs (CPU tests/baselines) are exact by
         # construction and use the plain packed form.
+        allowed = {"bfloat16", "compensated", "compensated2", "high",
+                   "highest"}
+        if cfg.solve_precision not in allowed:
+            # an unknown string would silently fall through to the plain
+            # single-pass bf16 dot path
+            raise ValueError(
+                f"solve_precision={cfg.solve_precision!r} not in "
+                f"{sorted(allowed)}")
         self._smode = (cfg.solve_precision if rdtype == jnp.float32
                        else "exact")
 
@@ -275,7 +302,7 @@ class OptimalMixing:
         # complex operators are reassembled inside jit from real planes.
         def _put(a):
             a = np.asarray(a)
-            if self._smode == "compensated":
+            if self._smode in ("compensated", "compensated2"):
                 # NOTE: storing the split planes as bf16 dtype (their hi
                 # values are exactly representable) measured 1.5x SLOWER
                 # than f32 storage in-process (513 vs 332 ms fwd+grad) —

@@ -268,3 +268,39 @@ def test_adjoint_modes_reach_consistent_optima():
     reduction = J0 - stars["disc"]
     assert reduction > 0  # mix-norm was actually minimised
     assert abs(stars["disc"] - stars["cnts"]) < 0.05 * reduction, stars
+
+
+def test_compensated2_middle_mode_accuracy_ladder():
+    """The 2-dot "compensated2" middle mode sits strictly between the
+    rhs-corrected 3-dot "compensated" mode and a plain bf16-rounded-rhs
+    solve in accuracy. On CPU the dots are exact f32, so the error the
+    modes exhibit here is exactly the term each drops: "compensated"
+    ~ roundoff, "compensated2" ~ the rhs-rounding random walk it trades
+    for 2/3 the MXU pass count on TPU."""
+    import jax.numpy as jnp
+
+    truth = OptimalMixing(MixingConfig(nx=32, nz=24, n_iters=30, dt=5e-3,
+                                       s=1))
+    x64 = truth.generate_ic(seed=5)
+    J64 = float(truth.objective(x64))
+
+    errs = {}
+    for mode in ("compensated", "compensated2"):
+        p = OptimalMixing(MixingConfig(nx=32, nz=24, n_iters=30, dt=5e-3,
+                                       s=1, dtype="float32",
+                                       solve_precision=mode))
+        x32 = [jnp.asarray(np.asarray(x64[0]), jnp.float32)]
+        errs[mode] = abs(float(p.objective(x32)) - J64) / abs(J64)
+        # gradient flows through the mode
+        _, g = p.objective_and_gradient(x32)
+        assert np.isfinite(np.asarray(g[0])).all()
+
+    assert errs["compensated"] < 2e-4
+    assert errs["compensated2"] < 3e-2
+    assert errs["compensated2"] > errs["compensated"]
+
+
+def test_unknown_solve_precision_rejected():
+    with pytest.raises(ValueError, match="solve_precision"):
+        OptimalMixing(MixingConfig(nx=32, nz=24, n_iters=10,
+                                   solve_precision="compensatedX"))
