@@ -69,14 +69,18 @@ def comp_einsum_pair(spec: str, quad, y: jnp.ndarray):
 
 
 def comp_einsum_pair_2dot(spec: str, quad, y: jnp.ndarray):
-    """2-dot middle mode: p = Ah.yh + Al.yh — the full-width OPERATOR
-    applied to a bf16-rounded rhs. Drops the Ah.yl rhs-correction term
-    of the 3-dot form (`comp_einsum_pair`): 2/3 the MXU passes, and the
-    per-step rhs rounding it reintroduces random-walks to a ~1e-3-class
-    J error over 1000-step trajectories — far from plain bf16's
-    percent-class failure, because the operator split still prevents the
-    perturbed-propagator error (a bf16-rounded operator alone measured
-    620% on the mixing solve; BASELINE.md round 2).
+    """2-dot variant: p = Ah.yh + Al.yh — the full-width OPERATOR
+    applied to a bf16-rounded rhs (drops the Ah.yl rhs-correction of the
+    3-dot `comp_einsum_pair`).
+
+    MEASURED DEAD END (mixing reference config, r3): J rel-err 6.4e-2 @
+    194 ms — the per-step rhs rounding random walk is the DOMINANT term
+    of the plain-bf16 error budget (bf16 measures 5.7e-2 @ 107 ms), so
+    dropping its correction forfeits nearly all of "compensated"'s
+    accuracy (1.45e-4 @ 221 ms) while saving only 12% of its time; the
+    operator hi/lo split alone buys nothing once the rhs is rounded.
+    Dominated by plain "bfloat16" on both axes — kept as the tested
+    negative result mapping the pass-count/accuracy frontier.
 
     The optimization_barrier is load-bearing exactly as in the 3-dot
     form: without it XLA folds Ah.yh + Al.yh into (Ah+Al).yh — one

@@ -85,11 +85,18 @@ class MixingConfig:
                                  #  "bfloat16"    J rel-err 5.6e-2, fastest
                                  #                (operator hoisted to bf16,
                                  #                VMEM-resident)
-                                 #  "compensated2" ~1e-3 class: full-width
+                                 #  "compensated2" 6.4e-2 @ 194 ms: full-width
                                  #                operator on a bf16-rounded
-                                 #                rhs, 2 bf16 dots — the
-                                 #                middle point (2/3 the pass
-                                 #                count of "compensated")
+                                 #                rhs, 2 bf16 dots. MEASURED
+                                 #                DEAD END (r3): the rhs
+                                 #                random walk dominates the
+                                 #                bf16 error budget, so it
+                                 #                lands at plain-bf16 accuracy
+                                 #                while saving only 12% of
+                                 #                "compensated" — dominated by
+                                 #                "bfloat16" on both axes.
+                                 #                Kept as the tested negative
+                                 #                result.
                                  #  "compensated" 1.45e-4: operator stored as
                                  #                bf16 hi/lo split planes, rhs
                                  #                split via reduce_precision,
