@@ -72,6 +72,14 @@ class SH23Config:
     adjoint: str = "discrete"    # "discrete" (autodiff-exact, the ref's
                                  # Adjoint_type="Discrete") | "continuous"
                                  # (adjoint-PDE integration, ref :654-656)
+    diag_stride: int = 1         # energy-series cadence of the FUSED
+                                 # diagnostics objectives (must divide
+                                 # n_iters). Per-step ys materialisation
+                                 # measured +159% on the tiny SH23 scan
+                                 # body (BASELINE.md r3); the reference
+                                 # itself records scalar_data every 20
+                                 # iters (`FWD_Solve_SH23.py:478-481`).
+                                 # `diagnostics()` re-runs stay per-step.
 
 
 class SwiftHohenberg:
@@ -79,6 +87,11 @@ class SwiftHohenberg:
 
     def __init__(self, cfg: SH23Config = SH23Config()):
         self.cfg = cfg
+        if cfg.diag_stride < 1 or cfg.n_iters % cfg.diag_stride:
+            raise ValueError(
+                f"diag_stride={cfg.diag_stride} must divide "
+                f"n_iters={cfg.n_iters}"
+            )
         self.basis = FourierBasis1D(cfg.npts, cfg.length, cfg.pad_factor)
         self.radii = [cfg.e0]
         rdtype = jnp.dtype(cfg.dtype)
@@ -246,10 +259,11 @@ class SwiftHohenberg:
         return -J
 
     def _integrate_aux(self, s0, n_steps: int, use_matmul: bool):
-        """`_integrate` that additionally scans out the per-step energy
-        series (the 'scalar_data' KE monitor) from the SAME solve. The J
-        arithmetic is identical op-for-op, so objective values match the
-        plain path bitwise."""
+        """`_integrate` that additionally scans out the energy series
+        (the 'scalar_data' KE monitor) from the SAME solve, every
+        `diag_stride` steps. The J arithmetic is identical op-for-op, so
+        objective values match the plain path bitwise."""
+        stride = self.cfg.diag_stride
         step = self._matmul_step if use_matmul else self._sbdf1_step
         energy = (lambda u: jnp.mean(u * u)) if use_matmul else self._energy
         if self.cfg.remat:
@@ -263,7 +277,22 @@ class SwiftHohenberg:
             return (s, acc), e
 
         acc0 = kahan_zero(self._rdtype)
-        (s, acc), es = jax.lax.scan(body, (s0, acc0), xs=None, length=n_steps)
+        if stride == 1:
+            (s, acc), es = jax.lax.scan(body, (s0, acc0), xs=None,
+                                        length=n_steps)
+        else:
+            # chunked: the inner scan advances `stride` steps with no ys
+            # (the measured materialisation cost), the outer records the
+            # chunk-start energy; the J/kahan op sequence is unchanged
+            def outer(carry, _):
+                e0 = energy(carry[0])
+                carry, _ = jax.lax.scan(
+                    lambda c, x: (body(c, x)[0], None), carry, xs=None,
+                    length=stride)
+                return carry, e0
+
+            (s, acc), es = jax.lax.scan(outer, (s0, acc0), xs=None,
+                                        length=n_steps // stride)
         eN = energy(s)
         acc = kahan_add(acc, eN)
         return s, self.cfg.dt * acc[0], jnp.concatenate([es, eN[None]])
@@ -349,7 +378,9 @@ class SwiftHohenberg:
 
     def _diag_host(self, x_list, diag: dict) -> dict:
         out = dict(diag)
-        out["sim_time"] = self.cfg.dt * np.arange(self.cfg.n_iters + 1)
+        k = self.cfg.diag_stride
+        out["sim_time"] = self.cfg.dt * k * np.arange(
+            self.cfg.n_iters // k + 1)
         out["x_grid"] = self.basis.grid()
         out["u_initial"] = np.asarray(x_list[0])
         return out

@@ -60,6 +60,10 @@ class SHB23Config:
     method: str = "matmul"       # "matmul" (XLA scan) | "pallas" (both
                                  # propagator matrices pinned in VMEM for
                                  # the whole forward AND reverse sweep)
+    diag_stride: int = 1         # energy-series cadence of the FUSED
+                                 # diagnostics objectives (must divide
+                                 # n_iters); see SH23Config.diag_stride.
+                                 # `diagnostics()` re-runs stay per-step.
 
 
 class SwiftHohenbergBounded:
@@ -67,6 +71,11 @@ class SwiftHohenbergBounded:
 
     def __init__(self, cfg: SHB23Config = SHB23Config()):
         self.cfg = cfg
+        if cfg.diag_stride < 1 or cfg.n_iters % cfg.diag_stride:
+            raise ValueError(
+                f"diag_stride={cfg.diag_stride} must divide "
+                f"n_iters={cfg.n_iters}"
+            )
         self.basis = ChebyshevBasis1D(cfg.npts, cfg.z0, cfg.z1)
         self.radii = [cfg.m0]
         rdtype = jnp.dtype(cfg.dtype)
@@ -200,8 +209,10 @@ class SwiftHohenbergBounded:
         return -J
 
     def _integrate_aux(self, u0: jnp.ndarray, n_steps: int):
-        """`_integrate` that also scans out the per-step KE series from
-        the SAME solve; J arithmetic is op-identical to the plain path."""
+        """`_integrate` that also scans out the KE series from the SAME
+        solve, every `diag_stride` steps; J arithmetic is op-identical
+        to the plain path (see SwiftHohenberg._integrate_aux)."""
+        stride = self.cfg.diag_stride
         step = jax.checkpoint(self._step) if self.cfg.remat else self._step
 
         def body(carry, _):
@@ -212,7 +223,22 @@ class SwiftHohenbergBounded:
             return (u, acc), e
 
         acc0 = kahan_zero(self._rdtype)
-        (u, acc), es = jax.lax.scan(body, (u0, acc0), xs=None, length=n_steps)
+        if stride == 1:
+            (u, acc), es = jax.lax.scan(body, (u0, acc0), xs=None,
+                                        length=n_steps)
+        else:
+            # chunked: the inner scan advances `stride` steps with no ys
+            # (per-step ys materialisation is the measured cost), the
+            # outer records the chunk-start energy
+            def outer(carry, _):
+                e0 = self._energy(carry[0])
+                carry, _ = jax.lax.scan(
+                    lambda c, x: (body(c, x)[0], None), carry, xs=None,
+                    length=stride)
+                return carry, e0
+
+            (u, acc), es = jax.lax.scan(outer, (u0, acc0), xs=None,
+                                        length=n_steps // stride)
         eN = self._energy(u)
         acc = kahan_add(acc, eN)
         return u, self.cfg.dt * acc[0], jnp.concatenate([es, eN[None]])
@@ -298,7 +324,9 @@ class SwiftHohenbergBounded:
 
     def _diag_host(self, x_list, diag: dict) -> dict:
         out = dict(diag)
-        out["sim_time"] = self.cfg.dt * np.arange(self.cfg.n_iters + 1)
+        k = self.cfg.diag_stride
+        out["sim_time"] = self.cfg.dt * k * np.arange(
+            self.cfg.n_iters // k + 1)
         out["z_grid"] = self.basis.grid
         out["u_initial"] = np.asarray(x_list[0])
         return out

@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="archives re-run diagnostics() for full field/"
                          "spectra snapshots (costs one forward solve per "
                          "archive)")
+    ap.add_argument("--diag-stride", type=int, default=None,
+                    help="energy-series cadence of the fused archives "
+                         "(sh23/shb23; must divide n_iters; the reference "
+                         "records scalar_data every 20 iters)")
     ap.add_argument("--no-archive", action="store_true",
                     help="(deprecated alias for --archive-every 0)")
     ap.add_argument("--solve-steps", type=int, default=None,
@@ -126,7 +130,8 @@ def make_problem(args):
 
         kw = dict(dtype=dtype, adjoint=args.adjoint)
         for name, val in [("npts", args.npts), ("dt", args.dt),
-                          ("n_iters", args.n_iters), ("method", args.method)]:
+                          ("n_iters", args.n_iters), ("method", args.method),
+                          ("diag_stride", args.diag_stride)]:
             if val is not None:
                 kw[name] = val
         p = SwiftHohenberg(SH23Config(**kw))
@@ -142,7 +147,8 @@ def make_problem(args):
 
         kw = dict(dtype=dtype, adjoint=args.adjoint)
         for name, val in [("npts", args.npts), ("dt", args.dt),
-                          ("n_iters", args.n_iters), ("method", args.method)]:
+                          ("n_iters", args.n_iters), ("method", args.method),
+                          ("diag_stride", args.diag_stride)]:
             if val is not None:
                 kw[name] = val
         p = SwiftHohenbergBounded(SHB23Config(**kw))

@@ -94,6 +94,44 @@ def test_fused_objective_matches_plain(name, problem):
                                np.asarray(full["sim_time"]))
 
 
+@pytest.mark.parametrize("make", [
+    lambda k: SwiftHohenberg(
+        SH23Config(npts=32, n_iters=30, method="matmul", diag_stride=k)),
+    lambda k: SwiftHohenbergBounded(
+        SHB23Config(npts=48, n_iters=30, diag_stride=k)),
+], ids=["sh23", "shb23"])
+def test_diag_stride_subsamples_series(make):
+    """diag_stride=k: J unchanged (op-identical chunked scan), the fused
+    series equals the per-step series subsampled every k (the reference
+    records scalar_data every 20 iters, `FWD_Solve_SH23.py:478-481`)."""
+    p1, pk = make(1), make(6)
+    x = p1.generate_ic(seed=3)
+
+    J1, d1 = p1.objective_and_diagnostics(x)
+    Jk, dk = pk.objective_and_diagnostics(x)
+    np.testing.assert_allclose(float(Jk), float(J1), rtol=1e-14)
+
+    np.testing.assert_allclose(np.asarray(dk["kinetic_energy"]),
+                               np.asarray(d1["kinetic_energy"])[::6],
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(dk["sim_time"]),
+                               np.asarray(d1["sim_time"])[::6])
+
+    # gradient path unchanged too
+    _, gk, _ = pk.objective_gradient_and_diagnostics(x)
+    _, g1 = p1.objective_and_gradient(x)
+    np.testing.assert_allclose(np.asarray(gk[0]), np.asarray(g1[0]),
+                               rtol=1e-12, atol=1e-15)
+
+
+def test_diag_stride_must_divide_n_iters():
+    with pytest.raises(ValueError, match="diag_stride"):
+        SwiftHohenberg(SH23Config(npts=32, n_iters=30, diag_stride=7))
+    with pytest.raises(ValueError, match="diag_stride"):
+        SwiftHohenbergBounded(SHB23Config(npts=48, n_iters=30,
+                                          diag_stride=4))
+
+
 def test_fused_archiver_zero_extra_solves(tmp_path):
     """A full optimisation with FusedArchiver wired archives complete
     diagnostics every iteration without EVER re-running the forward."""
