@@ -144,6 +144,43 @@ def bench_tpu(u0, repeats=10):
     return ms / 1e3, float(J), np.asarray(g[0])
 
 
+def bench_sh23_pallas(u0, repeats=10):
+    """SH23 VMEM-resident kernel path (`method="pallas"`,
+    ops/pallas/fused_two_matrix.py): both propagator matrices pinned in
+    VMEM across the whole forward AND reverse sweep — the XLA scan
+    restreams them from HBM every step, which is its measured binding
+    constraint (BASELINE.md). The one-time ~4 min Mosaic compile is
+    eliminated across processes by the persistent compile cache, which
+    makes this path viable as the production bench default."""
+    import jax.numpy as jnp
+
+    from spheremanopt_tpu.problems.swift_hohenberg import (
+        SH23Config,
+        SwiftHohenberg,
+    )
+
+    p = SwiftHohenberg(SH23Config(npts=NPTS, n_iters=N_ITERS, dt=DT, e0=E0,
+                                  dtype="float32", method="pallas"))
+    x = [jnp.asarray(u0, jnp.float32)]
+    ms = chained_value_ms(p.objective_and_gradient, x, n=repeats)
+    J, g = p.objective_and_gradient(x)
+    return ms, float(J), np.asarray(g[0])
+
+
+def bench_shb23_pallas(repeats=10):
+    """SHB23 VMEM-resident kernel path (same two-matrix kernel)."""
+    from spheremanopt_tpu.problems.swift_hohenberg_bounded import (
+        SHB23Config,
+        SwiftHohenbergBounded,
+    )
+
+    p = SwiftHohenbergBounded(SHB23Config(dtype="float32", method="pallas"))
+    x0 = p.generate_ic(seed=42)
+    ms = chained_value_ms(p.objective_and_gradient, x0, n=repeats)
+    J, _ = p.objective_and_gradient(x0)
+    return ms, float(J)
+
+
 def bench_kdyn(repeats_tpu=5, repeats_cpu=1):
     """KDyn 24^3, Rm=1, dt=5e-4, 2000 steps, Cost='Final' — the second
     north-star config (BASELINE.md). Unit: fused fwd+grad (both spheres).
@@ -428,13 +465,21 @@ def main():
 
     kd_tpu, kd_cpu, kd_rel_J, kd_rel_g, kd_fast, kd_mode, kd_rl = bench_kdyn()
 
+    # headline record: promoted to the pallas kernel path post-secondaries
+    # when it measures faster at matching accuracy (both are production
+    # methods; the method used is recorded)
+    headline = {"ms": tpu_s * 1e3, "vs": cpu_s / tpu_s,
+                "method": "matmul (XLA scan)"}
+
     def emit(extra):
         print(json.dumps({
             "metric": "SH23 N=256 T=50 fwd+grad wall-clock (1 opt-iter unit)",
-            "value": round(tpu_s * 1e3, 3),
+            "value": round(headline["ms"], 3),
             "unit": "ms",
-            "vs_baseline": round(cpu_s / tpu_s, 2),
+            "vs_baseline": round(headline["vs"], 2),
             "detail": {
+                "sh23_method": headline["method"],
+                "sh23_matmul_ms": round(tpu_s * 1e3, 3),
                 "sh23_cpu_baseline_ms": round(cpu_s * 1e3, 3),
                 "sh23_J_rel_err_vs_f64_cpu": f"{rel_J:.2e}",
                 "sh23_grad_rel_err_vs_f64_cpu": f"{rel_g:.2e}",
@@ -481,9 +526,23 @@ def main():
         t, c, rl = bench_shb23()
         return {"tpu_ms": t * 1e3, "cpu_ms": c, "roofline": rl}
 
+    def _res_sh23_pallas():
+        t, J, g = bench_sh23_pallas(u0)
+        return {"ms": t,
+                "rel_J": abs(J - J_cpu) / abs(J_cpu),
+                "rel_g": float(np.linalg.norm(g - g_cpu)
+                               / np.linalg.norm(g_cpu))}
+
+    def _res_shb23_pallas():
+        t, _J = bench_shb23_pallas()
+        return {"ms": t}
+
     extra = {}
+    on_tpu = __import__("jax").devices()[0].platform != "cpu"
     # budget order: mixing first (the longest-compiling and most
-    # informative secondary), then the cheap SHB23, then the 48^3 scale
+    # informative secondary), then the cheap SHB23, the 48^3 scale, and
+    # last the pallas kernel paths (headline candidates; near-free when
+    # the persistent cache holds their Mosaic compiles)
     runners = {
         "mixing_256x128": (
             _res_mixing,
@@ -500,6 +559,22 @@ def main():
             "r = bench.bench_kdyn48(); "
             "print('RES', __import__('json').dumps(r))"),
     }
+    if on_tpu:
+        runners["sh23_pallas"] = (
+            _res_sh23_pallas,
+            "import sys, numpy as np; sys.path.insert(0, 'baselines'); "
+            "from sh23_numpy import SH23Numpy, generate_ic_like; "
+            "u0 = generate_ic_like(npts=bench.NPTS, seed=42, e0=bench.E0); "
+            "sim = SH23Numpy(npts=bench.NPTS, dt=bench.DT, n_iters=bench.N_ITERS); "
+            "Jc = sim.forward(u0); gc = np.asarray(sim.gradient(u0)); "
+            "t, J, g = bench.bench_sh23_pallas(u0); "
+            "print('RES', __import__('json').dumps("
+            "{'ms': t, 'rel_J': abs(J - Jc)/abs(Jc), "
+            "'rel_g': float(np.linalg.norm(g - gc)/np.linalg.norm(gc))}))")
+        runners["shb23_pallas"] = (
+            _res_shb23_pallas,
+            "t, J = bench.bench_shb23_pallas(); "
+            "print('RES', __import__('json').dumps({'ms': t}))")
 
     def _record(name, r):
         r = dict(r)
@@ -527,12 +602,17 @@ def main():
                 continue
             try:
                 _record(name, inproc())
+                # progressive emit: a wedge/timeout later in the loop
+                # must not lose the secondaries already measured (the
+                # driver takes the LAST complete line)
+                emit(extra)
                 continue
             except Exception as e:
                 contaminated = True
                 with open(f"/tmp/smo_bench_{name}.stderr", "a") as fh:
                     fh.write(f"--- in-process attempt failed: {e!r}\n")
         child = f"import bench; bench._enable_compile_cache(); {code}"
+        child = "import sys; sys.path.insert(0, 'baselines'); " + child
         err_path = f"/tmp/smo_bench_{name}.stderr"
         for attempt in (1, 2):
             remaining = budget_s - (time.perf_counter() - t_start)
@@ -558,6 +638,7 @@ def main():
                 line = [l for l in out.stdout.splitlines() if l.startswith("RES")]
                 if line:
                     _record(name, json.loads(line[0][4:]))
+                    emit(extra)
                     break
                 tail = out.stderr.strip()[-300:]
                 extra[name + "_error"] = f"(see {err_path}) {tail}"
@@ -565,6 +646,23 @@ def main():
                 with open(err_path, "a") as fh:
                     fh.write(f"--- attempt {attempt} exception: {e}\n")
                 extra[name + "_error"] = str(e)[:300]
+
+    # promote the VMEM-resident kernel path to the headline when it
+    # measured faster at matching accuracy (<1e-4 vs the f64 CPU J —
+    # the matmul path itself sits at ~1e-6)
+    try:
+        pl_ms = float(extra["sh23_pallas_ms"])
+        pl_rel = float(extra["sh23_pallas_rel_J"])
+        if pl_ms < headline["ms"] and pl_rel < 1e-4:
+            headline.update(ms=pl_ms, vs=cpu_s * 1e3 / pl_ms,
+                            method="pallas (VMEM-resident kernel)")
+    except (KeyError, ValueError):
+        pass
+    if "shb23_pallas_ms" in extra and "shb23_512_fwd_grad_ms" in extra:
+        shb_cpu = (float(extra["shb23_512_fwd_grad_ms"])
+                   * float(extra["shb23_512_vs_baseline"]))
+        extra["shb23_pallas_vs_baseline"] = round(
+            shb_cpu / float(extra["shb23_pallas_ms"]), 2)
 
     emit(extra)
 
