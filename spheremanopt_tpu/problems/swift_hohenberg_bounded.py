@@ -328,7 +328,9 @@ class SwiftHohenbergBounded:
         out["sim_time"] = self.cfg.dt * k * np.arange(
             self.cfg.n_iters // k + 1)
         out["z_grid"] = self.basis.grid
-        out["u_initial"] = np.asarray(x_list[0])
+        # LAZY: no per-call device->host transfer (tunnel round-trip);
+        # the archiver converts at write time (see SwiftHohenberg)
+        out["u_initial"] = x_list[0]
         return out
 
     def objective_and_diagnostics(self, x_list):
