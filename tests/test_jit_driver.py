@@ -116,3 +116,36 @@ def test_vmapped_batch_sweep_matches_unbatched():
         np.testing.assert_allclose(np.asarray(res.x_opt[0][i]),
                                    np.asarray(r1.x_opt[0]),
                                    rtol=1e-9, atol=1e-12)
+
+
+@pytest.mark.parametrize("make", [
+    lambda m: SwiftHohenberg(SH23Config(
+        npts=48, n_iters=40, dt=0.05, dtype="float32", method=m)),
+    lambda m: __import__(
+        "spheremanopt_tpu.problems.swift_hohenberg_bounded",
+        fromlist=["SwiftHohenbergBounded"],
+    ).SwiftHohenbergBounded(__import__(
+        "spheremanopt_tpu.problems.swift_hohenberg_bounded",
+        fromlist=["SHB23Config"],
+    ).SHB23Config(npts=96, n_iters=40, dtype="float32", method=m)),
+], ids=["sh23", "shb23"])
+def test_pallas_method_drives_device_loop(make):
+    """The VMEM-resident kernel objectives compose with the single-jit
+    device driver (production path: bench headline runs method='pallas'):
+    Wolfe+CG trajectory tracks the matmul path at the f32 class."""
+    pm, pp = make("matmul"), make("pallas")
+    x0 = pm.generate_ic(seed=3)
+
+    def run(p):
+        opt = jit_optimise_on_multi_sphere(
+            p.objective_and_gradient, p.inner_product, p.radii,
+            max_iters=4, alpha0=1.0, cg=True, line_search="wolfe")
+        res = opt([jnp.asarray(x0[0], jnp.float32)])
+        k = int(res.iterations)
+        return np.asarray(res.function_values[:k]), np.asarray(res.x_opt[0])
+
+    jm, xm = run(pm)
+    jp, xp = run(pp)
+    assert len(jp) == len(jm)
+    np.testing.assert_allclose(jp, jm, rtol=2e-4)
+    np.testing.assert_allclose(xp, xm, rtol=0, atol=5e-4)
