@@ -28,20 +28,10 @@ E0 = 0.0725
 
 def _enable_compile_cache():
     """Persistent on-disk XLA compilation cache: repeat bench runs (and
-    the retry child) skip the ~20-40 s/program remote compiles. Guarded:
-    harmless no-op if the backend rejects it."""
-    import os
+    the retry child) skip the ~20-40 s/program remote compiles."""
+    from spheremanopt_tpu.utils.jaxcache import enable_persistent_cache
 
-    try:
-        import jax
-
-        d = os.environ.get("SMO_JAX_CACHE", "/tmp/smo_jax_cache")
-        os.makedirs(d, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", d)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:
-        pass
+    enable_persistent_cache()
 
 
 

@@ -108,6 +108,11 @@ def make_problem(args):
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    # persistent compile cache: repeat CLI runs skip the ~20-40 s/program
+    # remote TPU compiles (measured; harmless on CPU)
+    from spheremanopt_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
     on_tpu = jax.devices()[0].platform not in ("cpu",)
     # Pallas kernels are f32-only; on CPU the default would be f64 and
     # the problem constructor would reject it — pick f32 unless the user

@@ -23,6 +23,14 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent XLA compile cache: the suite compiles hundreds of sizeable
+# f64 executables; warm reruns skip them (separate dir from the TPU
+# cache so CPU/TPU entries never share eviction pressure).
+from spheremanopt_tpu.utils.jaxcache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache(os.environ.get("SMO_JAX_CACHE_CPU",
+                                       "/tmp/smo_jax_cache_cpu"))
+
 import pytest  # noqa: E402
 
 
