@@ -111,6 +111,13 @@ class KDynConfig:
                                  #                negative result)
                                  #  "highest"     197 ms; J 1.5e-4,
                                  #                grads 1.6e-4 (6-pass)
+    unroll: int = 1              # lax.scan unroll factor for the step
+                                 # loop (trajectory bitwise identical).
+                                 # MEASURED no-win at 24^3 x 2000
+                                 # (118.6 / 120.5 / 120.5 / 145.5 ms at
+                                 # 1/2/4/8): XLA already pipelines the
+                                 # scan body; kept as a knob for other
+                                 # grid shapes.
     project_gradients: bool = True
     # Leray-project dJ/dB0 and dJ/dU onto divergence-free fields. The
     # reference's adjoint systems solve with div G = div nu = 0 tau
@@ -436,7 +443,8 @@ class KinematicDynamo:
             return (b, acc), None
 
         acc0 = kahan_zero(self._rdtype)
-        (b, acc), _ = jax.lax.scan(body, (b0_c, acc0), xs=None, length=n_steps)
+        (b, acc), _ = jax.lax.scan(body, (b0_c, acc0), xs=None,
+                                   length=n_steps, unroll=self.cfg.unroll)
         if integrated:
             acc = kahan_add(acc, self._energy(b))
             return b, self.cfg.dt * acc[0]
