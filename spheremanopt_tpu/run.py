@@ -114,6 +114,18 @@ def make_problem(args):
 
     enable_persistent_cache()
     on_tpu = jax.devices()[0].platform not in ("cpu",)
+    # Production default on TPU: the VMEM-resident kernel paths measure
+    # faster than the XLA scans end-to-end (SH23 1.7x, SHB23 2.4x in the
+    # device loop; BASELINE.md r3) at the same f32 accuracy class. The
+    # one-time Mosaic compile is absorbed by the persistent cache.
+    # Opt out with --method matmul (e.g. for --archive-full fused
+    # capture, which the kernel objectives don't provide).
+    if on_tpu and args.method is None and args.dtype in (None, "float32") \
+            and args.problem in ("sh23", "shb23"):
+        args.method = "pallas"
+        if not args.quiet:
+            print(f"[{args.problem}] method=pallas (TPU default; "
+                  "--method matmul opts out)")
     # Pallas kernels are f32-only; on CPU the default would be f64 and
     # the problem constructor would reject it — pick f32 unless the user
     # explicitly asked otherwise.
