@@ -42,13 +42,19 @@ def main():
     J = float(J)
     gb, gu = np.asarray(g[0]), np.asarray(g[1])
 
-    # independent cross-validation: hand-rolled numpy reverse sweep
+    # independent cross-validation: hand-rolled numpy reverse sweep —
+    # BOTH the objective and the pinned gradients, so a reverse-sweep-only
+    # autodiff regression cannot be baked into the truth artifact
     from kdyn_numpy import KDynNumpy
 
     sim = KDynNumpy(npts=24, dt=5e-4, n_iters=2000)
     J_np = sim.forward(x0[0], x0[1])
     rel = abs(J - J_np) / abs(J)
     assert rel < 1e-12, (J, J_np, rel)
+    gb_np, gu_np = sim.gradient(x0[0], x0[1])
+    rel_gb = np.linalg.norm(gb - gb_np) / np.linalg.norm(gb_np)
+    rel_gu = np.linalg.norm(gu - gu_np) / np.linalg.norm(gu_np)
+    assert rel_gb < 1e-9 and rel_gu < 1e-9, (rel_gb, rel_gu)
 
     out = os.path.join(os.path.dirname(__file__), "kdyn24_truth.npz")
     # f32 storage for the gradients (1.1 MB): adds ~6e-8 relative noise,
@@ -57,7 +63,8 @@ def main():
         out, J=np.float64(J),
         gb=gb.astype(np.float32), gu=gu.astype(np.float32),
         b0=np.asarray(x0[0], np.float32), u0=np.asarray(x0[1], np.float32))
-    print(f"wrote {out}: J = {J!r} (numpy cross-check rel {rel:.1e})")
+    print(f"wrote {out}: J = {J!r} (numpy cross-check J rel {rel:.1e}, "
+          f"grad_B rel {rel_gb:.1e}, grad_U rel {rel_gu:.1e})")
 
 
 if __name__ == "__main__":

@@ -21,7 +21,11 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
+
+# runnable without installing the package: put the repo root on sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -44,10 +48,16 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    if len(jax.devices()) < args.devices:
+    if args.platform is None and len(jax.devices()) < args.devices:
         # single-chip host (e.g. the one-TPU tunnel): fall back to the
-        # virtual CPU mesh so the sharded paths still execute
-        jax.config.update("jax_platforms", "cpu")
+        # virtual CPU mesh so the sharded paths still execute. The
+        # backend is initialised the moment jax.devices() runs, so a
+        # jax_platforms update here would be a silent no-op — restart
+        # with the platform forced (the --platform branch above runs
+        # BEFORE any backend touch).
+        os.execv(sys.executable,
+                 [sys.executable, sys.argv[0], *sys.argv[1:],
+                  "--platform", "cpu"])
 
     import numpy as np
 

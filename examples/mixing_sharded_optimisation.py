@@ -23,7 +23,11 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
+
+# runnable without installing the package: put the repo root on sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -49,8 +53,15 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    if len(jax.devices()) < args.devices:
-        jax.config.update("jax_platforms", "cpu")
+    if args.platform is None and len(jax.devices()) < args.devices:
+        # The backend is initialised the moment jax.devices() runs, so a
+        # jax_platforms update here would be a silent no-op — restart the
+        # script with the platform forced instead (the --platform branch
+        # above runs BEFORE any backend touch, so the re-exec'd process
+        # genuinely lands on the N-virtual-device CPU mesh).
+        os.execv(sys.executable,
+                 [sys.executable, sys.argv[0], *sys.argv[1:],
+                  "--platform", "cpu"])
 
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P

@@ -24,6 +24,9 @@ import os
 import sys
 import time
 
+# runnable without installing the package: put the repo root on sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -220,6 +220,11 @@ class KinematicDynamo:
                 raise ValueError(
                     "matmul_precision='compensated' is an f32 TPU mode; "
                     "use dtype='float32' (or 'highest' for f64 runs)")
+            if cfg.transform != "matmul":
+                raise ValueError(
+                    "matmul_precision='compensated' only applies to the "
+                    "transform='matmul' einsum path; the fft/distributed "
+                    "transforms would silently ignore it")
             self._Ff_q = split_complex_matrix(self._Ff)
             self._Fz_q = split_complex_matrix(self._Fz)
             self._Bf_q = split_complex_matrix(self._Bf)
