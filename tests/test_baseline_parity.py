@@ -194,3 +194,55 @@ def test_kdyn_full_optimisation_loop_parity_vs_numpy_baseline():
     for a, b in zip(res_j.x_opt, res_n.x_opt):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-9, atol=1e-12)
+
+
+def test_shb23_full_optimisation_loop_parity_vs_numpy_baseline():
+    """Third full-loop cross-validation: the Chebyshev-bounded problem
+    driven by the hand-rolled numpy propagator/reverse-sweep matches the
+    JAX problem iterate-for-iterate — the weighted (non-uniform
+    quadrature) inner product exercises the geometry kernels on a metric
+    the SH23/KDyn loops do not."""
+    import warnings
+
+    from shb23_numpy import SHB23Numpy
+
+    from spheremanopt_tpu.optim.optimiser import optimise_on_multi_sphere
+    from spheremanopt_tpu.problems.swift_hohenberg_bounded import (
+        SHB23Config,
+        SwiftHohenbergBounded,
+    )
+
+    jx = SwiftHohenbergBounded(SHB23Config(npts=96, n_iters=50))
+    npy = SHB23Numpy(npts=96, n_iters=50)
+    x0 = jx.generate_ic(seed=42)
+    u0 = np.asarray(x0[0], np.float64)
+    kw = dict(max_iters=5, alpha_k=5.0, line_search="wolfe", cg=True,
+              verbose=False)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        res_j = optimise_on_multi_sphere(
+            [jnp.asarray(u0)], jx.radii, jx.objective, jx.gradient,
+            jx.inner_product, **kw)
+
+        def f_np(xs):
+            return float(npy.forward(np.asarray(xs[0], float)))
+
+        def g_np(xs):
+            return [npy.gradient(np.asarray(xs[0], float))]
+
+        # f/grad are pure numpy; the problem's weighted inner product is
+        # the shared geometric contract (Clenshaw-Curtis/trapezoid
+        # quadrature — a genuinely non-uniform metric)
+        res_n = optimise_on_multi_sphere(
+            [u0.copy()], jx.radii, f_np, g_np, jx.inner_product, **kw)
+
+    assert len(res_j.function_values) >= 3
+    np.testing.assert_allclose(np.asarray(res_j.function_values),
+                               np.asarray(res_n.function_values),
+                               rtol=1e-11)
+    np.testing.assert_allclose(np.asarray(res_j.step_sizes),
+                               np.asarray(res_n.step_sizes), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(res_j.x_opt[0]),
+                               np.asarray(res_n.x_opt[0]),
+                               rtol=1e-8, atol=1e-12)
