@@ -246,3 +246,54 @@ def test_shb23_full_optimisation_loop_parity_vs_numpy_baseline():
     np.testing.assert_allclose(np.asarray(res_j.x_opt[0]),
                                np.asarray(res_n.x_opt[0]),
                                rtol=1e-8, atol=1e-12)
+
+
+def test_mixing_full_optimisation_loop_parity_vs_numpy_baseline():
+    """Fourth full-loop cross-validation: the 2D Boussinesq mixing
+    problem (s=1 mix-norm minimisation — the one MINIMISATION workload,
+    plus the per-kx tau-solve stack) driven by the hand-rolled numpy
+    fwd/reverse sweep matches the JAX problem iterate-for-iterate. With
+    this, all four PDE problems are pinned end-to-end against fully
+    independent gradient implementations."""
+    import warnings
+
+    from mixing_numpy import MixingNumpy
+
+    from spheremanopt_tpu.optim.optimiser import optimise_on_multi_sphere
+    from spheremanopt_tpu.problems.optimal_mixing import (
+        MixingConfig,
+        OptimalMixing,
+    )
+
+    jx = OptimalMixing(MixingConfig(nx=16, nz=8, n_iters=20, prep_steps=3,
+                                    s=1, dtype="float64"))
+    npy = MixingNumpy(nx=16, nz=8, n_iters=20)
+    x0 = jx.generate_ic(seed=3)
+    u0 = np.asarray(x0[0], np.float64)
+    kw = dict(max_iters=4, alpha_k=10.0, line_search="armijo", cg=True,
+              verbose=False)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        res_j = optimise_on_multi_sphere(
+            [jnp.asarray(u0)], jx.radii, jx.objective, jx.gradient,
+            jx.inner_product, **kw)
+
+        def f_np(xs):
+            return float(npy.forward(np.asarray(xs[0], float)))
+
+        def g_np(xs):
+            return [npy.gradient(np.asarray(xs[0], float))]
+
+        res_n = optimise_on_multi_sphere(
+            [u0.copy()], jx.radii, f_np, g_np, jx.inner_product, **kw)
+
+    assert len(res_j.function_values) == 4
+    np.testing.assert_allclose(np.asarray(res_j.function_values),
+                               np.asarray(res_n.function_values),
+                               rtol=1e-11)
+    np.testing.assert_allclose(np.asarray(res_j.step_sizes),
+                               np.asarray(res_n.step_sizes), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(res_j.x_opt[0]),
+                               np.asarray(res_n.x_opt[0]),
+                               rtol=1e-8, atol=1e-12)
