@@ -273,6 +273,7 @@ class KinematicDynamo:
 
         self._gradient = jax.jit(_grad)
         self._obj_and_grad = jax.jit(_obj_and_grad)
+        self._riesz = _riesz
         if cfg.method == "pallas" or cfg.remat == "nested":
             # no aux-output form: the Pallas objective is a closed kernel
             # and nested_checkpoint_scan carries no per-step ys; archivers
@@ -410,17 +411,32 @@ class KinematicDynamo:
             k[0] * e_c[1] - k[1] * e_c[0],
         ])
 
-    def _cnab1_step(self, b_c: jnp.ndarray, u_grid: jnp.ndarray) -> jnp.ndarray:
+    def _cnab1_step(self, b_c: jnp.ndarray, u_grid: jnp.ndarray,
+                    ops: dict | None = None) -> jnp.ndarray:
         """CNAB1: (1/dt + k^2/2Rm) B' = (1/dt - k^2/2Rm) B + F, with the
         tau-pressure divergence constraint as Leray projection and the
-        mean mode pinned to zero (ref equations :431-440)."""
-        rhs = jnp.asarray(self._rhs_fac) * b_c + self._induction(b_c, u_grid)
-        out = self._leray(rhs) * jnp.asarray(self._lhs_inv)
+        mean mode pinned to zero (ref equations :431-440).
+
+        `ops` optionally overrides the Rm-dependent diagonal factors
+        {"lhs_inv", "rhs_fac"} as traced operands (see
+        `objective_and_gradient_rm`); the default closes over the
+        config-Rm numpy constants (HLO constants — platform rule 1)."""
+        if ops is None:
+            lhs_inv = jnp.asarray(self._lhs_inv)
+            rhs_fac = jnp.asarray(self._rhs_fac)
+        else:
+            lhs_inv, rhs_fac = ops["lhs_inv"], ops["rhs_fac"]
+        rhs = rhs_fac * b_c + self._induction(b_c, u_grid)
+        out = self._leray(rhs) * lhs_inv
         # zero mean mode (k=0): lhs_inv[0,0,0] is finite, so mask it
         return out.at[:, 0, 0, 0].set(0.0)
 
-    def _integrate(self, b0_c, u_grid, n_steps: int):
-        step = self._cnab1_step
+    def _integrate(self, b0_c, u_grid, n_steps: int, ops: dict | None = None):
+        if ops is None:
+            step = self._cnab1_step
+        else:
+            def step(b, u):
+                return self._cnab1_step(b, u, ops)
         if self.cfg.remat is True or self.cfg.remat == "step":
             step = jax.checkpoint(step)
         integrated = self.cfg.cost == "Integrated"
@@ -433,7 +449,7 @@ class KinematicDynamo:
 
             def one(b):
                 e = self._energy(b) if integrated else jnp.zeros((), self._rdtype)
-                return self._cnab1_step(b, u_grid), e
+                return step(b, u_grid), e
 
             b, tot = nested_checkpoint_scan(one, b0_c, n_steps)
             if integrated:
@@ -623,6 +639,41 @@ class KinematicDynamo:
 
     def objective_and_gradient(self, x_list):
         return self._obj_and_grad(list(x_list))
+
+    def _objective_rm_impl(self, ops, x_list) -> jnp.ndarray:
+        b0 = x_list[0].astype(self._rdtype)
+        u = x_list[1].astype(self._rdtype)
+        b0_c = self.to_coeff(b0)
+        u_bl = self.to_grid(self.to_coeff(u))
+        _, J = self._integrate(b0_c, u_bl, self.cfg.n_iters, ops=ops)
+        return -J
+
+    @property
+    def objective_and_gradient_rm(self):
+        """(fg(ops, xs), make_ops(rm)): the fused objective+gradient with
+        the Rm-dependent CNAB1 diagonal factors as explicit jit operands,
+        so ONE compiled (device-loop) executable serves EVERY magnetic
+        Reynolds number — the sweep capability behind
+        `examples/kdyn_critical_rm.py` (the reference re-runs its whole
+        `mpiexec` workload per Rm, `FWD_Solve_KDyn.py:1028-1036`).
+        `make_ops` builds the numpy operand dict on the host."""
+
+        def fg(ops, xs):
+            J, raw = jax.value_and_grad(
+                lambda xs_: self._objective_rm_impl(ops, xs_))(list(xs))
+            return J, self._riesz(raw)
+
+        def make_ops(rm: float) -> dict:
+            # identical arithmetic/dtype path to the __init__ constants:
+            # make_ops(cfg.rm) is bit-equal to (lhs_inv, rhs_fac)
+            a = 1.0 / self.cfg.dt
+            nu = 1.0 / (2.0 * float(rm))
+            k2 = self._k2
+            dt_np = self._lhs_inv.dtype
+            return {"lhs_inv": (1.0 / (a + nu * k2)).astype(dt_np),
+                    "rhs_fac": (a - nu * k2).astype(dt_np)}
+
+        return fg, make_ops
 
     # ------------------------------------------------------------------
     # fused diagnostics: same-solve capture for zero-extra-cost archiving

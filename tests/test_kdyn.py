@@ -206,3 +206,33 @@ def test_taylor_compensated_precision_mode():
         p.gradient, p.inner_product, epsilon=3e-2, verbose=False)
     assert abs(r.gamma1 - 1.0) < 0.1, r.gamma1
     assert abs(r.gamma2 - 2.0) < 0.2, r.gamma2
+
+
+def test_rm_aux_path_matches_bound_problem():
+    """`objective_and_gradient_rm` with ops built at cfg.rm is bit-equal
+    to the bound `objective_and_gradient`, and with ops built at a
+    DIFFERENT Rm it reproduces a problem constructed at that Rm — one
+    executable genuinely serves every Rm (examples/kdyn_critical_rm.py)."""
+    import jax
+
+    p = KinematicDynamo(KDynConfig(npts=8, n_iters=12, dt=1e-3, rm=1.0,
+                                   dtype="float64"))
+    x0 = [np.asarray(x) for x in p.generate_ic(seed=5)]
+    fg, make_ops = p.objective_and_gradient_rm
+    fg_j = jax.jit(fg)
+
+    J_ref, g_ref = p.objective_and_gradient(x0)
+    J_aux, g_aux = fg_j(make_ops(1.0), x0)
+    assert float(J_aux) == float(J_ref)
+    for a, b in zip(g_aux, g_ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    p3 = KinematicDynamo(KDynConfig(npts=8, n_iters=12, dt=1e-3, rm=3.0,
+                                    dtype="float64"))
+    J3_ref, g3_ref = p3.objective_and_gradient(x0)
+    J3_aux, g3_aux = fg_j(make_ops(3.0), x0)  # SAME executable, new ops
+    np.testing.assert_allclose(float(J3_aux), float(J3_ref), rtol=1e-14)
+    for a, b in zip(g3_aux, g3_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-12, atol=1e-15)
+    assert float(J3_aux) != float(J_aux)  # Rm really flowed through
