@@ -149,3 +149,39 @@ def test_pallas_method_drives_device_loop(make):
     assert len(jp) == len(jm)
     np.testing.assert_allclose(jp, jm, rtol=2e-4)
     np.testing.assert_allclose(xp, xm, rtol=0, atol=5e-4)
+
+
+def test_device_loop_serves_multiple_rm_from_one_executable():
+    """One compiled device-loop executable must serve every magnetic
+    Reynolds number via the traced-ops operand (the design behind
+    examples/kdyn_critical_rm.py): for each Rm, the aux-driven loop's
+    trajectory matches a loop compiled from a problem CONSTRUCTED at
+    that Rm."""
+    from spheremanopt_tpu.problems.kinematic_dynamo import (
+        KDynConfig, KinematicDynamo)
+
+    cfg = dict(npts=8, n_iters=20, dt=2e-3, dtype="float64")
+    p = KinematicDynamo(KDynConfig(rm=1.0, **cfg))
+    fg, make_ops = p.objective_and_gradient_rm
+    opt_aux = jit_optimise_on_multi_sphere(
+        fg, p.inner_product, [1.0, 1.0], max_iters=4, alpha0=5.0,
+        cg=True, line_search="wolfe", err_tol=1e-12)
+    x0 = [jnp.asarray(np.asarray(x)) for x in p.generate_ic(seed=6)]
+
+    js = {}
+    for rm in (1.0, 4.0):
+        res_aux = opt_aux(x0, aux=make_ops(rm))   # SAME executable
+        p_rm = KinematicDynamo(KDynConfig(rm=rm, **cfg))
+        opt_rm = jit_optimise_on_multi_sphere(
+            p_rm.objective_and_gradient, p_rm.inner_product, [1.0, 1.0],
+            max_iters=4, alpha0=5.0, cg=True, line_search="wolfe",
+            err_tol=1e-12)
+        res_rm = opt_rm(x0)
+        np.testing.assert_allclose(np.asarray(res_aux.function_values),
+                                   np.asarray(res_rm.function_values),
+                                   rtol=1e-12, err_msg=f"rm={rm}")
+        np.testing.assert_allclose(np.asarray(res_aux.step_sizes),
+                                   np.asarray(res_rm.step_sizes),
+                                   rtol=1e-10, err_msg=f"rm={rm}")
+        js[rm] = float(np.asarray(res_aux.function_values)[-1])
+    assert js[1.0] != js[4.0]  # Rm genuinely flowed through the operand
