@@ -111,6 +111,25 @@ class KDynConfig:
                                  #                negative result)
                                  #  "highest"     197 ms; J 1.5e-4,
                                  #                grads 1.6e-4 (6-pass)
+    carry: str = "natural"       # scan-carry layout: "natural" (complex
+                                 # (3,n,n,n//2+1)) | "packed" (flat f32
+                                 # re/im vector; same arithmetic — J
+                                 # matches to reduction-order ULPs,
+                                 # grads bitwise). MEASURED DEAD END on
+                                 # TPU (r3, 24^3 x 2000 fused fwd+grad):
+                                 # packed 157.6 ms vs natural 117.6 at
+                                 # "high" (113.2 vs 74.1 at "default").
+                                 # The lane-padding the flat carry was
+                                 # meant to avoid is NOT on the scan
+                                 # carry's critical path — XLA already
+                                 # picks good carry layouts and keeps
+                                 # step intermediates in VMEM (S(1) in
+                                 # the compiled HLO); the per-step
+                                 # pack/unpack relayout copies are pure
+                                 # added cost. Kept as the tested
+                                 # negative result. Not composable with
+                                 # transform="distributed" (a flat
+                                 # carry has no shardable axes).
     unroll: int = 1              # lax.scan unroll factor for the step
                                  # loop (trajectory bitwise identical).
                                  # MEASURED no-win at 24^3 x 2000
@@ -185,6 +204,14 @@ class KinematicDynamo:
         nu = 1.0 / (2.0 * cfg.rm)
         self._lhs_inv = (1.0 / (a + nu * k2)).astype(rdtype)
         self._rhs_fac = (a - nu * k2).astype(rdtype)
+
+        if cfg.carry not in ("natural", "packed"):
+            raise ValueError(f"carry must be 'natural'|'packed', got {cfg.carry!r}")
+        if cfg.carry == "packed" and cfg.transform == "distributed":
+            raise ValueError(
+                "carry='packed' flattens the scan carry to a 1-D vector, "
+                "which has no axis for the distributed transform's mesh "
+                "sharding; use carry='natural' with transform='distributed'")
 
         if cfg.transform == "distributed":
             from spheremanopt_tpu.parallel.mesh import make_mesh
@@ -441,6 +468,42 @@ class KinematicDynamo:
             step = jax.checkpoint(step)
         integrated = self.cfg.cost == "Integrated"
 
+        if self.cfg.carry == "packed":
+            # Scan-carry layout experiment: the natural complex carry
+            # (3, n, n, n//2+1) has a tiny minor dim (13 at 24^3) that
+            # the TPU (8,128) tile layout lane-pads ~10x in HBM; every
+            # scan iteration round-trips the carry (and, under remat,
+            # stores it as a residual for the reverse sweep) at the
+            # PADDED size. Packing re/im into one flat f32 vector makes
+            # the carry's minor dim its full length, so carry +
+            # residual traffic runs at logical size. pack/unpack are
+            # exact layout ops: trajectories match to reduction-order
+            # reassociation (measured 4 ULP on J, gradients bitwise —
+            # tests/test_kdyn.py::test_packed_carry_parity).
+            cshape = b0_c.shape
+            base_step = step
+
+            def _pk(b):
+                return jnp.stack([b.real, b.imag]).reshape(-1)
+
+            def _un(f):
+                r = f.reshape((2,) + cshape)
+                return jax.lax.complex(r[0], r[1])
+
+            def step(bf, u):
+                return _pk(base_step(_un(bf), u))
+
+            def energy(bf):
+                return self._energy(_un(bf))
+
+            b0 = _pk(b0_c)
+        else:
+            def _un(b):
+                return b
+
+            energy = self._energy
+            b0 = b0_c
+
         if self.cfg.remat == "nested":
             # sqrt(N) memory: O(sqrt N) stored carries, one recompute per
             # chunk — for trajectories whose per-step snapshot buffer
@@ -448,10 +511,11 @@ class KinematicDynamo:
             from spheremanopt_tpu.solvers.scan_utils import nested_checkpoint_scan
 
             def one(b):
-                e = self._energy(b) if integrated else jnp.zeros((), self._rdtype)
+                e = energy(b) if integrated else jnp.zeros((), self._rdtype)
                 return step(b, u_grid), e
 
-            b, tot = nested_checkpoint_scan(one, b0_c, n_steps)
+            b, tot = nested_checkpoint_scan(one, b0, n_steps)
+            b = _un(b)
             if integrated:
                 return b, self.cfg.dt * (tot + self._energy(b))
             return b, self._energy(b)
@@ -459,13 +523,14 @@ class KinematicDynamo:
         def body(carry, _):
             b, acc = carry
             if integrated:
-                acc = kahan_add(acc, self._energy(b))
+                acc = kahan_add(acc, energy(b))
             b = step(b, u_grid)
             return (b, acc), None
 
         acc0 = kahan_zero(self._rdtype)
-        (b, acc), _ = jax.lax.scan(body, (b0_c, acc0), xs=None,
+        (b, acc), _ = jax.lax.scan(body, (b0, acc0), xs=None,
                                    length=n_steps, unroll=self.cfg.unroll)
+        b = _un(b)
         if integrated:
             acc = kahan_add(acc, self._energy(b))
             return b, self.cfg.dt * acc[0]

@@ -122,6 +122,32 @@ def test_nested_remat_matches_storeall(x0):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10)
 
 
+@pytest.mark.parametrize("cost,remat", [("Final", "step"),
+                                        ("Integrated", "step"),
+                                        ("Final", "nested")])
+def test_packed_carry_parity(cost, remat, x0):
+    """carry='packed' is a pure layout change (re/im stack + reshape):
+    the step arithmetic is identical, so J and both gradients must match
+    the natural complex carry to reduction-order reassociation (the
+    final energy sum fuses with the unpack and may reduce in a different
+    order — measured 4 ULP on CPU f64; gradients come out bitwise)."""
+    kw = dict(npts=12, n_iters=40, dt=1e-3, cost=cost, remat=remat)
+    pa = KinematicDynamo(KDynConfig(**kw))
+    pb = KinematicDynamo(KDynConfig(**kw, carry="packed"))
+    Ja, ga = pa.objective_and_gradient(x0)
+    Jb, gb = pb.objective_and_gradient(x0)
+    np.testing.assert_allclose(float(Ja), float(Jb), rtol=1e-13)
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-12, atol=1e-14)
+
+
+def test_packed_carry_rejects_distributed():
+    with pytest.raises(ValueError, match="packed"):
+        KinematicDynamo(KDynConfig(npts=12, carry="packed",
+                                   transform="distributed"))
+
+
 def test_f32_optimisation_reaches_f64_optimum():
     """f32 parity (BASELINE.md f32-accuracy table, VERDICT round-1
     item 4), two levels. (1) Per-evaluation: one fused fwd+grad over the
