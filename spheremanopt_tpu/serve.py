@@ -218,14 +218,25 @@ class OptimisationService:
         else:
             radii = jnp.asarray([base_radii] * B)
 
-        def one(x_row, r_row):
-            kw = {"radii_dyn": [r_row[j] for j in range(len(base_radii))]}
-            if aux is not None:
-                kw["aux"] = aux
-            return opt(list(x_row), **kw)
+        # cache the jitted vmapped executable too: a fresh jax.jit
+        # wrapper per request would retrace on every warm sweep
+        skey = self._key("sweep", name, req.get("config"),
+                         req.get("driver"), batch=B)
+        sweep_fn = self._cache.get(skey)
+        if sweep_fn is None:
+            def one(x_row, r_row):
+                kw = {"radii_dyn": [r_row[j] for j in range(len(base_radii))]}
+                if aux is not None:
+                    kw["aux"] = aux
+                return opt(list(x_row), **kw)
+
+            sweep_fn = jax.jit(jax.vmap(one, in_axes=(0, 0)))
+            self._cache[skey] = sweep_fn
+        else:
+            self._hits += 1
 
         t0 = time.perf_counter()
-        res = jax.jit(jax.vmap(one, in_axes=(0, 0)))(xs, radii)
+        res = sweep_fn(xs, radii)
         jax.block_until_ready(res.function_values)
         wall = time.perf_counter() - t0
         fv = np.asarray(res.function_values)    # (B, max_iters)

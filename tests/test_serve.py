@@ -83,6 +83,19 @@ def test_sweep_rows_match_individual_optimise(svc):
     assert sweep["points"][1]["J"] != row["J"]
 
 
+def test_sweep_executable_is_cached(svc):
+    req = {"cmd": "sweep", "problem": "sh23", "config": SH23_CFG,
+           "driver": DRIVER, "seeds": [3, 5], "e0": [0.0725, 0.05]}
+    before = svc.handle({"cmd": "status"})["cache_hits"]
+    out = svc.handle(req)
+    assert out["ok"]
+    after = svc.handle({"cmd": "status"})["cache_hits"]
+    # optimiser-cache hit + sweep-executable hit on the repeat call
+    assert after >= before + 2
+    keys = svc.handle({"cmd": "status"})["executables"]
+    assert any('"kind": "sweep"' in k and '"batch": 2' in k for k in keys)
+
+
 def test_save_persists_result(svc, tmp_path):
     path = str(tmp_path / "serve_out.npz")
     out = svc.handle({"cmd": "optimise", "problem": "pca",
