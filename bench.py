@@ -102,6 +102,27 @@ def _wait_for_tpu(t_start: float, budget_s: float, reserve_s: float = 420.0):
         time.sleep(45)
 
 
+# Pinned CPU denominators (same policy as MIXING_CPU_FULL_MS /
+# KDYN24_CPU_FULL_MS): these are full runs, not extrapolations, but the
+# live min-of-N still breathed ~2x with machine load across otherwise
+# identical bench runs (SH23 recorded 93.6 / 113.1 / 179.9 ms). Pinned
+# to the MINIMUM of clean measurements — biased AGAINST the reported
+# speedup — with the live run kept as a 10x probe guard + accuracy
+# reference. SH23: 93.6 ms (r3 rehearsal artifact, min-of-3);
+# SHB23: 807.8 ms (idle min-of-6, 2026-08-17).
+SH23_CPU_FULL_MS = 93.6
+SHB23_CPU_FULL_MS = 807.8
+
+
+def _guard_probe(probe_ms: float, pinned_ms: float, name: str) -> float:
+    if not (pinned_ms / 10 < probe_ms < pinned_ms * 10):
+        raise RuntimeError(
+            f"{name} CPU probe {probe_ms:.1f} ms is >10x off the pinned "
+            f"measurement {pinned_ms:.1f} ms — baseline code changed; "
+            "re-measure in full")
+    return pinned_ms
+
+
 def bench_baseline_cpu(u0, repeats=3) -> float:
     sys.path.insert(0, "baselines")
     from sh23_numpy import SH23Numpy
@@ -116,7 +137,8 @@ def bench_baseline_cpu(u0, repeats=3) -> float:
         # the TPU side's fused value_and_grad (no double-counted fwd)
         g = sim.gradient(u0)
         times.append(time.perf_counter() - t0)
-    return min(times), float(J), np.asarray(g)
+    cpu_s = _guard_probe(min(times) * 1e3, SH23_CPU_FULL_MS, "sh23") / 1e3
+    return cpu_s, float(J), np.asarray(g)
 
 
 def bench_tpu(u0, repeats=10):
@@ -180,6 +202,13 @@ def bench_shb23_pallas(repeats=10):
     return ms, float(J)
 
 
+# KDyn 24^3 CPU fused fwd+grad (hand-rolled adjoint), MEASURED IN FULL
+# (2000 steps, twice on an idle machine: 35.6 / 40.4 s, min taken —
+# 2026-08-17). See the pinned-denominator rationale at
+# MIXING_CPU_FULL_MS.
+KDYN24_CPU_FULL_MS = 35_600.0
+
+
 def bench_kdyn(repeats_tpu=5, repeats_cpu=1):
     """KDyn 24^3, Rm=1, dt=5e-4, 2000 steps, Cost='Final' — the second
     north-star config (BASELINE.md). Unit: fused fwd+grad (both spheres).
@@ -219,18 +248,23 @@ def bench_kdyn(repeats_tpu=5, repeats_cpu=1):
     b_np = np.asarray(truth["b0"], np.float64)
     u_np = np.asarray(truth["u0"], np.float64)
     # CPU baseline FIRST: numpy-only, so it spends no healthy-tunnel
-    # minutes (the wedge makes TPU-active windows the scarce resource)
+    # minutes (the wedge makes TPU-active windows the scarce resource).
+    # PINNED full measurement (mirrors the mixing denominator): the live
+    # 100-step x20 extrapolation both understated the full run (35.6 s
+    # measured in full vs 27.8 s extrapolated — the 2000-step store-all
+    # trajectory has worse cache behaviour than x20 of 100 steps) and
+    # inflated 2.5x when the machine was busy (r3 rehearsal recorded
+    # 68.7 s with concurrent CPU work). The live probe only guards
+    # against the baseline code itself changing.
     sub = KDynNumpy(npts=24, dt=5e-4, n_iters=100)
-    # warm-up + min-of-N: a single cold probe folds BLAS warm-up and
-    # first-touch page faults into the x20 extrapolation (the exact
-    # instability the pinned mixing denominator exists to avoid)
-    sub.gradient(b_np, u_np)
+    sub.gradient(b_np, u_np)  # BLAS warm-up + first-touch pages
     times = []
     for _ in range(max(2, repeats_cpu)):
         t0 = time.perf_counter()
         sub.gradient(b_np, u_np)
         times.append(time.perf_counter() - t0)
-    cpu_s = min(times) * (2000 / 100)
+    probe_s = min(times) * (2000 / 100)
+    cpu_s = _guard_probe(probe_s * 1e3, KDYN24_CPU_FULL_MS, "kdyn") / 1e3
 
     p_ic = p if dtype == "float32" else KinematicDynamo(
         KDynConfig(npts=24, n_iters=2000, dt=5e-4, dtype="float32",
@@ -313,7 +347,7 @@ def bench_shb23(repeats=10):
         t0 = time.perf_counter()
         sim.gradient(u0)
         times.append(time.perf_counter() - t0)
-    cpu_ms = min(times) * 1e3
+    cpu_ms = _guard_probe(min(times) * 1e3, SHB23_CPU_FULL_MS, "shb23")
 
     from spheremanopt_tpu.utils import profiling as prof
 
@@ -346,12 +380,7 @@ def _mixing_cpu_baseline_ms():
     t0 = time.perf_counter()
     sim.gradient(np.asarray(truth["x0"], np.float64))
     probe_ms = (time.perf_counter() - t0) * 1e3 * (1000 / sub_steps)
-    if not (MIXING_CPU_FULL_MS / 10 < probe_ms < MIXING_CPU_FULL_MS * 10):
-        raise RuntimeError(
-            f"mixing CPU probe {probe_ms:.0f} ms/1000-step is >10x off "
-            f"the pinned full measurement {MIXING_CPU_FULL_MS:.0f} ms — "
-            "baseline code changed; re-measure in full")
-    return MIXING_CPU_FULL_MS
+    return _guard_probe(probe_ms, MIXING_CPU_FULL_MS, "mixing")
 
 
 def bench_mixing(repeats=3, cpu_ms=None):
