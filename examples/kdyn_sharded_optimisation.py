@@ -46,6 +46,12 @@ def main():
     ).strip()
     import jax
 
+    # JAX_PLATFORM_NAME=cpu still initialises the axon TPU plugin, which
+    # hangs process startup whenever the tunnel is wedged (measured r3)
+    # — honor it by forcing the backend in-process (CLAUDE.md rule 5).
+    if os.environ.get("JAX_PLATFORM_NAME", "").lower() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     if args.platform is None and len(jax.devices()) < args.devices:

@@ -35,6 +35,14 @@ from spheremanopt_tpu.optim.jit_driver import jit_optimise_on_multi_sphere
 from spheremanopt_tpu.problems.swift_hohenberg import SH23Config, SwiftHohenberg
 
 
+# Env-var platform selection (JAX_PLATFORM_NAME=cpu) still INITIALISES
+# the axon TPU plugin, which hangs process startup whenever the tunnel
+# is wedged (measured r3) — honor the env var by forcing the backend
+# in-process before anything touches jax.devices().
+if os.environ.get("JAX_PLATFORM_NAME", "").lower() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
+
 def main(batch: int = 8) -> None:
     on_tpu = jax.devices()[0].platform not in ("cpu",)
     dtype = "float32" if on_tpu else "float64"
