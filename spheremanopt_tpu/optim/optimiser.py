@@ -113,6 +113,45 @@ class ManifoldKernels:
         def _residuals(gs):
             return jnp.stack([jnp.sqrt(ip(g, g)) for g, ip in zip(gs, ips)])
 
+        def _lbfgs_shift(xs_new, alpha, ds_old, gs_old, gs_new, S, Y):
+            """One-dispatch L-BFGS history maintenance at the new iterate:
+            transport the step alpha*d and the old tangent gradient into
+            x_new's tangent plane (transport == projection on the sphere,
+            ref `Sphere_Grad_Descent.py:625-642`), form the new curvature
+            pair (s, y = g_new - T g_old), re-transport every stored pair,
+            and return the scalars <s,y>, <y,y>, <s,s> the host needs for
+            the curvature/skip decision and the initial Hessian scale."""
+            s = _tangent(xs_new, [alpha * d for d in ds_old])
+            tg = _tangent(xs_new, gs_old)
+            y = [gn - t for gn, t in zip(gs_new, tg)]
+            sy = _slope(s, y)
+            yy = _slope(y, y)
+            ss = _slope(s, s)
+            S2 = tuple(_tangent(xs_new, si) for si in S)
+            Y2 = tuple(_tangent(xs_new, yi) for yi in Y)
+            return s, y, sy, yy, ss, S2, Y2
+
+        def _lbfgs_direction(xs, gs, S, Y, gamma):
+            """Two-loop recursion (Nocedal & Wright Alg. 7.4) over the
+            product-manifold inner product, with the initial inverse
+            Hessian gamma*I; the result is re-projected onto the tangent
+            plane at xs (all inputs are tangent, so this only cleans
+            rounding drift). History length is static per jit (tuple
+            structure), so at most `memory`+1 small programs compile."""
+            q = list(gs)
+            coeffs = []
+            for s, y in zip(reversed(S), reversed(Y)):
+                rho = 1.0 / _slope(y, s)
+                a = rho * _slope(s, q)
+                q = [qi - a * yi for qi, yi in zip(q, y)]
+                coeffs.append((rho, a))
+            r = [gamma * qi for qi in q]
+            for (s, y), (rho, a) in zip(zip(S, Y), reversed(coeffs)):
+                b = rho * _slope(y, r)
+                r = [ri + (a - b) * si for ri, si in zip(r, s)]
+            d = _tangent(xs, [-ri for ri in r])
+            return d, _slope(gs, d)
+
         def _cg_direction(xs, gs, gs_old, ds_old):
             """Hybrid FR/PR direction (ref `Sphere_Grad_Descent.py:750-772`)."""
             beta_fr = 0.0
@@ -135,6 +174,8 @@ class ManifoldKernels:
         self.project_transport_slope = jax.jit(_project_transport_slope)
         self.residuals = jax.jit(_residuals)
         self.cg_direction = jax.jit(_cg_direction)
+        self.lbfgs_shift = jax.jit(_lbfgs_shift)
+        self.lbfgs_direction = jax.jit(_lbfgs_direction)
 
 
 def optimise_on_multi_sphere(
@@ -157,6 +198,8 @@ def optimise_on_multi_sphere(
     wolfe_c2: float = 0.4,
     f_and_g: Optional[Callable[[List[Any]], Any]] = None,
     use_fused_phi: bool = True,
+    method: Optional[str] = None,
+    lbfgs_memory: int = 8,
 ) -> OptimiseResult:
     """Minimise f(X) subject to <X_i, X_i> = radii[i] for each component.
 
@@ -167,10 +210,29 @@ def optimise_on_multi_sphere(
 
     Returns an OptimiseResult; `result.function_values` holds -J(X_k)
     (the reference's sign convention for maximisation problems).
+
+    `method` selects the search direction: "sd" (steepest descent), "cg"
+    (the reference's hybrid FR/PR conjugate gradient — the default when
+    `cg=True`), or "lbfgs" (Riemannian limited-memory BFGS, a capability
+    the reference lacks: curvature pairs are vector-transported to each
+    new tangent plane and combined by the standard two-loop recursion
+    under the problem's inner product; pairs failing the curvature
+    condition <s,y> > 0 are skipped). When `method` is given it
+    overrides the legacy `cg` flag.
     """
     n = len(radii)
+    if method is None:
+        method = "cg" if cg else "sd"
+    if method not in ("sd", "cg", "lbfgs"):
+        raise ValueError(f"method must be sd|cg|lbfgs, got {method!r}")
+    cg = method == "cg"
     use_wolfe = line_search == "wolfe"
-    alpha_max = alpha_k
+    # The reference caps Wolfe at amax = alpha_0 (`Sphere_Grad_Descent.py`
+    # passes alpha_k as amax) — kept for sd/cg parity. Quasi-Newton
+    # directions carry their own scale, and the curvature condition can
+    # legitimately need steps past alpha_0 when gamma underestimates the
+    # local Hessian, so lbfgs gets a wider envelope.
+    alpha_max = alpha_k * (16.0 if method == "lbfgs" else 1.0)
     K = ManifoldKernels(radii, inner_prod)
 
     R = OptimiseResult(n_components=n)
@@ -187,6 +249,14 @@ def optimise_on_multi_sphere(
     derphi_star_grad: Optional[List[Any]] = None
     g_km1: Optional[List[Any]] = None
     d_k: Optional[List[Any]] = None
+    # L-BFGS state: transported curvature pairs (tuples so the jitted
+    # kernels treat the history length as static structure), the initial
+    # inverse-Hessian scale, and the (alpha, d, g) of the last accepted
+    # step pending pair formation at the next iterate.
+    lb_S: tuple = ()
+    lb_Y: tuple = ()
+    lb_gamma: float = 1.0
+    lb_pending = None
 
     while max(error) > err_tol and R.iterations < max_iters:
         t_iter = time.perf_counter()
@@ -199,14 +269,42 @@ def optimise_on_multi_sphere(
             g_k = K.tangent(x_k, nab_J)
             grad_evals += 1
 
-        # --- search direction: SD or hybrid FR/PR CG (ref :750-776) ---
-        if R.iterations > 1 and cg and g_km1 is not None and d_k is not None:
+        # --- L-BFGS history: form the pair for the step just taken ---
+        if method == "lbfgs" and lb_pending is not None:
+            a_prev, d_prev, g_prev = lb_pending
+            s, y, sy, yy, ss, lb_S, lb_Y = K.lbfgs_shift(
+                x_k, a_prev, d_prev, g_prev, g_k, lb_S, lb_Y)
+            sy, yy, ss = float(sy), float(yy), float(ss)
+            # curvature/skip rule: keep the pair only when <s,y> is
+            # positive beyond rounding (Nocedal & Wright §7.2 damped-skip
+            # simplification; on the sphere Wolfe does not guarantee
+            # positivity because y is formed from transported gradients)
+            if sy > 1e-10 * np.sqrt(max(ss, 0.0) * max(yy, 0.0)) and yy > 0.0:
+                lb_S = (lb_S + (s,))[-lbfgs_memory:]
+                lb_Y = (lb_Y + (y,))[-lbfgs_memory:]
+                lb_gamma = sy / yy
+            lb_pending = None
+
+        # --- search direction: SD, hybrid FR/PR CG (ref :750-776),
+        #     or L-BFGS two-loop ---
+        derphi0 = None
+        if method == "lbfgs" and lb_S:
+            d_k, slope = K.lbfgs_direction(x_k, g_k, lb_S, lb_Y, lb_gamma)
+            derphi0 = float(slope)
+            if not derphi0 < 0.0:
+                # not a descent direction (stale/ill-conditioned history):
+                # reset to steepest descent, standard L-BFGS safeguard
+                lb_S, lb_Y, lb_gamma = (), (), 1.0
+                d_k = [-g for g in g_k]
+                derphi0 = None
+        elif R.iterations > 1 and cg and g_km1 is not None and d_k is not None:
             d_k = K.cg_direction(x_k, g_k, g_km1, d_k)
         else:
             d_k = [-g for g in g_k]
 
         # --- line search (Armijo on iteration 0, ref :780-784) ---
-        derphi0 = float(K.slope(g_k, d_k))
+        if derphi0 is None:
+            derphi0 = float(K.slope(g_k, d_k))
 
         # One-entry (alpha -> gradient) cache: on every ACCEPT path the
         # Wolfe algorithm evaluates derphi(a) right after phi(a) at the
@@ -295,6 +393,8 @@ def optimise_on_multi_sphere(
         # --- update + residual from pre-update gradient (ref :789-796) ---
         x_k = K.retract(x_k, alpha_k, d_k)
         error = np.asarray(K.residuals(g_k))
+        if method == "lbfgs":
+            lb_pending = (alpha_k, d_k, g_k)
 
         R.x_opt = x_k
         R.iterations += 1

@@ -39,6 +39,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--alpha", type=float, default=None)
     ap.add_argument("--ls", choices=["wolfe", "armijo"], default="wolfe")
     ap.add_argument("--sd", action="store_true", help="steepest descent (no CG)")
+    ap.add_argument("--direction", choices=["sd", "cg", "lbfgs"], default=None,
+                    help="search direction (default: cg, or sd with --sd; "
+                         "lbfgs = Riemannian L-BFGS, beyond the reference)")
+    ap.add_argument("--lbfgs-memory", type=int, default=8,
+                    help="curvature-pair history length for --direction lbfgs")
     ap.add_argument("--test-grad", action="store_true", help="Taylor test, then exit")
     ap.add_argument("--adjoint", choices=["discrete", "continuous"], default="discrete")
     ap.add_argument("--quiet", action="store_true")
@@ -268,6 +273,9 @@ def main(argv=None) -> int:
     from spheremanopt_tpu.optim.plotting import plot_optimisation
 
     if args.device_loop:
+        if args.direction == "lbfgs":
+            raise SystemExit("--direction lbfgs is host-driver only for "
+                             "now; drop --device-loop")
         import numpy as np
 
         from spheremanopt_tpu.optim.jit_driver import jit_optimise_on_multi_sphere
@@ -349,6 +357,8 @@ def main(argv=None) -> int:
         alpha_k=args.alpha if args.alpha is not None else defaults["alpha"],
         line_search=args.ls,
         cg=not args.sd,
+        method=args.direction,
+        lbfgs_memory=args.lbfgs_memory,
         verbose=not args.quiet,
         callback=callback,
         checkpoint_path=os.path.join(args.out_dir, "DAL_PROGRESS.npz"),
