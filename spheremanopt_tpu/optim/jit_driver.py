@@ -67,12 +67,30 @@ def jit_optimise_on_multi_sphere(
     cg: bool = True,
     line_search: str = "armijo",
     c2: float = 0.4,
+    direction: str = None,
+    lbfgs_memory: int = 8,
 ) -> Callable:
     """Build a jitted `optimise(x0_list) -> JitOptResult`.
 
     `f_and_g(x_list) -> (J, [nab_J])` must be jittable (problems provide
     `objective_and_gradient`); `inner_prod` is one callable or a list.
+
+    `direction` selects sd|cg|lbfgs (None = legacy `cg` flag). The
+    lbfgs mode compiles the Riemannian L-BFGS of the host driver into
+    the loop: fixed-size ring buffers of transported curvature pairs
+    with validity masking (static history length `lbfgs_memory`, so the
+    two-loop recursion unrolls into the executable); requires
+    line_search="wolfe".
     """
+    if direction is None:
+        direction = "cg" if cg else "sd"
+    if direction not in ("sd", "cg", "lbfgs"):
+        raise ValueError(f"direction must be sd|cg|lbfgs, got {direction!r}")
+    use_lbfgs = direction == "lbfgs"
+    if use_lbfgs and line_search != "wolfe":
+        raise ValueError("direction='lbfgs' requires line_search='wolfe'")
+    cg = direction == "cg"
+    mlb = int(lbfgs_memory)
     n = len(radii)
     radii = tuple(float(r) for r in radii)
     ips = geom._as_list(inner_prod, n)
@@ -99,6 +117,70 @@ def jit_optimise_on_multi_sphere(
             tds.append(geom.transport(x, d_old, ip))
         beta = jnp.maximum(0.0, jnp.minimum(beta_fr, beta_pr))
         return [-g + beta * td for g, td in zip(gs, tds)]
+
+    # ---- L-BFGS building blocks (direction="lbfgs"): the host driver's
+    # transported-pair two-loop (`optimiser.ManifoldKernels.lbfgs_*`)
+    # restructured for a fixed-shape fori_loop carry — ring buffers of
+    # `mlb` slots per component, newest pair last, with a validity mask
+    # instead of a growing tuple. Invalid slots are exact no-ops
+    # (rho = a = 0), so the unrolled recursion matches the host's
+    # variable-length kernel to roundoff.
+
+    def lbfgs_two_loop(xs, gs, S, Y, valid, gamma):
+        """d = -H.g via Nocedal & Wright Alg. 7.4; returns (d, <g,d>)."""
+        one = jnp.asarray(1.0, gamma.dtype)
+        q = list(gs)
+        coeffs = []
+        for j in range(mlb - 1, -1, -1):           # newest -> oldest
+            s_j = [Sc[j] for Sc in S]
+            y_j = [Yc[j] for Yc in Y]
+            sy_j = slope(y_j, s_j)
+            rho = jnp.where(valid[j],
+                            one / jnp.where(valid[j], sy_j, one), 0.0)
+            a = rho * slope(s_j, q)
+            q = [qi - a * yi for qi, yi in zip(q, y_j)]
+            coeffs.append((j, rho, a))
+        r = [gamma * qi for qi in q]
+        for (j, rho, a) in reversed(coeffs):       # oldest -> newest
+            s_j = [Sc[j] for Sc in S]
+            y_j = [Yc[j] for Yc in Y]
+            b = rho * slope(y_j, r)
+            r = [ri + (a - b) * si for ri, si in zip(r, s_j)]
+        d = tangent(xs, [-ri for ri in r])
+        return d, slope(gs, d)
+
+    def lbfgs_update(xs, gs, gs_old, ds_old, alpha_prev, stepped_prev,
+                     S, Y, valid, gamma):
+        """Pair formation + history transport at the current iterate,
+        masked by whether the previous iteration actually stepped
+        (host: `lbfgs_shift` is only called with a pending step)."""
+        s_new = tangent(xs, [alpha_prev * d for d in ds_old])
+        tg = tangent(xs, gs_old)
+        y_new = [gn - t for gn, t in zip(gs, tg)]
+        sy = slope(s_new, y_new)
+        yy = slope(y_new, y_new)
+        ss = slope(s_new, s_new)
+        keep = jnp.logical_and(
+            stepped_prev,
+            jnp.logical_and(
+                sy > 1e-10 * jnp.sqrt(jnp.maximum(ss, 0.0)
+                                      * jnp.maximum(yy, 0.0)),
+                yy > 0.0))
+        S2, Y2 = [], []
+        for x, Sc, Yc, s_c, y_c, ip in zip(xs, S, Y, s_new, y_new, ips):
+            tr = jax.vmap(lambda v, _x=x, _ip=ip: geom.tangent_project(
+                _x, v, _ip))
+            St = jnp.where(stepped_prev, tr(Sc), Sc)
+            Yt = jnp.where(stepped_prev, tr(Yc), Yc)
+            S2.append(jnp.where(keep,
+                                jnp.concatenate([St[1:], s_c[None]], 0), St))
+            Y2.append(jnp.where(keep,
+                                jnp.concatenate([Yt[1:], y_c[None]], 0), Yt))
+        valid2 = jnp.where(keep,
+                           jnp.concatenate([valid[1:],
+                                            jnp.ones((1,), bool)]), valid)
+        gamma2 = jnp.where(keep, sy / jnp.where(yy > 0.0, yy, 1.0), gamma)
+        return S2, Y2, valid2, gamma2
 
     @jax.jit
     def optimise(x0_list, radii_dyn=None, aux=None):
@@ -256,21 +338,39 @@ def jit_optimise_on_multi_sphere(
         has_old = jnp.asarray(False)     # first successful Wolfe search
 
         def body(i, carry):
-            xs, J, J_old, has_old, gs, gs_old, ds_old, active, hists = carry
+            xs, J, J_old, has_old, gs, gs_old, ds_old, active, lb, hists = carry
             J_hist, r_hist, a_hist = hists
 
             ds_sd = [-g for g in gs]
-            if cg:
+            if use_lbfgs:
+                S, Y, valid, gamma, alpha_prev, stepped_prev = lb
+                S, Y, valid, gamma = lbfgs_update(
+                    xs, gs, gs_old, ds_old, alpha_prev, stepped_prev,
+                    S, Y, valid, gamma)
+                d_lb, slope_lb = lbfgs_two_loop(xs, gs, S, Y, valid, gamma)
+                # host semantics: two-loop only with a non-empty history
+                # AND a descent result; otherwise steepest descent and
+                # (when non-descent with pairs) a history reset
+                has_pairs = valid.any()
+                ok_dir = jnp.logical_and(has_pairs, slope_lb < 0)
+                reset = jnp.logical_and(has_pairs,
+                                        jnp.logical_not(slope_lb < 0))
+                valid = jnp.where(reset, jnp.zeros_like(valid), valid)
+                gamma = jnp.where(reset, jnp.ones_like(gamma), gamma)
+                ds = [jnp.where(ok_dir, dl, dsd)
+                      for dl, dsd in zip(d_lb, ds_sd)]
+                slope0 = jnp.where(ok_dir, slope_lb, slope(gs, ds_sd))
+            elif cg:
                 ds_cg = cg_direction(xs, gs, gs_old, ds_old)
                 # host/reference: CG only from the third pass (i > 1,
                 # `Sphere_Grad_Descent.py:750`), and only if descent
                 use_cg = jnp.logical_and(i > 1, slope(gs, ds_cg) < 0)
                 ds = [jnp.where(use_cg, dc, dsd)
                       for dc, dsd in zip(ds_cg, ds_sd)]
+                slope0 = slope(gs, ds)
             else:
                 ds = ds_sd
-
-            slope0 = slope(gs, ds)
+                slope0 = slope(gs, ds)
 
             def eval_fn(a):
                 xs_t = retract(xs, a, ds)
@@ -284,7 +384,8 @@ def jit_optimise_on_multi_sphere(
 
             a_star, J_new, (xs_new, gs_new), ok = device_wolfe(
                 eval_fn, J, slope0, (xs, gs), J_old, has_old,
-                c1=c1, c2=c2, amax=alpha0,
+                c1=c1, c2=c2,
+                amax=alpha0 * (16.0 if use_lbfgs else 1.0),
             )
 
             step = jnp.logical_and(active, ok)
@@ -301,14 +402,27 @@ def jit_optimise_on_multi_sphere(
             has_old = jnp.logical_or(has_old, step)
             J = jnp.where(step, J_new, J)
 
+            if use_lbfgs:
+                lb = (S, Y, valid, gamma,
+                      jnp.where(step, a_star, lb[4]), step)
+
             active = jnp.logical_and(active,
                                      jnp.logical_and(ok, res.max() > err_tol))
             return (xs, J, J_old, has_old, gs, gs_old_n, ds_old_n, active,
-                    (J_hist, r_hist, a_hist))
+                    lb, (J_hist, r_hist, a_hist))
 
-        init = (xs, J, J_old, has_old, gs, g0, ds0, active,
+        if use_lbfgs:
+            lb0 = ([jnp.zeros((mlb,) + jnp.shape(g), g.dtype) for g in g0],
+                   [jnp.zeros((mlb,) + jnp.shape(g), g.dtype) for g in g0],
+                   jnp.zeros((mlb,), bool),
+                   jnp.asarray(1.0, dtype),
+                   jnp.asarray(alpha_a, dtype),
+                   ok0)
+        else:
+            lb0 = ()
+        init = (xs, J, J_old, has_old, gs, g0, ds0, active, lb0,
                 (J_hist, r_hist, a_hist))
-        xs, J, _, _, gs, _, _, active, (J_hist, r_hist, a_hist) = (
+        xs, J, _, _, gs, _, _, active, _, (J_hist, r_hist, a_hist) = (
             jax.lax.fori_loop(1, max_iters, body, init))
         n_done = jnp.sum(a_hist > 0)
         return JitOptResult(xs, J_hist, r_hist, a_hist, n_done)

@@ -273,9 +273,9 @@ def main(argv=None) -> int:
     from spheremanopt_tpu.optim.plotting import plot_optimisation
 
     if args.device_loop:
-        if args.direction == "lbfgs":
-            raise SystemExit("--direction lbfgs is host-driver only for "
-                             "now; drop --device-loop")
+        if args.direction == "lbfgs" and args.ls != "wolfe":
+            raise SystemExit("--direction lbfgs needs --ls wolfe in the "
+                             "device loop")
         import numpy as np
 
         from spheremanopt_tpu.optim.jit_driver import jit_optimise_on_multi_sphere
@@ -300,6 +300,8 @@ def main(argv=None) -> int:
             err_tol=args.err_tol if args.err_tol is not None else defaults.get("err_tol", 1e-6),
             cg=not args.sd,
             line_search=args.ls,
+            direction=args.direction,
+            lbfgs_memory=args.lbfgs_memory,
         )
         t0 = time.time()
         r = opt(x0, aux=aux)

@@ -116,6 +116,65 @@ def test_lbfgs_two_sphere_product(problem):
     assert e1 < 1e-3 and e2 < 1e-3, (e1, e2)
 
 
+def test_device_lbfgs_trajectory_parity_sh23():
+    """Single-jit device L-BFGS == host L-BFGS trajectory on SH23 to
+    f64 roundoff (same standard as the device Wolfe+CG parity tests,
+    tests/test_device_wolfe.py)."""
+    from spheremanopt_tpu.optim.jit_driver import jit_optimise_on_multi_sphere
+    from spheremanopt_tpu.problems.swift_hohenberg import (
+        SH23Config,
+        SwiftHohenberg,
+    )
+
+    p = SwiftHohenberg(SH23Config(npts=48, n_iters=50, dt=0.05))
+    x0 = p.generate_ic(seed=42)
+    res_h = _run(p, x0, p.radii, "lbfgs", alpha=float(np.pi), max_iters=8,
+                 f_and_g=p.objective_and_gradient)
+    opt = jit_optimise_on_multi_sphere(
+        p.objective_and_gradient, p.inner_product, p.radii,
+        max_iters=8, alpha0=float(np.pi), line_search="wolfe",
+        direction="lbfgs")
+    r = opt(x0)
+    jh = np.asarray(res_h.function_values)
+    np.testing.assert_allclose(np.asarray(r.function_values[:len(jh)]), jh,
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(r.step_sizes[:len(jh)]),
+                               np.asarray(res_h.step_sizes),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(r.x_opt[0]),
+                               np.asarray(res_h.x_opt[0]),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_device_lbfgs_converges_pca(problem):
+    from spheremanopt_tpu.optim.jit_driver import jit_optimise_on_multi_sphere
+
+    def f_and_g(xs):
+        return problem._objective_impl(xs), problem._gradient_impl(xs)
+
+    opt = jit_optimise_on_multi_sphere(
+        f_and_g, problem.inner_product, [1.0],
+        max_iters=200, alpha0=1.0, err_tol=1e-9,
+        line_search="wolfe", direction="lbfgs")
+    res = opt(_x0())
+    v = problem.ground_truth()
+    err = np.linalg.norm(np.abs(v) - np.abs(np.asarray(res.x_opt[0])))
+    assert err < 1e-5, err
+    assert np.isclose(float(jnp.dot(res.x_opt[0], res.x_opt[0])), 1.0,
+                      rtol=1e-12)
+
+
+def test_device_lbfgs_requires_wolfe(problem):
+    from spheremanopt_tpu.optim.jit_driver import jit_optimise_on_multi_sphere
+
+    with pytest.raises(ValueError, match="wolfe"):
+        jit_optimise_on_multi_sphere(
+            lambda xs: (problem._objective_impl(xs),
+                        problem._gradient_impl(xs)),
+            problem.inner_product, [1.0],
+            line_search="armijo", direction="lbfgs")
+
+
 def test_method_validation(problem):
     with pytest.raises(ValueError, match="method"):
         optimise_on_multi_sphere(

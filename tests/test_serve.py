@@ -47,6 +47,18 @@ def test_optimise_pca_and_cache_reuse(svc):
     assert len(st["executables"]) == 1
 
 
+def test_optimise_lbfgs_driver_passthrough(svc):
+    """The driver dict forwards straight into jit_optimise_on_multi_sphere,
+    so the L-BFGS direction is servable with no protocol change."""
+    out = svc.handle({"cmd": "optimise", "problem": "pca",
+                      "config": {"dim": 24, "matrix_seed": 0}, "seed": 1,
+                      "driver": {"max_iters": 12, "line_search": "wolfe",
+                                 "direction": "lbfgs"}})
+    assert out["ok"], out
+    J = out["J"]
+    assert all(x <= y + 1e-12 for x, y in zip(J, J[1:])), J
+
+
 def test_optimise_matches_direct_driver_call(svc):
     out = svc.handle({"cmd": "optimise", "problem": "sh23",
                       "config": SH23_CFG, "driver": DRIVER, "seed": 3})
