@@ -59,7 +59,10 @@ class KDynConfig:
     dtype: str = "float64"
     remat: object = True         # True/"step": per-step jax.checkpoint;
                                  # "nested": sqrt(N)-memory two-level
-                                 # checkpointing; False: store-all
+                                 # checkpointing; "offload": per-step
+                                 # carries stored in pinned HOST memory
+                                 # (GEN_BUFFER-at-scale; HBM stays O(1)
+                                 # in trajectory length); False: store-all
     n_shards: int = 0            # transform="distributed": mesh size
                                  # (0 = all visible devices)
     transform: str = "matmul"    # "matmul" (per-axis DFT einsums, MXU-
@@ -466,6 +469,14 @@ class KinematicDynamo:
                 return self._cnab1_step(b, u, ops)
         if self.cfg.remat is True or self.cfg.remat == "step":
             step = jax.checkpoint(step)
+        elif self.cfg.remat == "offload":
+            # store-all in HOST memory: per-step carries offloaded to
+            # pinned_host (the reference GEN_BUFFER's host-RAM snapshots,
+            # `FWD_Solve_KDyn.py:341-355`) — HBM stays O(1) in the
+            # trajectory length
+            from spheremanopt_tpu.solvers.scan_utils import offload_checkpoint
+
+            step = offload_checkpoint(step)
         integrated = self.cfg.cost == "Integrated"
 
         if self.cfg.carry == "packed":
@@ -557,6 +568,10 @@ class KinematicDynamo:
         step = self._cnab1_step
         if self.cfg.remat is True or self.cfg.remat == "step":
             step = jax.checkpoint(step)
+        elif self.cfg.remat == "offload":
+            from spheremanopt_tpu.solvers.scan_utils import offload_checkpoint
+
+            step = offload_checkpoint(step)
         integrated = self.cfg.cost == "Integrated"
 
         def body(carry, _):

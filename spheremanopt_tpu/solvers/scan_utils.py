@@ -28,6 +28,35 @@ def checkpointed_scan(step: Callable, carry, xs=None, length: Optional[int] = No
     return lax.scan(jax.checkpoint(step), carry, xs=xs, length=length)
 
 
+def offload_checkpoint(step: Callable) -> Callable:
+    """Per-step remat whose carry residual lives in HOST memory.
+
+    Like `jax.checkpoint(step)` (the "step" remat mode: one stored carry
+    per step, step internals recomputed on the reverse sweep), but the
+    stored carries are offloaded to pinned host memory instead of HBM —
+    the true analogue of the reference's store-all `GEN_BUFFER`
+    (`FWD_Solve_SH23.py:238-272`, host-RAM snapshots) at accelerator
+    scale: HBM holds O(1) state while the trajectory streams to/from the
+    host over PCIe. Complements `nested_checkpoint_scan` (sqrt(N) HBM,
+    one extra recompute) for trajectories too big even for sqrt(N)
+    nesting, at the price of host-link bandwidth per step.
+    """
+    from jax.ad_checkpoint import checkpoint_name
+
+    policy = jax.checkpoint_policies.save_and_offload_only_these_names(
+        names_which_can_be_saved=[],
+        names_which_can_be_offloaded=["smo_offload_carry"],
+        offload_src="device",
+        offload_dst="pinned_host",
+    )
+
+    def named(carry, *rest):
+        carry = checkpoint_name(carry, "smo_offload_carry")
+        return step(carry, *rest)
+
+    return jax.checkpoint(named, policy=policy)
+
+
 def nested_checkpoint_scan(
     step: Callable,
     carry,

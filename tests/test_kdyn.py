@@ -122,6 +122,23 @@ def test_nested_remat_matches_storeall(x0):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10)
 
 
+@pytest.mark.parametrize("cost", ["Final", "Integrated"])
+def test_offload_remat_matches_step_remat(cost, x0):
+    """remat='offload' changes only WHERE the per-step carry residuals
+    live (pinned host memory vs HBM); the arithmetic is the per-step
+    remat path's, so J and both gradients must match remat='step'
+    bitwise-class."""
+    kw = dict(npts=12, n_iters=40, dt=1e-3, cost=cost)
+    pa = KinematicDynamo(KDynConfig(**kw, remat="step"))
+    pb = KinematicDynamo(KDynConfig(**kw, remat="offload"))
+    Ja, ga = pa.objective_and_gradient(x0)
+    Jb, gb = pb.objective_and_gradient(x0)
+    np.testing.assert_allclose(float(Ja), float(Jb), rtol=1e-13)
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-12, atol=1e-14)
+
+
 @pytest.mark.parametrize("cost,remat", [("Final", "step"),
                                         ("Integrated", "step"),
                                         ("Final", "nested")])
