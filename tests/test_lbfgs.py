@@ -164,6 +164,33 @@ def test_device_lbfgs_converges_pca(problem):
                       rtol=1e-12)
 
 
+def test_device_lbfgs_vmaps_row_exact():
+    """The L-BFGS device driver composes with jax.vmap (the batched-
+    sweep capability): every row of a vmapped multi-seed sweep equals
+    its unbatched run."""
+    import jax
+
+    from spheremanopt_tpu.optim.jit_driver import jit_optimise_on_multi_sphere
+    from spheremanopt_tpu.problems.swift_hohenberg import (
+        SH23Config,
+        SwiftHohenberg,
+    )
+
+    p = SwiftHohenberg(SH23Config(npts=48, n_iters=50, dt=0.05))
+    opt = jit_optimise_on_multi_sphere(
+        p.objective_and_gradient, p.inner_product, p.radii,
+        max_iters=5, alpha0=float(np.pi), line_search="wolfe",
+        direction="lbfgs")
+    seeds = [1, 2, 3]
+    x0s = [p.generate_ic(s) for s in seeds]
+    rb = jax.vmap(lambda x: opt([x]))(jnp.stack([x[0] for x in x0s]))
+    for i in range(len(seeds)):
+        r1 = opt(x0s[i])
+        np.testing.assert_allclose(np.asarray(rb.function_values[i]),
+                                   np.asarray(r1.function_values),
+                                   rtol=1e-12, atol=1e-14)
+
+
 def test_device_lbfgs_requires_wolfe(problem):
     from spheremanopt_tpu.optim.jit_driver import jit_optimise_on_multi_sphere
 
