@@ -69,6 +69,32 @@ def test_sharded_trajectory_matches_single_device(kdyn, eight_devices):
         assert np.isclose(float(p.inner_product(x, x)), r, rtol=1e-10)
 
 
+def test_sharded_lbfgs_trajectory_matches_single_device(kdyn, eight_devices):
+    """The L-BFGS device driver (fixed-size transported-pair buffers)
+    preserves the sharded-state story: same trajectory as the
+    single-device run with the fields decomposed over the mesh."""
+    p = kdyn
+    opt = jit_optimise_on_multi_sphere(
+        p.objective_and_gradient, p.inner_product, p.radii,
+        max_iters=6, alpha0=0.5, line_search="wolfe", direction="lbfgs",
+        err_tol=1e-12,
+    )
+    x0 = p.generate_ic(seed=3)
+    x0_single = [jax.device_put(np.asarray(x), eight_devices[0]) for x in x0]
+    res_1 = opt(x0_single)
+
+    mesh = make_mesh(8)
+    x0_sharded = shard_fields(mesh, [np.asarray(x) for x in x0], sharded_dim=1)
+    res_8 = opt(x0_sharded)
+
+    assert len(res_8.x_opt[0].sharding.device_set) == 8, res_8.x_opt[0].sharding
+    np.testing.assert_allclose(np.asarray(res_8.function_values),
+                               np.asarray(res_1.function_values),
+                               rtol=1e-9, atol=1e-12)
+    j8 = np.asarray(res_8.function_values[: int(res_8.iterations)])
+    assert j8[-1] > j8[0]
+
+
 def test_sharded_gradient_matches_single_device(kdyn, eight_devices):
     """The fused objective+gradient itself (fwd scan + adjoint) under
     GSPMD must equal the single-device values."""
