@@ -44,6 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "lbfgs = Riemannian L-BFGS, beyond the reference)")
     ap.add_argument("--lbfgs-memory", type=int, default=8,
                     help="curvature-pair history length for --direction lbfgs")
+    ap.add_argument("--remat", choices=["step", "nested", "offload", "none"],
+                    default=None,
+                    help="kdyn trajectory-memory policy: per-step HBM "
+                         "remat | sqrt(N) nested | pinned-host offload "
+                         "| store-all (default: step)")
     ap.add_argument("--test-grad", action="store_true", help="Taylor test, then exit")
     ap.add_argument("--adjoint", choices=["discrete", "continuous"], default="discrete")
     ap.add_argument("--quiet", action="store_true")
@@ -184,6 +189,8 @@ def make_problem(args):
                           ("n_iters", args.n_iters), ("method", args.method)]:
             if val is not None:
                 kw[name] = val
+        if args.remat is not None:
+            kw["remat"] = False if args.remat == "none" else args.remat
         p = KinematicDynamo(KDynConfig(**kw))
         return p, None, dict(alpha=100.0, max_iters=10)
 
