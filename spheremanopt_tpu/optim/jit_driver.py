@@ -160,11 +160,13 @@ def jit_optimise_on_multi_sphere(
         sy = slope(s_new, y_new)
         yy = slope(y_new, y_new)
         ss = slope(s_new, s_new)
+        from spheremanopt_tpu.optim.optimiser import _curv_eps
+
         keep = jnp.logical_and(
             stepped_prev,
             jnp.logical_and(
-                sy > 1e-10 * jnp.sqrt(jnp.maximum(ss, 0.0)
-                                      * jnp.maximum(yy, 0.0)),
+                sy > _curv_eps(sy.dtype)
+                * jnp.sqrt(jnp.maximum(ss, 0.0) * jnp.maximum(yy, 0.0)),
                 yy > 0.0))
         S2, Y2 = [], []
         for x, Sc, Yc, s_c, y_c, ip in zip(xs, S, Y, s_new, y_new, ips):

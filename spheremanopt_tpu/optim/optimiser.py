@@ -40,6 +40,15 @@ from spheremanopt_tpu.manifold import sphere as geom
 from spheremanopt_tpu.optim import linesearch as ls
 
 
+def _curv_eps(dtype) -> float:
+    """L-BFGS curvature-skip threshold, relative to ||s||*||y||: 1e-10 in
+    f64 (classic), widened to ~32 ULP in f32 where 1e-10 sits far below
+    the rounding noise of the transported inner products (TPU runs are
+    f32). Shared by the host kernel and the device driver so the two
+    keep/skip decisions stay in lockstep."""
+    return max(1e-10, 32.0 * float(np.finfo(np.dtype(dtype)).eps))
+
+
 @dataclass
 class OptimiseResult:
     """Optimisation state record (reference: `result` class,
@@ -127,9 +136,13 @@ class ManifoldKernels:
             sy = _slope(s, y)
             yy = _slope(y, y)
             ss = _slope(s, s)
+            keep = jnp.logical_and(sy > _curv_eps(sy.dtype)
+                                   * jnp.sqrt(jnp.maximum(ss, 0.0)
+                                              * jnp.maximum(yy, 0.0)),
+                                   yy > 0.0)
             S2 = tuple(_tangent(xs_new, si) for si in S)
             Y2 = tuple(_tangent(xs_new, yi) for yi in Y)
-            return s, y, sy, yy, ss, S2, Y2
+            return s, y, sy, yy, keep, S2, Y2
 
         def _lbfgs_direction(xs, gs, S, Y, gamma):
             """Two-loop recursion (Nocedal & Wright Alg. 7.4) over the
@@ -272,17 +285,17 @@ def optimise_on_multi_sphere(
         # --- L-BFGS history: form the pair for the step just taken ---
         if method == "lbfgs" and lb_pending is not None:
             a_prev, d_prev, g_prev = lb_pending
-            s, y, sy, yy, ss, lb_S, lb_Y = K.lbfgs_shift(
+            s, y, sy, yy, keep, lb_S, lb_Y = K.lbfgs_shift(
                 x_k, a_prev, d_prev, g_prev, g_k, lb_S, lb_Y)
-            sy, yy, ss = float(sy), float(yy), float(ss)
-            # curvature/skip rule: keep the pair only when <s,y> is
-            # positive beyond rounding (Nocedal & Wright §7.2 damped-skip
+            # curvature/skip rule (computed in-kernel, dtype-aware —
+            # `_curv_eps`): keep the pair only when <s,y> is positive
+            # beyond rounding (Nocedal & Wright §7.2 damped-skip
             # simplification; on the sphere Wolfe does not guarantee
             # positivity because y is formed from transported gradients)
-            if sy > 1e-10 * np.sqrt(max(ss, 0.0) * max(yy, 0.0)) and yy > 0.0:
+            if bool(keep):
                 lb_S = (lb_S + (s,))[-lbfgs_memory:]
                 lb_Y = (lb_Y + (y,))[-lbfgs_memory:]
-                lb_gamma = sy / yy
+                lb_gamma = float(sy) / float(yy)
             lb_pending = None
 
         # --- search direction: SD, hybrid FR/PR CG (ref :750-776),
