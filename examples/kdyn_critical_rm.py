@@ -59,8 +59,6 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-        if args.platform == "cpu":
-            jax.config.update("jax_enable_x64", True)
     import numpy as np
 
     from spheremanopt_tpu.optim.jit_driver import jit_optimise_on_multi_sphere
@@ -72,6 +70,11 @@ def main():
 
     enable_persistent_cache()
     on_tpu = jax.devices()[0].platform != "cpu"
+    if not on_tpu:
+        # x64 must follow the RESOLVED platform, not just --platform: a
+        # CPU selected via JAX_PLATFORM_NAME or a CPU-only host would
+        # otherwise run the 'float64' config silently downcast to f32
+        jax.config.update("jax_enable_x64", True)
     dtype = "float32" if on_tpu else "float64"
     p = KinematicDynamo(KDynConfig(
         npts=args.npts, n_iters=args.steps, dt=args.dt, dtype=dtype))

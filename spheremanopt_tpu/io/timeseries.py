@@ -115,8 +115,7 @@ class FusedArchiver:
     cost uses and `File_Manips` merely copies the files per iteration
     (`FWD_Solve_SH23.py:478-483,731-746`); `IterationArchiver` (below)
     re-runs the forward instead and is kept as the fallback for problem
-    configs without an aux-output objective (pallas kernels, nested
-    remat).
+    configs without an aux-output objective (pallas kernels).
 
     Usage (see `run.py --archive-full`):
 
@@ -143,7 +142,15 @@ class FusedArchiver:
 
     def _store(self, J: float, diag: dict) -> None:
         # diag values may be device arrays; keep them lazy (no host
-        # transfer) until the accepted iterate is actually archived
+        # transfer) until the accepted iterate is actually archived.
+        # Keying on the exact float J is sound because lookups resolve
+        # LATEST-wins: a same-J store from a different trial iterate is
+        # overwritten here, and the accepted trial is by construction the
+        # final evaluation at its J before the optimiser fires the
+        # callback (line searches return immediately on accept), so the
+        # payload retrieved is the accepted trial's. A key evicted by
+        # more than `keep` later trials degrades to a CORRECT counted
+        # recompute (`fallback_recomputes`), never a wrong payload.
         self._cache[J] = diag
         self._cache.move_to_end(J)
         while len(self._cache) > self._keep:

@@ -42,6 +42,7 @@ import jax.numpy as jnp
 
 from spheremanopt_tpu.manifold import sphere as geom
 from spheremanopt_tpu.optim.device_wolfe import device_armijo, device_wolfe
+from spheremanopt_tpu.optim.optimiser import _curv_eps
 
 
 class JitOptResult(NamedTuple):
@@ -160,8 +161,6 @@ def jit_optimise_on_multi_sphere(
         sy = slope(s_new, y_new)
         yy = slope(y_new, y_new)
         ss = slope(s_new, s_new)
-        from spheremanopt_tpu.optim.optimiser import _curv_eps
-
         keep = jnp.logical_and(
             stepped_prev,
             jnp.logical_and(

@@ -304,10 +304,9 @@ class KinematicDynamo:
         self._gradient = jax.jit(_grad)
         self._obj_and_grad = jax.jit(_obj_and_grad)
         self._riesz = _riesz
-        if cfg.method == "pallas" or cfg.remat == "nested":
-            # no aux-output form: the Pallas objective is a closed kernel
-            # and nested_checkpoint_scan carries no per-step ys; archivers
-            # fall back to the re-running `diagnostics`
+        if cfg.method == "pallas":
+            # no aux-output form: the Pallas objective is a closed kernel;
+            # archivers fall back to the re-running `diagnostics`
             self._obj_and_diag = self._obj_grad_and_diag = None
         else:
             self._obj_and_diag = jax.jit(self._objective_aux_impl)
@@ -461,59 +460,63 @@ class KinematicDynamo:
         # zero mean mode (k=0): lhs_inv[0,0,0] is finite, so mask it
         return out.at[:, 0, 0, 0].set(0.0)
 
-    def _integrate(self, b0_c, u_grid, n_steps: int, ops: dict | None = None):
-        if ops is None:
-            step = self._cnab1_step
-        else:
-            def step(b, u):
-                return self._cnab1_step(b, u, ops)
+    def _remat_step(self, step):
+        """Apply the configured trajectory-memory policy to one step.
+        SINGLE wiring point shared by `_integrate` and `_integrate_aux`
+        so a remat mode added to one cannot silently diverge the other."""
         if self.cfg.remat is True or self.cfg.remat == "step":
-            step = jax.checkpoint(step)
-        elif self.cfg.remat == "offload":
+            return jax.checkpoint(step)
+        if self.cfg.remat == "offload":
             # store-all in HOST memory: per-step carries offloaded to
             # pinned_host (the reference GEN_BUFFER's host-RAM snapshots,
             # `FWD_Solve_KDyn.py:341-355`) — HBM stays O(1) in the
             # trajectory length
             from spheremanopt_tpu.solvers.scan_utils import offload_checkpoint
 
-            step = offload_checkpoint(step)
-        integrated = self.cfg.cost == "Integrated"
+            return offload_checkpoint(step)
+        return step
 
-        if self.cfg.carry == "packed":
-            # Scan-carry layout experiment: the natural complex carry
-            # (3, n, n, n//2+1) has a tiny minor dim (13 at 24^3) that
-            # the TPU (8,128) tile layout lane-pads ~10x in HBM; every
-            # scan iteration round-trips the carry (and, under remat,
-            # stores it as a residual for the reverse sweep) at the
-            # PADDED size. Packing re/im into one flat f32 vector makes
-            # the carry's minor dim its full length, so carry +
-            # residual traffic runs at logical size. pack/unpack are
-            # exact layout ops: trajectories match to reduction-order
-            # reassociation (measured 4 ULP on J, gradients bitwise —
-            # tests/test_kdyn.py::test_packed_carry_parity).
-            cshape = b0_c.shape
-            base_step = step
+    def _carry_codec(self, step, b0_c):
+        """(step', b0', energy, unpack) for the configured scan-carry
+        layout. carry='packed' is a layout experiment: the natural
+        complex carry (3, n, n, n//2+1) has a tiny minor dim (13 at
+        24^3) that the TPU (8,128) tile layout lane-pads ~10x in HBM;
+        every scan iteration round-trips the carry (and, under remat,
+        stores it as a residual for the reverse sweep) at the PADDED
+        size. Packing re/im into one flat f32 vector makes the carry's
+        minor dim its full length, so carry + residual traffic runs at
+        logical size. pack/unpack are exact layout ops: trajectories
+        match to reduction-order reassociation (measured 4 ULP on J,
+        gradients bitwise — tests/test_kdyn.py::test_packed_carry_parity)."""
+        if self.cfg.carry != "packed":
+            return step, b0_c, self._energy, lambda b: b
 
-            def _pk(b):
-                return jnp.stack([b.real, b.imag]).reshape(-1)
+        cshape = b0_c.shape
 
-            def _un(f):
-                r = f.reshape((2,) + cshape)
-                return jax.lax.complex(r[0], r[1])
+        def _pk(b):
+            return jnp.stack([b.real, b.imag]).reshape(-1)
 
-            def step(bf, u):
-                return _pk(base_step(_un(bf), u))
+        def _un(f):
+            r = f.reshape((2,) + cshape)
+            return jax.lax.complex(r[0], r[1])
 
-            def energy(bf):
-                return self._energy(_un(bf))
+        def packed_step(bf, u):
+            return _pk(step(_un(bf), u))
 
-            b0 = _pk(b0_c)
+        def energy(bf):
+            return self._energy(_un(bf))
+
+        return packed_step, _pk(b0_c), energy, _un
+
+    def _integrate(self, b0_c, u_grid, n_steps: int, ops: dict | None = None):
+        if ops is None:
+            step = self._cnab1_step
         else:
-            def _un(b):
-                return b
-
-            energy = self._energy
-            b0 = b0_c
+            def step(b, u):
+                return self._cnab1_step(b, u, ops)
+        step = self._remat_step(step)
+        integrated = self.cfg.cost == "Integrated"
+        step, b0, energy, _un = self._carry_codec(step, b0_c)
 
         if self.cfg.remat == "nested":
             # sqrt(N) memory: O(sqrt N) stored carries, one recompute per
@@ -562,29 +565,43 @@ class KinematicDynamo:
         return -J
 
     def _integrate_aux(self, b0_c, u_grid, n_steps: int):
-        """`_integrate` (scan modes only, not nested) that also scans out
-        the per-step magnetic-energy series from the SAME solve; the J
-        arithmetic is op-identical to the plain path for both costs."""
-        step = self._cnab1_step
-        if self.cfg.remat is True or self.cfg.remat == "step":
-            step = jax.checkpoint(step)
-        elif self.cfg.remat == "offload":
-            from spheremanopt_tpu.solvers.scan_utils import offload_checkpoint
-
-            step = offload_checkpoint(step)
+        """`_integrate` that also scans out the per-step magnetic-energy
+        series from the SAME solve. Every memory/layout mode (remat incl.
+        'nested', carry='packed', unroll) routes through the same shared
+        wiring as the plain path (`_remat_step`/`_carry_codec`), so the J
+        arithmetic is op-identical to `_integrate` for both costs — the
+        only extra work is the per-step energy scalar."""
+        step = self._remat_step(self._cnab1_step)
         integrated = self.cfg.cost == "Integrated"
+        step, b0, energy, _un = self._carry_codec(step, b0_c)
+
+        if self.cfg.remat == "nested":
+            from spheremanopt_tpu.solvers.scan_utils import nested_checkpoint_scan
+
+            def one(b):
+                return step(b, u_grid), energy(b)
+
+            b, tot, es = nested_checkpoint_scan(one, b0, n_steps,
+                                                return_series=True)
+            b = _un(b)
+            eN = self._energy(b)
+            energies = jnp.concatenate([es, eN[None]])
+            if integrated:
+                return b, self.cfg.dt * (tot + eN), energies
+            return b, eN, energies
 
         def body(carry, _):
             b, acc = carry
-            e = self._energy(b)
+            e = energy(b)
             if integrated:
                 acc = kahan_add(acc, e)
             b = step(b, u_grid)
             return (b, acc), e
 
         acc0 = kahan_zero(self._rdtype)
-        (b, acc), es = jax.lax.scan(body, (b0_c, acc0), xs=None,
-                                    length=n_steps)
+        (b, acc), es = jax.lax.scan(body, (b0, acc0), xs=None,
+                                    length=n_steps, unroll=self.cfg.unroll)
+        b = _un(b)
         eN = self._energy(b)
         energies = jnp.concatenate([es, eN[None]])
         if integrated:

@@ -62,12 +62,16 @@ def nested_checkpoint_scan(
     carry,
     length: int,
     inner: Optional[int] = None,
+    return_series: bool = False,
 ):
     """Two-level checkpointed scan over `length` steps with no per-step xs.
 
     `step(carry) -> (carry, y)` where y must be a scalar/small pytree that
     is summed across steps (sufficient for cost-functional accumulation).
-    Returns (final_carry, summed_y).
+    Returns (final_carry, summed_y), or with `return_series=True`
+    (final_carry, summed_y, per_step_ys) — the stacked per-step y series
+    is tiny (scalars) so keeping it does not defeat the sqrt(N) carry
+    memory policy; the summed_y arithmetic is identical either way.
     """
     if inner is None:
         inner = max(1, int(length ** 0.5))
@@ -80,17 +84,32 @@ def nested_checkpoint_scan(
     @jax.checkpoint
     def chunk(c):
         c, ys = lax.scan(jax.checkpoint(one), c, xs=None, length=inner)
-        return c, jax.tree_util.tree_map(lambda a: jnp.sum(a, axis=0), ys)
+        tot = jax.tree_util.tree_map(lambda a: jnp.sum(a, axis=0), ys)
+        return c, ((tot, ys) if return_series else tot)
 
     def outer_body(c, _):
         return chunk(c)
 
     carry, ys = lax.scan(outer_body, carry, xs=None, length=outer)
+    if return_series:
+        ys, series = ys
     total = jax.tree_util.tree_map(lambda a: jnp.sum(a, axis=0), ys)
+    rem_ys = []
     for _ in range(rem):
         carry, y = step(carry)
         total = jax.tree_util.tree_map(jnp.add, total, y)
-    return carry, total
+        rem_ys.append(y)
+    if not return_series:
+        return carry, total
+    # (outer, inner, ...) chunk series -> flat per-step order + remainder
+    series = jax.tree_util.tree_map(
+        lambda a: a.reshape((outer * inner,) + a.shape[2:]), series)
+    if rem_ys:
+        tail = jax.tree_util.tree_map(
+            lambda *ys_: jnp.stack(ys_, axis=0), *rem_ys)
+        series = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), series, tail)
+    return carry, total, series
 
 
 def kahan_add(acc: Tuple[jnp.ndarray, jnp.ndarray], value):

@@ -184,10 +184,12 @@ def test_pallas_config_reports_no_fused_diagnostics():
     assert not p.has_fused_diagnostics
     with pytest.raises(ValueError, match="fused diagnostics unavailable"):
         p.objective_and_diagnostics(p.generate_ic(seed=3))
-    # nested-remat KDyn likewise falls back
+    # nested-remat KDyn now carries the fused form too (the per-step
+    # energy series rides the sqrt(N)-chunked scan; op-identity is
+    # pinned by tests/test_kdyn.py::test_aux_objective_op_identical...)
     k = KinematicDynamo(KDynConfig(npts=12, n_iters=8, dt=1e-3,
                                    remat="nested"))
-    assert not k.has_fused_diagnostics
+    assert k.has_fused_diagnostics
 
 
 def test_cli_archive_full_uses_fused_capture(tmp_path):

@@ -279,3 +279,49 @@ def test_rm_aux_path_matches_bound_problem():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-12, atol=1e-15)
     assert float(J3_aux) != float(J_aux)  # Rm really flowed through
+
+
+def test_make_ops_bit_equal_in_f32():
+    """`make_ops(cfg.rm)` must rebuild the CNAB1 diagonal factors
+    bit-equal to the __init__ constants in float32 too (self._k is
+    rdtype-cast before k2 is formed, and numpy's weak python-float
+    scalars keep the f32 dtype through the arithmetic) — guards the
+    f32 TPU sweep path the f64 parity test above cannot."""
+    p = KinematicDynamo(KDynConfig(npts=8, n_iters=4, dtype="float32"))
+    _, make_ops = p.objective_and_gradient_rm
+    ops = make_ops(p.cfg.rm)
+    np.testing.assert_array_equal(ops["lhs_inv"], np.asarray(p._lhs_inv))
+    np.testing.assert_array_equal(ops["rhs_fac"], np.asarray(p._rhs_fac))
+    assert ops["lhs_inv"].dtype == np.float32
+
+
+@pytest.mark.parametrize("cost", ["Final", "Integrated"])
+@pytest.mark.parametrize("kw", [dict(remat="nested"),
+                                dict(carry="packed"),
+                                dict(unroll=2),
+                                dict(remat="nested", carry="packed")])
+def test_aux_objective_op_identical_across_modes(cost, kw):
+    """The fused-diagnostics solve must produce the IDENTICAL J as the
+    plain objective under every memory/layout mode — the shared
+    `_remat_step`/`_carry_codec` wiring guarantees op-identity, and the
+    per-step energy series must cover all n_iters+1 snapshots
+    (including under nested remat, where the series rides the
+    sqrt(N)-chunked scan)."""
+    p = KinematicDynamo(KDynConfig(npts=8, n_iters=23, dt=1e-3,
+                                   cost=cost, **kw))
+    x0 = p.generate_ic(seed=7)
+    J_plain = float(p.objective(x0))
+    J_aux, diag = p.objective_and_diagnostics(x0)
+    assert float(J_aux) == J_plain
+    assert diag["magnetic_energy"].shape == (p.cfg.n_iters + 1,)
+    # the series end is the terminal energy: for cost='Final' that IS -J
+    eN = float(diag["magnetic_energy"][-1])
+    if cost == "Final":
+        np.testing.assert_allclose(eN, -J_plain, rtol=1e-13)
+    # gradient path through the aux solve matches the plain gradient
+    Jg, g_aux, _ = p.objective_gradient_and_diagnostics(x0)
+    g_plain = p.gradient(x0)
+    assert float(Jg) == J_plain
+    for a, b in zip(g_aux, g_plain):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-11, atol=1e-14)
