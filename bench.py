@@ -150,6 +150,8 @@ def bench_tpu(u0, repeats=10):
     import os
 
     on_tpu = jax.devices()[0].platform != "cpu"
+    if not on_tpu:
+        jax.config.update("jax_enable_x64", True)  # f64 configs need x64
     dtype = "float32" if on_tpu else "float64"
     # SMO_BENCH_PALLAS=1 benches the VMEM-resident kernel path (adds a
     # one-time ~4 min Mosaic compile); default is the XLA scan path
@@ -231,6 +233,8 @@ def bench_kdyn(repeats_tpu=5, repeats_cpu=1):
     )
 
     on_tpu = jax.devices()[0].platform != "cpu"
+    if not on_tpu:
+        jax.config.update("jax_enable_x64", True)  # f64 configs need x64
     dtype = "float32" if on_tpu else "float64"
     # project_gradients=False: the numpy baseline computes the exact
     # (unprojected) gradient, so compare like with like
@@ -332,6 +336,8 @@ def bench_shb23(repeats=10):
     )
 
     on_tpu = jax.devices()[0].platform != "cpu"
+    if not on_tpu:
+        jax.config.update("jax_enable_x64", True)  # f64 configs need x64
     dtype = "float32" if on_tpu else "float64"
     p = SwiftHohenbergBounded(SHB23Config(dtype=dtype))
     x0 = p.generate_ic(seed=42)
@@ -405,6 +411,8 @@ def bench_mixing(repeats=3, cpu_ms=None):
     g64 = np.asarray(truth["g"], np.float64)
 
     on_tpu = jax.devices()[0].platform != "cpu"
+    if not on_tpu:
+        jax.config.update("jax_enable_x64", True)  # f64 configs need x64
     dtype = "float32" if on_tpu else "float64"
     p = OptimalMixing(MixingConfig(dtype=dtype, s=1))
     p_ic = p if dtype == "float32" else OptimalMixing(
@@ -467,6 +475,8 @@ def bench_kdyn48(repeats=3, n_iters=500):
     )
 
     on_tpu = jax.devices()[0].platform != "cpu"
+    if not on_tpu:
+        jax.config.update("jax_enable_x64", True)  # f64 configs need x64
     dtype = "float32" if on_tpu else "float64"
     out = {}
     x0 = None

@@ -21,6 +21,22 @@ import jax
 import jax.numpy as jnp
 
 
+def check_x64(dtype) -> None:
+    """Fail loudly when a float64 problem config is constructed in a
+    process with jax x64 disabled. Without this, every jnp.asarray /
+    device_put would silently truncate the f64 operator stacks and scan
+    carries to f32 (a UserWarning at most) while the f32 compensation
+    machinery stays off — a 1000-step trajectory then carries f32-class
+    error under a config labelled float64. Tests/CLI enable x64
+    (tests/conftest.py, run.py); library users get this check."""
+    if jnp.dtype(dtype) == jnp.float64 and not jax.config.jax_enable_x64:
+        raise ValueError(
+            "dtype='float64' requires jax x64 — call "
+            "jax.config.update('jax_enable_x64', True) before "
+            "constructing the problem, or use dtype='float32' (the TPU "
+            "runs f32; arrays would otherwise be silently truncated)")
+
+
 @runtime_checkable
 class Problem(Protocol):
     radii: Sequence[float]

@@ -42,6 +42,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from spheremanopt_tpu.problems.base import check_x64
 from spheremanopt_tpu.solvers.scan_utils import kahan_add, kahan_zero
 
 
@@ -153,6 +154,7 @@ class KinematicDynamo:
     """Two-sphere problem: X = [B (3,m,m,m), U (3,m,m,m)]."""
 
     def __init__(self, cfg: KDynConfig = KDynConfig()):
+        check_x64(cfg.dtype)
         self.cfg = cfg
         n = cfg.npts
         self.mg = int(round(n * cfg.pad_factor))
@@ -631,14 +633,16 @@ class KinematicDynamo:
     def initial_state(self, x_list) -> dict:
         """Induction-solver state at t=0: B spectral coefficients as a
         stacked re/im plane plus the (fixed) band-limited stirring field."""
+        if not hasattr(self, "_initial_state_fn"):
+            @jax.jit
+            def make(b0, u):
+                b_c = self.to_coeff(b0.astype(self._rdtype))
+                u_bl = self.to_grid(self.to_coeff(u.astype(self._rdtype)))
+                return {"b": jnp.stack([b_c.real, b_c.imag]), "u": u_bl}
 
-        @jax.jit
-        def make(b0, u):
-            b_c = self.to_coeff(b0.astype(self._rdtype))
-            u_bl = self.to_grid(self.to_coeff(u.astype(self._rdtype)))
-            return {"b": jnp.stack([b_c.real, b_c.imag]), "u": u_bl}
-
-        return make(jnp.asarray(x_list[0]), jnp.asarray(x_list[1]))
+            self._initial_state_fn = make
+        return self._initial_state_fn(jnp.asarray(x_list[0]),
+                                      jnp.asarray(x_list[1]))
 
     def advance_state(self, state: dict, n_steps: int) -> dict:
         if not hasattr(self, "_advance"):
@@ -651,11 +655,14 @@ class KinematicDynamo:
         return self._advance(state, n_steps)
 
     def state_fields(self, state) -> dict:
-        @jax.jit
-        def grid(s):
-            return self.to_grid(s["b"][0] + 1j * s["b"][1])
+        if not hasattr(self, "_state_fields_fn"):
+            @jax.jit
+            def grid(s):
+                return self.to_grid(s["b"][0] + 1j * s["b"][1])
 
-        return {"b_grid": grid(state), "b_hat_ri": state["b"], "u": state["u"]}
+            self._state_fields_fn = grid
+        return {"b_grid": self._state_fields_fn(state),
+                "b_hat_ri": state["b"], "u": state["u"]}
 
     def _curl_cross(self, a_c: jnp.ndarray, b_grid: jnp.ndarray) -> jnp.ndarray:
         """F(A, B) = (curl A) x B evaluated on the padded grid, truncated
@@ -735,6 +742,13 @@ class KinematicDynamo:
         return self._gradient(list(x_list))
 
     def objective_and_gradient(self, x_list):
+        """Fused (J, [dJ/dB0, dJ/dU]); under adjoint='continuous' there
+        is no fused form (the continuous adjoint is its own backward PDE
+        integration, not the VJP of the discrete forward), so the mode's
+        gradient is paired with a separate forward — f_and_g consumers
+        (Wolfe fused phi) must not mix gradient definitions."""
+        if self.cfg.adjoint == "continuous":
+            return self._objective(list(x_list)), self._grad_cnts(list(x_list))
         return self._obj_and_grad(list(x_list))
 
     def _objective_rm_impl(self, ops, x_list) -> jnp.ndarray:
@@ -796,11 +810,16 @@ class KinematicDynamo:
         return J, self._diag_host(diag)
 
     def objective_gradient_and_diagnostics(self, x_list):
-        """(J, grads, diagnostics) from one fused fwd+bwd solve."""
+        """(J, grads, diagnostics) from one fused fwd+bwd solve (or, under
+        adjoint='continuous', the mode's own gradient next to the
+        diagnostics-carrying forward — see `objective_and_gradient`)."""
         if self._obj_grad_and_diag is None:
             raise ValueError(
                 "fused diagnostics unavailable for "
                 f"method={self.cfg.method!r}, remat={self.cfg.remat!r}")
+        if self.cfg.adjoint == "continuous":
+            J, diag = self.objective_and_diagnostics(x_list)
+            return J, self._grad_cnts(list(x_list)), diag
         J, g, diag = self._obj_grad_and_diag(list(x_list))
         return J, g, self._diag_host(diag)
 
@@ -819,24 +838,27 @@ class KinematicDynamo:
         608-650,941-973`) and final fields."""
         b0 = jnp.asarray(x_list[0], self._rdtype)
         u = jnp.asarray(x_list[1], self._rdtype)
+        if not hasattr(self, "_diagnostics_fn"):
+            @jax.jit
+            def run(b0, u):
+                b0_c = self.to_coeff(b0)
+                u_bl = self.to_grid(self.to_coeff(u))
 
-        @jax.jit
-        def run(b0, u):
-            b0_c = self.to_coeff(b0)
-            u_bl = self.to_grid(self.to_coeff(u))
+                def body(b, _):
+                    return self._cnab1_step(b, u_bl), self._energy(b)
 
-            def body(b, _):
-                return self._cnab1_step(b, u_bl), self._energy(b)
+                b, energies = jax.lax.scan(body, b0_c, xs=None,
+                                           length=self.cfg.n_iters)
+                k = jnp.asarray(self._k)
+                div_b = jnp.abs(jnp.sum(k * b, axis=0)).max()
+                # keep all host-bound outputs real (complex transfers are
+                # unimplemented on this platform)
+                return (self.to_grid(b),
+                        jnp.concatenate([energies, self._energy(b)[None]]),
+                        div_b)
 
-            b, energies = jax.lax.scan(body, b0_c, xs=None, length=self.cfg.n_iters)
-            k = jnp.asarray(self._k)
-            div_b = jnp.abs(jnp.sum(k * b, axis=0)).max()
-            # keep all host-bound outputs real (complex transfers are
-            # unimplemented on this platform)
-            return (self.to_grid(b),
-                    jnp.concatenate([energies, self._energy(b)[None]]), div_b)
-
-        b_grid, energies, div_b = run(b0, u)
+            self._diagnostics_fn = run
+        b_grid, energies, div_b = self._diagnostics_fn(b0, u)
         return {
             "sim_time": self.cfg.dt * np.arange(self.cfg.n_iters + 1),
             "magnetic_energy": energies,

@@ -51,6 +51,7 @@ import numpy as np
 from scipy.special import erf
 
 from spheremanopt_tpu.ops.chebyshev import ChebyshevBasis1D
+from spheremanopt_tpu.problems.base import check_x64
 from spheremanopt_tpu.solvers.scan_utils import kahan_add, kahan_zero
 
 
@@ -256,6 +257,7 @@ class OptimalMixing:
         return perm, len(fam_a)
 
     def __init__(self, cfg: MixingConfig = MixingConfig()):
+        check_x64(cfg.dtype)
         self.cfg = cfg
         rdtype = jnp.dtype(cfg.dtype)
         self._rdtype = rdtype
@@ -354,7 +356,8 @@ class OptimalMixing:
             self._ops: Dict[str, jnp.ndarray] = {"S": _put_blocked(S),
                                                  "MN": _put(MN)}
             if cfg.adjoint == "continuous":
-                SA, _ = self._build_operators(adjoint=True)
+                SA, _ = self._build_operators(adjoint=True,
+                                              build_mixnorm=False)
                 self._ops["SA"] = _put_blocked(SA)
         else:
             self._ops = None
@@ -413,7 +416,8 @@ class OptimalMixing:
     # operator assembly (init-time, f64 numpy)
     # ------------------------------------------------------------------
 
-    def _build_operators(self, adjoint: bool = False, dt: float = None):
+    def _build_operators(self, adjoint: bool = False, dt: float = None,
+                         build_mixnorm: bool = True):
         cfg = self.cfg
         nz = cfg.nz
         I = np.eye(nz)
@@ -538,6 +542,10 @@ class OptimalMixing:
 
         S = np.stack([solve_block(kx) for kx in self._kx])
         S[~self._xmask.astype(bool)] = 0.0
+        if not build_mixnorm:
+            # prep-dt and continuous-adjoint builds only consume S; skip
+            # the kxn dense inversions of the mix-norm Poisson stack
+            return S, None
         MN = np.stack([solve_block(kx, mixnorm=True) for kx in self._kx])
         MN[~self._xmask.astype(bool)] = 0.0
         return S, MN
@@ -779,6 +787,16 @@ class OptimalMixing:
         return self._gradient(self._ops, list(x_list))
 
     def objective_and_gradient(self, x_list):
+        """Fused (J, gradient); under adjoint='continuous' there is no
+        fused form (the continuous adjoint is its own backward PDE
+        integration, ref `ADJ_Solve_Cnts` `FWD_Solve_Poiseuille.py:
+        1161-1319`, not the VJP of the discrete forward), so the mode's
+        gradient is paired with a separate forward — f_and_g consumers
+        (Wolfe fused phi, the device loop) must not mix the two gradient
+        definitions (or their paired inner products) in one search."""
+        if self.cfg.adjoint == "continuous":
+            return (self._objective(self._ops, list(x_list)),
+                    self._grad_cnts(self._ops, list(x_list)))
         return self._obj_and_grad(self._ops, list(x_list))
 
     # ------------------------------------------------------------------
@@ -803,7 +821,12 @@ class OptimalMixing:
         return J, self._diag_host(diag)
 
     def objective_gradient_and_diagnostics(self, x_list):
-        """(J, grads, diagnostics) from one fused fwd+bwd solve."""
+        """(J, grads, diagnostics) from one fused fwd+bwd solve (or, under
+        adjoint='continuous', the mode's own gradient next to the
+        diagnostics-carrying forward — see `objective_and_gradient`)."""
+        if self.cfg.adjoint == "continuous":
+            J, diag = self.objective_and_diagnostics(x_list)
+            return J, self._grad_cnts(self._ops, list(x_list)), diag
         J, g, diag = self._obj_grad_and_diag(self._ops, list(x_list))
         return J, g, self._diag_host(diag)
 
@@ -815,7 +838,15 @@ class OptimalMixing:
         `objective_and_gradient` inside another jit would embed the
         per-kx solve stacks (hundreds of MB) as program constants, which
         the axon compile tunnel rejects (HTTP 413; measured on the
-        mixing device-loop run)."""
+        mixing device-loop run). Dispatches on cfg.adjoint like
+        `objective_and_gradient` (continuous mode pairs the forward with
+        its own adjoint-PDE integration; both parts trace under jit)."""
+        if self.cfg.adjoint == "continuous":
+            def fg_cnts(ops, xs):
+                return (self._objective_impl(ops, list(xs)),
+                        self._gradient_continuous_impl(ops, list(xs)))
+
+            return fg_cnts, self._ops
         return self._obj_and_grad, self._ops
 
     def inner_product(self, x, y):
@@ -832,18 +863,19 @@ class OptimalMixing:
     def initial_state(self, x_list) -> dict:
         """Boussinesq solver state at t=0: (u, w, rho) coefficient
         fields as stacked re/im planes."""
+        if not hasattr(self, "_initial_state_fn"):
+            @jax.jit
+            def make(x):
+                x = x.astype(self._rdtype)
+                u = self.to_coeff(x[0])
+                w = self.to_coeff(x[1])
+                r = jnp.asarray(self._rho0_c, self._cdtype)
+                return {"u": jnp.stack([u.real, u.imag]),
+                        "w": jnp.stack([w.real, w.imag]),
+                        "r": jnp.stack([r.real, r.imag])}
 
-        @jax.jit
-        def make(x):
-            x = x.astype(self._rdtype)
-            u = self.to_coeff(x[0])
-            w = self.to_coeff(x[1])
-            r = jnp.asarray(self._rho0_c, self._cdtype)
-            return {"u": jnp.stack([u.real, u.imag]),
-                    "w": jnp.stack([w.real, w.imag]),
-                    "r": jnp.stack([r.real, r.imag])}
-
-        return make(jnp.asarray(x_list[0]))
+            self._initial_state_fn = make
+        return self._initial_state_fn(jnp.asarray(x_list[0]))
 
     def advance_state(self, state: dict, n_steps: int) -> dict:
         if not hasattr(self, "_advance"):
@@ -861,75 +893,50 @@ class OptimalMixing:
         return self._advance(state, n_steps, self._ops)
 
     def state_fields(self, state) -> dict:
-        @jax.jit
-        def grids(s):
-            return (self.to_grid(s["u"][0] + 1j * s["u"][1]),
-                    self.to_grid(s["w"][0] + 1j * s["w"][1]),
-                    self.to_grid(s["r"][0] + 1j * s["r"][1]))
+        if not hasattr(self, "_state_fields_fn"):
+            @jax.jit
+            def grids(s):
+                return (self.to_grid(s["u"][0] + 1j * s["u"][1]),
+                        self.to_grid(s["w"][0] + 1j * s["w"][1]),
+                        self.to_grid(s["r"][0] + 1j * s["r"][1]))
 
-        ug, wg, rg = grids(state)
+            self._state_fields_fn = grids
+        ug, wg, rg = self._state_fields_fn(state)
         return {"u": ug, "w": wg, "rho": rg}
 
     def final_fields(self, x_list):
-        """(u, w, rho) coefficient state at t = T, for diagnostics.
-        CPU/analysis use only (returns complex arrays)."""
+        """(u, w, rho) numpy complex coefficient state at t = T, for
+        analysis. The jitted solve returns stacked re/im planes —
+        complex device->host transfers are UNIMPLEMENTED on the axon
+        TPU (platform rule 3) — recombined to complex on the host."""
         x = jnp.asarray(x_list[0], self._rdtype)
+        if not hasattr(self, "_final_fields_fn"):
+            @jax.jit
+            def run(ops, x):
+                u_c, w_c = self.to_coeff(x[0]), self.to_coeff(x[1])
+                r_c = jnp.asarray(self._rho0_c, self._cdtype)
 
-        @jax.jit
-        def run(ops, x):
-            u_c, w_c = self.to_coeff(x[0]), self.to_coeff(x[1])
-            r_c = jnp.asarray(self._rho0_c, self._cdtype)
+                def body(carry, _):
+                    return self._step(ops, *carry), None
 
-            def body(carry, _):
-                return self._step(ops, *carry), None
+                u_c, w_c, r_c = jax.lax.scan(
+                    body, (u_c, w_c, r_c), xs=None,
+                    length=self.cfg.n_iters)[0]
+                return tuple(jnp.stack([c.real, c.imag])
+                             for c in (u_c, w_c, r_c))
 
-            return jax.lax.scan(body, (u_c, w_c, r_c), xs=None,
-                                length=self.cfg.n_iters)[0]
-
-        return run(self._ops, x)
+            self._final_fields_fn = run
+        return tuple(np.asarray(p[0]) + 1j * np.asarray(p[1])
+                     for p in self._final_fields_fn(self._ops, x))
 
     def diagnostics(self, x_list) -> dict:
-        """KE + buoyancy-variance series, initial/final vorticity and
-        density fields (the reference's scalar_data/CheckPoints payloads,
-        `FWD_Solve_Poiseuille.py:939-1026`)."""
-        x = jnp.asarray(x_list[0], self._rdtype)
-
-        @jax.jit
-        def run(ops, x):
-            u_c, w_c = self.to_coeff(x[0]), self.to_coeff(x[1])
-            r_c = jnp.asarray(self._rho0_c, self._cdtype)
-            w = jnp.asarray(self._w)
-
-            def de(r):
-                rg = self.to_grid(r)
-                return jnp.sum(w * rg * rg)
-
-            def body(carry, _):
-                u, wv, r = carry
-                stats = (self._ke(u, wv), de(r))
-                return self._step(ops, u, wv, r), stats
-
-            (u_c, w_c, r_c), (ke, dev) = jax.lax.scan(
-                body, (u_c, w_c, r_c), xs=None, length=self.cfg.n_iters
-            )
-            ke = jnp.concatenate([ke, self._ke(u_c, w_c)[None]])
-            dev = jnp.concatenate([dev, de(r_c)[None]])
-            ikx = jnp.asarray(1j * self._kx)[:, None]
-            vort = self.to_grid(
-                ikx * w_c - jnp.einsum("mn,kn->km", jnp.asarray(self._Dz), u_c)
-            )
-            return ke, dev, self.to_grid(r_c), vort
-
-        ke, dev, rho_final, vort_final = run(self._ops, x)
-        return {
-            "sim_time": self.cfg.dt * np.arange(self.cfg.n_iters + 1),
-            "kinetic_energy": ke,
-            "buoyancy_energy": dev,
-            "x_grid": np.arange(self.mgx) * self.cfg.lx / self.mgx,
-            "z_grid": self._zgrid,
-            "rho_final": rho_final,
-            "vorticity_final": vort_final,
-        }
+        """KE + buoyancy-variance series, final vorticity and density
+        fields (the reference's scalar_data/CheckPoints payloads,
+        `FWD_Solve_Poiseuille.py:939-1026`). Delegates to the fused
+        `objective_and_diagnostics` solve (J discarded) — ONE scan body
+        produces both the archiver payloads and this dict, so they
+        cannot drift."""
+        return self.objective_and_diagnostics(list(x_list))[1]
 
     # ------------------------------------------------------------------
     # initial conditions (ref Generate_IC :301-385: filtered-noise
@@ -942,7 +949,8 @@ class OptimalMixing:
         `FWD_Solve_Build_Lin` with Sim_Type="Linear",
         `FWD_Solve_Poiseuille.py:480-484,549`)."""
         if not hasattr(self, "_prep_ops_cache"):
-            S_prep, _ = self._build_operators(dt=self.cfg.prep_dt)
+            S_prep, _ = self._build_operators(dt=self.cfg.prep_dt,
+                                              build_mixnorm=False)
             self._prep_ops_cache = self._put_op(S_prep)
         return self._prep_ops_cache
 

@@ -48,7 +48,7 @@ from spheremanopt_tpu.ops.fourier import (
     filter_coeff_fraction,
     nyquist_mask_rfft,
 )
-from spheremanopt_tpu.problems.base import riesz_gradient
+from spheremanopt_tpu.problems.base import check_x64, riesz_gradient
 from spheremanopt_tpu.solvers.scan_utils import kahan_add, kahan_zero
 
 
@@ -86,6 +86,7 @@ class SwiftHohenberg:
     """SH23 problem: callable triple + IC generation for the optimiser."""
 
     def __init__(self, cfg: SH23Config = SH23Config()):
+        check_x64(cfg.dtype)
         self.cfg = cfg
         if cfg.diag_stride < 1 or cfg.n_iters % cfg.diag_stride:
             raise ValueError(
@@ -358,7 +359,14 @@ class SwiftHohenberg:
         """One fused forward+backward (J, Riesz gradient) — the reference's
         FWD-then-ADJ-with-shared-trajectory pattern (`X_FWD_DICT`,
         `FWD_Solve_SH23.py:499-503` fill / `:688` consume) as a single
-        value_and_grad executable."""
+        value_and_grad executable. Under adjoint='continuous' there is no
+        fused form (the continuous adjoint is its own backward PDE
+        integration, not the VJP of the discrete forward), so the mode's
+        gradient is paired with a separate forward — drivers that prefer
+        f_and_g (the Wolfe fused-phi path, the device loop) must never
+        mix the two gradient definitions in one line search."""
+        if self.cfg.adjoint == "continuous":
+            return self._objective(list(x_list)), self._grad_cnts(list(x_list))
         return self._obj_and_grad(list(x_list))
 
     def inner_product(self, x, y):
@@ -399,10 +407,15 @@ class SwiftHohenberg:
         return J, self._diag_host(x_list, diag)
 
     def objective_gradient_and_diagnostics(self, x_list):
-        """(J, grads, diagnostics) from one fused fwd+bwd solve."""
+        """(J, grads, diagnostics) from one fused fwd+bwd solve (or, under
+        adjoint='continuous', the mode's own gradient next to the
+        diagnostics-carrying forward — see `objective_and_gradient`)."""
         if self._obj_grad_and_diag is None:
             raise ValueError("fused diagnostics unavailable for "
                              f"method={self.cfg.method!r}")
+        if self.cfg.adjoint == "continuous":
+            J, diag = self.objective_and_diagnostics(x_list)
+            return J, self._grad_cnts(list(x_list)), diag
         J, g, diag = self._obj_grad_and_diag(list(x_list))
         return J, g, self._diag_host(x_list, diag)
 
@@ -423,13 +436,14 @@ class SwiftHohenberg:
     def initial_state(self, x_list) -> dict:
         """Solver state at t=0 from the optimisation vector: rfft
         coefficients as a stacked re/im plane (real, host-transferable)."""
+        if not hasattr(self, "_initial_state_fn"):
+            @jax.jit
+            def make(x):
+                c = self.basis.to_coeff(x.astype(self._rdtype))
+                return {"c": jnp.stack([c.real, c.imag])}
 
-        @jax.jit
-        def make(x):
-            c = self.basis.to_coeff(x.astype(self._rdtype))
-            return {"c": jnp.stack([c.real, c.imag])}
-
-        return make(jnp.asarray(x_list[0]))
+            self._initial_state_fn = make
+        return self._initial_state_fn(jnp.asarray(x_list[0]))
 
     def advance_state(self, state: dict, n_steps: int) -> dict:
         """Advance the solver state n_steps; composable and restartable:
@@ -445,33 +459,37 @@ class SwiftHohenberg:
 
     def state_fields(self, state) -> dict:
         """Named real fields for saving/plotting a solver state."""
+        if not hasattr(self, "_state_fields_fn"):
+            @jax.jit
+            def grid(s):
+                return self.basis.to_grid(s["c"][0] + 1j * s["c"][1])
 
-        @jax.jit
-        def grid(s):
-            return self.basis.to_grid(s["c"][0] + 1j * s["c"][1])
-
-        return {"u": grid(state), "u_hat_ri": state["c"]}
+            self._state_fields_fn = grid
+        return {"u": self._state_fields_fn(state), "u_hat_ri": state["c"]}
 
     def diagnostics(self, x_list) -> dict:
         """Per-step KE series, initial/final states and final spectrum —
         the reference's 'scalar_data' + 'CheckPoints' analysis tasks
         (`FWD_Solve_SH23.py:478-483`)."""
         c0 = self.basis.to_coeff(jnp.asarray(x_list[0], self._rdtype))
+        if not hasattr(self, "_diagnostics_fn"):
+            @jax.jit
+            def run(c0):
+                def body(c, _):
+                    e = self._energy(c)
+                    return self._sbdf1_step(c), e
 
-        @jax.jit
-        def run(c0):
-            def body(c, _):
-                e = self._energy(c)
-                return self._sbdf1_step(c), e
+                c, energies = jax.lax.scan(body, c0, xs=None,
+                                           length=self.cfg.n_iters)
+                energies = jnp.concatenate([energies, self._energy(c)[None]])
+                # NOTE: complex arrays cannot be transferred to host on
+                # this platform — return the spectrum as a re/im stack.
+                c_ri = jnp.stack([c.real, c.imag])
+                return (c_ri, energies, self.basis.to_grid(c0),
+                        self.basis.to_grid(c))
 
-            c, energies = jax.lax.scan(body, c0, xs=None, length=self.cfg.n_iters)
-            energies = jnp.concatenate([energies, self._energy(c)[None]])
-            # NOTE: complex arrays cannot be transferred to host on this
-            # platform — return the spectrum as a real/imag stack.
-            c_ri = jnp.stack([c.real, c.imag])
-            return c_ri, energies, self.basis.to_grid(c0), self.basis.to_grid(c)
-
-        c_ri, energies, u0g, uTg = run(c0)
+            self._diagnostics_fn = run
+        c_ri, energies, u0g, uTg = self._diagnostics_fn(c0)
         c_np = np.asarray(c_ri)
         return {
             "sim_time": self.cfg.dt * np.arange(self.cfg.n_iters + 1),

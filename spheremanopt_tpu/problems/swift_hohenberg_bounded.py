@@ -40,6 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from spheremanopt_tpu.ops.chebyshev import ChebyshevBasis1D
+from spheremanopt_tpu.problems.base import check_x64
 from spheremanopt_tpu.solvers.scan_utils import kahan_add, kahan_zero
 
 
@@ -70,6 +71,7 @@ class SwiftHohenbergBounded:
     """SHB23 problem: callable triple + IC generation for the optimiser."""
 
     def __init__(self, cfg: SHB23Config = SHB23Config()):
+        check_x64(cfg.dtype)
         self.cfg = cfg
         if cfg.diag_stride < 1 or cfg.n_iters % cfg.diag_stride:
             raise ValueError(
@@ -305,6 +307,13 @@ class SwiftHohenbergBounded:
         return self._gradient(list(x_list))
 
     def objective_and_gradient(self, x_list):
+        """Fused (J, gradient); under adjoint='continuous' there is no
+        fused form (the continuous adjoint is its own backward PDE
+        integration, not the VJP of the discrete forward), so the mode's
+        gradient is paired with a separate forward — f_and_g consumers
+        (Wolfe fused phi) must not mix gradient definitions."""
+        if self.cfg.adjoint == "continuous":
+            return self._objective(list(x_list)), self._grad_cnts(list(x_list))
         return self._obj_and_grad(list(x_list))
 
     def inner_product(self, x, y):
@@ -343,10 +352,15 @@ class SwiftHohenbergBounded:
         return J, self._diag_host(x_list, diag)
 
     def objective_gradient_and_diagnostics(self, x_list):
-        """(J, grads, diagnostics) from one fused fwd+bwd solve."""
+        """(J, grads, diagnostics) from one fused fwd+bwd solve (or, under
+        adjoint='continuous', the mode's own gradient next to the
+        diagnostics-carrying forward — see `objective_and_gradient`)."""
         if self._obj_grad_and_diag is None:
             raise ValueError("fused diagnostics unavailable for "
                              f"method={self.cfg.method!r}")
+        if self.cfg.adjoint == "continuous":
+            J, diag = self.objective_and_diagnostics(x_list)
+            return J, self._grad_cnts(list(x_list)), diag
         J, g, diag = self._obj_grad_and_diag(list(x_list))
         return J, g, self._diag_host(x_list, diag)
 
@@ -358,16 +372,18 @@ class SwiftHohenbergBounded:
         """Per-step KE series + initial/final states (the reference's
         scalar_data/CheckPoints h5 payloads, `FWD_Solve_SHB23.py:604-676`)."""
         u0 = jnp.asarray(x_list[0], self._rdtype)
+        if not hasattr(self, "_diagnostics_fn"):
+            @jax.jit
+            def run(u0):
+                def body(u, _):
+                    return self._step(u), self._energy(u)
 
-        @jax.jit
-        def run(u0):
-            def body(u, _):
-                return self._step(u), self._energy(u)
+                u, energies = jax.lax.scan(body, u0, xs=None,
+                                           length=self.cfg.n_iters)
+                return u, jnp.concatenate([energies, self._energy(u)[None]])
 
-            u, energies = jax.lax.scan(body, u0, xs=None, length=self.cfg.n_iters)
-            return u, jnp.concatenate([energies, self._energy(u)[None]])
-
-        u, energies = run(u0)
+            self._diagnostics_fn = run
+        u, energies = self._diagnostics_fn(u0)
         return {
             "sim_time": self.cfg.dt * np.arange(self.cfg.n_iters + 1),
             "kinetic_energy": energies,

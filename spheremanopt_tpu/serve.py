@@ -339,8 +339,13 @@ def main(argv=None):
     from spheremanopt_tpu.utils.jaxcache import enable_persistent_cache
 
     enable_persistent_cache()
-    print(f"serving on {args.socket} (platform="
-          f"{jax.devices()[0].platform})", flush=True)
+    platform = jax.devices()[0].platform
+    if platform == "cpu" and not args.x64:
+        # match run.py: CPU serves f64 configs (the problem defaults);
+        # without x64 their construction would raise (problems.base
+        # .check_x64) on every request
+        jax.config.update("jax_enable_x64", True)
+    print(f"serving on {args.socket} (platform={platform})", flush=True)
     serve(args.socket)
 
 

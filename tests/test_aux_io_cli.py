@@ -291,3 +291,23 @@ def test_mixing_sharded_example(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-1500:]
     assert "final_sharding" in out.stdout and "'x': 8" in out.stdout
+
+
+def test_float64_config_without_x64_raises():
+    """A float64 problem config constructed in a process with jax x64
+    disabled must fail LOUDLY (problems.base.check_x64) — jnp would
+    otherwise silently truncate every operator stack and scan carry to
+    f32 under a config labelled float64 (self-review r3)."""
+    import jax
+
+    from spheremanopt_tpu.problems.swift_hohenberg import (SH23Config,
+                                                           SwiftHohenberg)
+
+    jax.config.update("jax_enable_x64", False)
+    try:
+        with pytest.raises(ValueError, match="x64"):
+            SwiftHohenberg(SH23Config(npts=32, n_iters=4))
+        # f32 configs stay constructible without x64
+        SwiftHohenberg(SH23Config(npts=32, n_iters=4, dtype="float32"))
+    finally:
+        jax.config.update("jax_enable_x64", True)

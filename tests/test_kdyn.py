@@ -325,3 +325,18 @@ def test_aux_objective_op_identical_across_modes(cost, kw):
     for a, b in zip(g_aux, g_plain):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-11, atol=1e-14)
+
+
+def test_continuous_mode_objective_and_gradient_dispatch():
+    """adjoint='continuous' must flow through objective_and_gradient
+    on both spheres (see tests/test_sh23.py twin; self-review r3)."""
+    p = KinematicDynamo(KDynConfig(npts=8, n_iters=15, dt=1e-3,
+                                   adjoint="continuous"))
+    x0 = p.generate_ic(seed=4)
+    g_ref = p.gradient(x0)
+    g_disc = p._gradient(list(x0))
+    assert not np.allclose(np.asarray(g_ref[1]), np.asarray(g_disc[1]))
+    J_f, g_f = p.objective_and_gradient(x0)
+    assert float(J_f) == float(p.objective(x0))
+    for a, b in zip(g_f, g_ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -304,3 +304,38 @@ def test_unknown_solve_precision_rejected():
     with pytest.raises(ValueError, match="solve_precision"):
         OptimalMixing(MixingConfig(nx=32, nz=24, n_iters=10,
                                    solve_precision="compensatedX"))
+
+
+def test_continuous_mode_fused_callables_serve_continuous_gradient():
+    """`objective_and_gradient` (and the aux/device-loop and
+    fused-diagnostics forms) must dispatch on cfg.adjoint: under
+    adjoint='continuous' they pair the forward J with the CONTINUOUS
+    gradient — never the discrete autodiff one — so a Wolfe search fed
+    f_and_g cannot mix the two O(dt)-different gradient definitions
+    (found by self-review r3; the reference aliases FWD/ADJ per mode at
+    import time, `FWD_Solve_Poiseuille.py:1727-1740`)."""
+    import jax
+
+    base = dict(nx=32, nz=24, n_iters=25, dt=5e-3, s=1, prep_steps=10)
+    pc = OptimalMixing(MixingConfig(adjoint="continuous", **base))
+    x0 = [np.asarray(pc.generate_ic(seed=3)[0])]
+
+    J_ref = float(pc.objective(x0))
+    g_ref = np.asarray(pc.gradient(x0)[0])          # continuous adjoint
+    g_disc = np.asarray(pc._gradient(pc._ops, list(x0))[0])
+    assert not np.allclose(g_ref, g_disc)           # modes really differ
+
+    J_f, g_f = pc.objective_and_gradient(x0)
+    assert float(J_f) == J_ref
+    np.testing.assert_array_equal(np.asarray(g_f[0]), g_ref)
+
+    fg, ops = pc.objective_and_gradient_aux
+    J_a, g_a = jax.jit(fg)(ops, x0)
+    np.testing.assert_allclose(float(J_a), J_ref, rtol=1e-14)
+    np.testing.assert_allclose(np.asarray(g_a[0]), g_ref,
+                               rtol=1e-12, atol=1e-15)
+
+    J_d, g_fd, diag = pc.objective_gradient_and_diagnostics(x0)
+    assert float(J_d) == J_ref
+    np.testing.assert_array_equal(np.asarray(g_fd[0]), g_ref)
+    assert "sim_time" in diag

@@ -92,3 +92,22 @@ def test_short_optimisation_increases_J(small):
     # sphere constraint held
     xo = res.x_opt[0]
     assert np.isclose(float(small.inner_product(xo, xo)), small.cfg.e0, rtol=1e-10)
+
+
+def test_continuous_mode_objective_and_gradient_dispatch():
+    """Under adjoint='continuous', `objective_and_gradient` must serve
+    the continuous gradient (= `gradient()`), not the discrete autodiff
+    one — Wolfe's fused-phi path consumes f_and_g and must not mix the
+    two gradient definitions in one line search (self-review r3). Same
+    dispatch on the fused-diagnostics form."""
+    p = SwiftHohenberg(SH23Config(npts=64, n_iters=30, dt=0.05,
+                                  adjoint="continuous"))
+    x0 = p.generate_ic(seed=4)
+    g_ref = np.asarray(p.gradient(x0)[0])
+    g_disc = np.asarray(p._gradient(list(x0))[0])
+    assert not np.allclose(g_ref, g_disc)
+    J_f, g_f = p.objective_and_gradient(x0)
+    assert float(J_f) == float(p.objective(x0))
+    np.testing.assert_array_equal(np.asarray(g_f[0]), g_ref)
+    J_d, g_fd, _ = p.objective_gradient_and_diagnostics(x0)
+    np.testing.assert_array_equal(np.asarray(g_fd[0]), g_ref)

@@ -81,3 +81,16 @@ def test_remat_matches_storeall(x0):
     np.testing.assert_allclose(
         np.asarray(pr.gradient(x0)[0]), np.asarray(ps.gradient(x0)[0]), rtol=1e-11
     )
+
+
+def test_continuous_mode_objective_and_gradient_dispatch():
+    """adjoint='continuous' must flow through objective_and_gradient
+    (see tests/test_sh23.py twin; self-review r3)."""
+    p = SwiftHohenbergBounded(SHB23Config(npts=64, n_iters=40, dt=0.01,
+                                          adjoint="continuous"))
+    x0 = p.generate_ic(seed=4)
+    g_ref = np.asarray(p.gradient(x0)[0])
+    assert not np.allclose(g_ref, np.asarray(p._gradient(list(x0))[0]))
+    J_f, g_f = p.objective_and_gradient(x0)
+    assert float(J_f) == float(p.objective(x0))
+    np.testing.assert_array_equal(np.asarray(g_f[0]), g_ref)
