@@ -8,12 +8,19 @@ iteration performs exactly one fused (phi, derphi) evaluation at the
 trial point chosen by the same bracketing/zoom interpolation rules
 (cubic -> quadratic -> bisection with the same end-margin guards), so a
 device-driver optimisation trajectory reproduces the host driver's in
-f64. Differences, both documented: (a) the device search fuses derphi
+f64. Differences, all documented: (a) the device search fuses derphi
 into every phi evaluation (the host's fused-phi path does the same — the
 accept/reject DECISIONS are identical because derphi is consulted at the
-same alphas); (b) on maxiter exhaustion the device search accepts the
-last trial with its gradient (the host returns it with derphi_star=None,
-disabling only the gradient-reuse handoff).
+same alphas); (b) on bracket-maxiter exhaustion both searches evaluate
+one further doubled trial and return it unchecked (host
+`linesearch.py:264-272`) — the host disables the gradient-reuse handoff
+there (derphi_star=None) while the device hands off the fused gradient,
+which equals what the host's next iteration recomputes at the same
+point; (c) a non-finite phi/derphi trial fails the device search
+IMMEDIATELY (ok=False, iterate frozen by the driver) — the host burns
+the remaining bracket/zoom evaluations on the NaN before its driver's
+non-finite guard (`optimiser.py`) terminates; same outcome, fewer
+wasted PDE solves, and the jitted `lax.while_loop` provably terminates.
 """
 
 from __future__ import annotations
@@ -48,6 +55,9 @@ def _cubic_min(a, fa, dfa, b, fb, c, fc):
 
 class _WolfeState(NamedTuple):
     phase: jnp.ndarray
+    last: jnp.ndarray         # bracket maxiter exhausted: accept the next
+    #                           (already-doubled) trial unchecked, like the
+    #                           host's post-loop return (linesearch.py:272)
     i: jnp.ndarray            # bracket iteration counter
     j: jnp.ndarray            # zoom iteration counter
     alpha_prev: jnp.ndarray
@@ -111,7 +121,8 @@ def device_wolfe(
 
     z = f(0.0)
     init = _WolfeState(
-        phase=jnp.int32(_BRACKET), i=jnp.int32(0), j=jnp.int32(0),
+        phase=jnp.int32(_BRACKET), last=jnp.asarray(False),
+        i=jnp.int32(0), j=jnp.int32(0),
         alpha_prev=z, phi_prev=f(phi0), derphi_prev=f(derphi0),
         alpha_cur=f(a1),
         a_lo=z, phi_lo=f(phi0), derphi_lo=f(derphi0),
@@ -147,14 +158,19 @@ def device_wolfe(
         phi_t, derphi_t, aux_t = eval_fn(a_t)
         phi_t, derphi_t = f(phi_t), f(derphi_t)
         in_br = st.phase == _BRACKET
+        finite = jnp.isfinite(phi_t) & jnp.isfinite(derphi_t)
+        # maxiter-exhausted final trial: accept unchecked, like the host's
+        # post-loop return of the freshly doubled evaluation (:264-272)
+        in_last = in_br & st.last
 
         # ---- bracket transition (host lines 237-269) ----
-        br_fail = (st.alpha_cur == 0.0) | (st.alpha_prev == amax)
+        br_fail = ((st.alpha_cur == 0.0) | (st.alpha_prev == amax)
+                   | ~finite)
         to_zoom1 = (phi_t > phi0 + c1 * a_t * derphi0) | (
             (phi_t >= st.phi_prev) & (st.i > 0))
         br_done = jnp.abs(derphi_t) <= -c2 * derphi0
         to_zoom2 = derphi_t >= 0.0
-        br_maxed = st.i + 1 >= maxiter  # exhausted: accept last trial
+        br_maxed = st.i + 1 >= maxiter  # exhausted: one final doubled trial
 
         # continuation values
         alpha_next = jnp.minimum(2.0 * a_t, amax)
@@ -167,20 +183,24 @@ def device_wolfe(
             zsel(z1[k], z2[k]) for k in range(5))
 
         br_phase = jnp.where(
-            br_fail, _FAIL,
-            jnp.where(to_zoom1, _ZOOM,
-                      jnp.where(br_done, _DONE,
-                                jnp.where(to_zoom2, _ZOOM,
-                                          jnp.where(br_maxed, _DONE,
-                                                    _BRACKET)))))
-        br_accept = (~br_fail) & (~to_zoom1) & (
-            br_done | (br_maxed & ~to_zoom2))
+            in_last, jnp.where(finite, _DONE, _FAIL),
+            jnp.where(
+                br_fail, _FAIL,
+                jnp.where(to_zoom1, _ZOOM,
+                          jnp.where(br_done, _DONE,
+                                    jnp.where(to_zoom2, _ZOOM,
+                                              _BRACKET)))))
+        br_accept = jnp.where(
+            in_last, finite,
+            (~br_fail) & (~to_zoom1) & br_done)
+        last_next = in_br & (~in_last) & (~br_fail) & (~to_zoom1) & (
+            ~br_done) & (~to_zoom2) & br_maxed
 
         # ---- zoom transition (host zoom lines 221-234) ----
         zm_hi_move = (phi_t > phi0 + c1 * a_t * derphi0) | (phi_t >= st.phi_lo)
         zm_done = (~zm_hi_move) & (jnp.abs(derphi_t) <= -c2 * derphi0)
         zm_flip = derphi_t * (st.a_hi - st.a_lo) >= 0.0
-        zm_fail = st.j + 1 > max_zoom
+        zm_fail = (st.j + 1 > max_zoom) | ~finite
 
         n_a_lo = jnp.where(zm_hi_move, st.a_lo, a_t)
         n_phi_lo = jnp.where(zm_hi_move, st.phi_lo, phi_t)
@@ -201,6 +221,7 @@ def device_wolfe(
 
         new = _WolfeState(
             phase=phase,
+            last=last_next,
             i=st.i + jnp.where(in_br, 1, 0).astype(jnp.int32),
             j=(jnp.where(in_br, 0, st.j + 1).astype(jnp.int32)),
             alpha_prev=jnp.where(in_br, a_t, st.alpha_prev),
@@ -289,7 +310,10 @@ def device_armijo(
         a_t = st.trial
         phi_t, _derphi_t, aux_t = eval_fn(a_t)
         phi_t = f(phi_t)
-        accept = phi_t <= phi0 + c1 * a_t * derphi0
+        # require a finite objective for acceptance: phi = -inf would
+        # otherwise "satisfy" the Armijo test and commit garbage (the
+        # host driver catches this with its non-finite-J guard)
+        accept = (phi_t <= phi0 + c1 * a_t * derphi0) & jnp.isfinite(phi_t)
 
         # FIRST reject -> quadratic trial from (alpha0, phi_t)
         quad = -derphi0 * a_t * a_t / (
@@ -312,14 +336,20 @@ def device_armijo(
         n_phi_a0 = jnp.where(is_first, phi_t,
                              jnp.where(is_quad, st.phi_a0, st.phi_a1))
         n_a1 = jnp.where(is_first, a_t, jnp.where(is_quad, a_t, alpha2))
-        n_phi_a1 = jnp.where(is_first, phi_t, phi_t)
+        n_phi_a1 = phi_t
         n_trial = jnp.where(is_first, quad,
                             jnp.where(is_quad, cub_q, cub_c))
 
-        underflow = (~is_first) & (n_a1 <= amin)
+        # Failure tests are written NaN-closed (~(x > y), not x <= y) so a
+        # non-finite phi or interpolant — e.g. an overflowed first trial,
+        # whose quadratic interpolates to +-0.0 — terminates the
+        # lax.while_loop instead of cycling on NaN comparisons forever
+        # (the host exits its `while alpha1 > amin` loop the same way).
+        underflow = (~is_first) & ~(n_a1 > amin)
+        bad_trial = ~(n_trial > 0.0) | ~jnp.isfinite(n_trial)
         phase = jnp.where(
             accept, _A_DONE,
-            jnp.where(underflow, _A_FAIL,
+            jnp.where(underflow | bad_trial, _A_FAIL,
                       jnp.where(is_first, _A_QUAD, _A_CUBIC))).astype(jnp.int32)
 
         return _ArmijoState(

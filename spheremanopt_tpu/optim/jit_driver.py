@@ -28,9 +28,12 @@ Deltas vs the host driver (documented, deliberate):
   * armijo mode: fixed shrink instead of quadratic/cubic interpolation,
     CG from the second pass, step-size carry-over from the last accepted
     step;
-  * wolfe mode, iteration 0: first-trial accept matches the host
-    exactly; on backtrack the host interpolates while this driver
-    halves.
+  * wolfe mode, iteration 0: the interpolated Armijo mirrors the host
+    evaluation-for-evaluation, but every trial is a fused (phi, derphi)
+    evaluation — rejected backtracking trials pay an unused adjoint
+    sweep the host's phi-only Armijo avoids (first-trial accepts
+    dominate in practice; cf. the use_fused_phi trade-off note in
+    optimiser.py).
 """
 
 from __future__ import annotations
@@ -250,7 +253,10 @@ def jit_optimise_on_multi_sphere(
             alpha, J_new, ok = armijo(xs, ds, J, slope0,
                                       jnp.minimum(alpha_prev * grow, alpha0 * 1e3))
 
-            step = jnp.logical_and(active, ok)
+            # never commit a non-finite objective (host driver's guard,
+            # optimiser.py; one runaway trial must not poison the carry)
+            step = jnp.logical_and(active,
+                                   jnp.logical_and(ok, jnp.isfinite(J_new)))
             xs_new = retract(xs, alpha, ds)
             xs = [jnp.where(step, xn, x) for xn, x in zip(xs_new, xs)]
             J = jnp.where(step, J_new, J)
@@ -389,7 +395,9 @@ def jit_optimise_on_multi_sphere(
                 amax=alpha0 * (16.0 if use_lbfgs else 1.0),
             )
 
-            step = jnp.logical_and(active, ok)
+            # never commit a non-finite objective (host driver's guard)
+            step = jnp.logical_and(active,
+                                   jnp.logical_and(ok, jnp.isfinite(J_new)))
             xs = [jnp.where(step, xn, x) for xn, x in zip(xs_new, xs)]
             res = residuals(gs)
             J_hist = J_hist.at[i].set(-jnp.where(step, J_new, J))

@@ -102,6 +102,14 @@ def armijo_search(
 
     # Quadratic interpolation for the second trial point.
     alpha1 = -derphi0 * alpha0 * alpha0 / (2.0 * (phi_a0 - phi0 - derphi0 * alpha0))
+    if not (math.isfinite(alpha1) and alpha1 > 0.0):
+        # an overflowed first trial (phi_a0 = inf from a runaway step)
+        # interpolates to +-0.0; evaluating phi(0.0) == phi0 would then
+        # "satisfy" the Armijo test with a ZERO step and the outer loop
+        # would spin to max_iters making no progress — fail instead
+        warnings.warn("Line search interpolated to a non-positive step "
+                      "(non-finite first trial)", LineSearchWarning)
+        return None, phi_a0, n_evals
     phi_a1 = ev(alpha1)
     if phi_a1 <= phi0 + c1 * alpha1 * derphi0:
         return alpha1, phi_a1, n_evals

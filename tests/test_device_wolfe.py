@@ -200,3 +200,60 @@ def test_wolfe_driver_aux_operands_match_closure():
                                   np.asarray(r_closure.function_values))
     np.testing.assert_array_equal(np.asarray(r_aux.step_sizes),
                                   np.asarray(r_closure.step_sizes))
+
+
+def test_device_wolfe_maxiter_exhaustion_matches_host():
+    """Bracket maxiter exhaustion: the host evaluates one further doubled
+    trial and returns it unchecked (linesearch.py:264-272); the device
+    search must return the SAME alpha/phi (self-review r3 — it previously
+    accepted the maxiter-th trial, one doubling short)."""
+    f = lambda a: -a                      # never satisfies curvature
+    df = lambda a: -1.0 + 0 * a
+    amax = 1e7
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        w = ls.wolfe_search(lambda a: float(f(a)), lambda a: float(df(a)),
+                            phi0=0.0, derphi0=-1.0, c1=1e-4, c2=0.4,
+                            amax=amax)
+    assert w.alpha is not None and w.derphi_star is None
+
+    def ev(a):
+        return f(a), df(a), (a,)
+
+    a_d, p_d, _aux, ok = jax.jit(
+        lambda: device_wolfe(ev, 0.0, -1.0, (jnp.asarray(0.0),),
+                             0.0, False, c1=1e-4, c2=0.4, amax=amax))()
+    assert bool(ok)
+    assert abs(float(a_d) - w.alpha) < 1e-12, (float(a_d), w.alpha)
+    assert abs(float(p_d) - w.phi_star) < 1e-12
+
+
+@pytest.mark.parametrize("bad", [jnp.nan, jnp.inf])
+def test_device_wolfe_nonfinite_trial_fails_not_hangs(bad):
+    """A non-finite phi trial must terminate the jitted while_loop with
+    ok=False (self-review r3: NaN comparisons are all-False, which
+    previously cycled the bracket forever on NaN or accepted garbage on
+    maxiter exhaustion)."""
+    def ev(a):
+        phi = jnp.where(a > 0.5, jnp.asarray(bad), -a)
+        return phi, -1.0 + 0 * a, (a,)
+
+    a_d, p_d, _aux, ok = jax.jit(
+        lambda: device_wolfe(ev, 0.0, -1.0, (jnp.asarray(0.0),),
+                             0.0, False, c1=1e-4, c2=0.4, amax=100.0))()
+    assert not bool(ok)
+
+
+@pytest.mark.parametrize("bad", [jnp.nan, jnp.inf])
+def test_device_armijo_nonfinite_trial_fails_not_hangs(bad):
+    """device_armijo on a non-finite first trial: the quadratic
+    interpolates to +-0.0/NaN; the search must FAIL (not hang, and not
+    'succeed' with a zero step whose phi(0) == phi0)."""
+    def ev(a):
+        phi = jnp.where(a > 1e-12, jnp.asarray(bad), 0.0)
+        return phi, jnp.zeros(()), (a,)
+
+    a_d, p_d, _aux, ok = jax.jit(
+        lambda: device_armijo(ev, 0.0, -1.0, (jnp.asarray(0.0),),
+                              alpha0=1.0))()
+    assert not bool(ok)

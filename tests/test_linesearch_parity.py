@@ -107,3 +107,25 @@ def test_nonfinite_objective_terminates_with_best_so_far():
     assert "non-finite" in r.message
     assert all(np.isfinite(v) for v in r.function_values)
     assert np.isfinite(np.asarray(r.x_opt[0])).all()
+
+
+def test_armijo_overflowed_first_trial_fails_not_zero_step():
+    """armijo_search with phi(alpha0) = inf: the quadratic interpolant is
+    +-0.0 and phi(0.0) == phi0 would satisfy the Armijo test with a ZERO
+    step — the search must fail loudly instead (self-review r3)."""
+    import warnings
+
+    from spheremanopt_tpu.optim.linesearch import (LineSearchWarning,
+                                                   armijo_search)
+
+    calls = []
+
+    def phi(a):
+        calls.append(a)
+        return float("inf") if a > 1e-12 else 0.0
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", LineSearchWarning)
+        alpha, phi_star, n_ev = armijo_search(phi, 0.0, -1.0, alpha0=1.0)
+    assert alpha is None
+    assert all(a > 1e-12 for a in calls)   # never evaluated the zero step
