@@ -28,9 +28,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def wavenumbers_rfft(n: int, length: float, dtype=jnp.float64) -> jnp.ndarray:
-    """Angular wavenumbers k_j = 2*pi*j/L for the rfft layout (j=0..n//2)."""
-    return jnp.asarray(2.0 * np.pi * np.fft.rfftfreq(n, d=1.0 / n) / length, dtype)
+def wavenumbers_rfft(n: int, length: float, dtype=np.float64) -> np.ndarray:
+    """Angular wavenumbers k_j = 2*pi*j/L for the rfft layout (j=0..n//2).
+
+    Returns NUMPY (not a device array): wavenumber tensors are meant to
+    be closed over by jitted steps as HLO constants — closing over jnp
+    device arrays re-ships the buffer per call on the axon TPU
+    (CLAUDE.md platform rule 1)."""
+    return (2.0 * np.pi * np.fft.rfftfreq(n, d=1.0 / n) / length).astype(dtype)
 
 
 def nyquist_mask_rfft(n: int) -> np.ndarray:
@@ -65,7 +70,7 @@ class FourierBasis1D:
         m = self.n_grid if oversampled else self.n
         return np.arange(m) * (self.length / m)
 
-    def wavenumbers(self, dtype=jnp.float64) -> jnp.ndarray:
+    def wavenumbers(self, dtype=np.float64) -> np.ndarray:
         return wavenumbers_rfft(self.n, self.length, dtype)
 
     def to_coeff(self, u_grid: jnp.ndarray) -> jnp.ndarray:
@@ -84,10 +89,12 @@ class FourierBasis1D:
         cp = jnp.pad(c, [(0, 0)] * (c.ndim - 1) + [(0, pad)])
         return jnp.fft.irfft(cp * m, n=m, axis=-1)
 
-    def derivative_factor(self, order: int = 1, dtype=jnp.float64) -> jnp.ndarray:
-        """(ik)^order multiplier in coefficient space."""
+    def derivative_factor(self, order: int = 1, dtype=np.float64) -> np.ndarray:
+        """(ik)^order multiplier in coefficient space (numpy, so jitted
+        closures embed it as an HLO constant — CLAUDE.md rule 1)."""
         k = self.wavenumbers(dtype)
-        return (1j * k.astype(jnp.complex128 if dtype == jnp.float64 else jnp.complex64)) ** order
+        cdt = np.complex128 if np.dtype(dtype) == np.float64 else np.complex64
+        return (1j * k.astype(cdt)) ** order
 
 
 @dataclass(frozen=True)
@@ -108,23 +115,29 @@ class FourierBasis3D:
     def coeff_shape(self) -> Tuple[int, int, int]:
         return (self.n, self.n, self.n // 2 + 1)
 
-    def wavenumber_grids(self, dtype=jnp.float64):
-        """(kx, ky, kz) broadcastable over the coefficient array."""
+    def wavenumber_grids(self, dtype=np.float64):
+        """(kx, ky, kz) numpy arrays broadcastable over the coefficient
+        array (numpy so jitted closures embed HLO constants, rule 1)."""
         kfull = 2.0 * np.pi * np.fft.fftfreq(self.n, d=1.0 / self.n) / self.length
         kr = 2.0 * np.pi * np.fft.rfftfreq(self.n, d=1.0 / self.n) / self.length
-        kx = jnp.asarray(kfull, dtype)[:, None, None]
-        ky = jnp.asarray(kfull, dtype)[None, :, None]
-        kz = jnp.asarray(kr, dtype)[None, None, :]
+        kx = kfull.astype(dtype)[:, None, None]
+        ky = kfull.astype(dtype)[None, :, None]
+        kz = kr.astype(dtype)[None, None, :]
         return kx, ky, kz
 
     def keep_mask(self) -> np.ndarray:
         """Mask dropping all Nyquist planes (Dedalus keeps k in
-        (-n/2, n/2) exclusive)."""
-        nyq = self.n // 2
-        full = np.abs(np.fft.fftfreq(self.n) * self.n) != nyq
-        r = np.ones(self.n // 2 + 1, dtype=bool)
-        if self.n % 2 == 0:
-            r[-1] = False
+        (-n/2, n/2) exclusive). Built with INTEGER arithmetic: the former
+        float test `abs(fftfreq(n)*n) != n//2` breaks both ways — fftfreq
+        multiplies by a reciprocal, so at many even n (98, 196, 206, ...)
+        the product lands on 48.999... and the Nyquist plane slips
+        through, while at most odd n the equality hits and legitimate
+        |k| = n//2 < n/2 modes were wrongly zeroed on x/y (the z axis,
+        via `nyquist_mask_rfft`, kept them)."""
+        idx = np.arange(self.n)
+        k_int = np.where(idx <= self.n // 2, idx, idx - self.n)
+        full = 2 * np.abs(k_int) < self.n      # |k| < n/2, exact
+        r = nyquist_mask_rfft(self.n)
         return full[:, None, None] & full[None, :, None] & r[None, None, :]
 
     def to_coeff(self, u_grid: jnp.ndarray) -> jnp.ndarray:

@@ -20,11 +20,10 @@ reference's 24^3-36^3 scales the GSPMD-sharded matmul transforms in
 from __future__ import annotations
 
 
-import jax
 import jax.numpy as jnp
-from jax import lax
+import numpy as np
+from jax import lax, shard_map
 from jax.sharding import Mesh, PartitionSpec as P
-from jax import shard_map
 
 
 def distributed_rfftn(v: jnp.ndarray, mesh: Mesh, axis: str = "x") -> jnp.ndarray:
@@ -79,6 +78,4 @@ def distributed_mean_product(x: jnp.ndarray, y: jnp.ndarray, mesh: Mesh,
 
     total = shard_map(local, mesh=mesh, in_specs=(spec, spec),
                       out_specs=P(), check_vma=False)(x, y)
-    import numpy as np
-
     return total / np.prod(x.shape[-3:])

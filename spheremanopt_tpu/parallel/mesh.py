@@ -20,6 +20,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(n_devices: Optional[int] = None, axis: str = "x") -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
+    if n > len(devs):
+        # fail loudly: devs[:n] would silently build a SMALLER mesh and
+        # run a different decomposition than the one configured (or die
+        # later in an opaque all_to_all divisibility error)
+        raise ValueError(
+            f"requested a {n}-device mesh but only {len(devs)} device(s) "
+            f"are visible (platform={devs[0].platform}); set n_shards to "
+            "a value <= the visible device count, or force virtual CPU "
+            "devices via --xla_force_host_platform_device_count")
     return Mesh(np.asarray(devs[:n]), axis_names=(axis,))
 
 

@@ -124,3 +124,37 @@ def test_kdyn_transforms_match_fourier_basis3d():
     np.testing.assert_allclose(
         np.asarray(p.to_grid(c)), np.asarray(b.to_grid(c)), atol=1e-12
     )
+
+
+@pytest.mark.parametrize("n", [9, 11, 12, 98])
+def test_keep_mask_integer_nyquist(n):
+    """keep_mask must be exact in integer arithmetic (self-review r3):
+    the float test `abs(fftfreq(n)*n) != n//2` kept the Nyquist x/y
+    planes at n=98 (reciprocal-multiply rounding) and wrongly dropped
+    legitimate |k| = n//2 < n/2 modes at odd n (9, 11)."""
+    b = FourierBasis3D(n, 2 * np.pi, 1.5)
+    m = b.keep_mask()
+    half = n // 2
+    if n % 2 == 0:
+        # the Nyquist plane (index n//2 on full axes, last on rfft axis)
+        assert not m[half].any() and not m[:, half].any()
+        assert not m[:, :, -1].any()
+    else:
+        # odd n: |k| = n//2 < n/2 is a legitimate retained mode
+        assert m[half, 0, 0] and m[0, half, 0] and m[0, 0, half]
+    # roundtrip: a pure mode at the band edge survives (odd) per the mask
+    x = np.arange(b.n_grid) * (2 * np.pi / b.n_grid)
+    u = jnp.asarray(np.sin(half * x)[None, None, :]
+                    * np.ones((b.n_grid, b.n_grid, 1)))
+    u2 = b.to_grid(b.to_coeff(u))
+    if n % 2 == 1:
+        np.testing.assert_allclose(np.asarray(u2), np.asarray(u), atol=1e-10)
+    else:
+        np.testing.assert_allclose(np.asarray(u2), 0.0, atol=1e-10)
+
+
+def test_make_mesh_rejects_oversized_request(eight_devices):
+    from spheremanopt_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="visible"):
+        make_mesh(len(eight_devices) + 1)
