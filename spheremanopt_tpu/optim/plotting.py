@@ -26,6 +26,10 @@ def plot_optimisation(
     if hasattr(residuals, "residuals"):  # OptimiseResult
         function_values = residuals.function_values
         residuals = residuals.residuals
+    if function_values is None:
+        # raw-list call with no J series: plot residuals alone rather
+        # than crashing on len(None)
+        function_values = []
 
     fig, ax1 = plt.subplots(figsize=(8, 6))
     ax2 = ax1.twinx()

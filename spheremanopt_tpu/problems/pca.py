@@ -2,9 +2,9 @@
 
 The optimiser integration test with an analytic ground truth
 (reference: `Example_Problems/PCA_example.py`): the minimiser is the
-leading eigenvector of the symmetric positive-definite matrix M, checked
-against `numpy.linalg.eigh`. Steepest descent converges at rate
-((kappa-1)/(kappa+1))^2 in the eigenvalue gap.
+leading eigenvector of the symmetric matrix M (the reference calls its
+construction positive-definite; see `random_spd_matrix`), checked
+against `numpy.linalg.eigh`.
 
 Fixes a reference bug: `Objective_Gradient` there reads the module-global
 `X` instead of its argument (`PCA_example.py:46`); everything here is
@@ -19,23 +19,30 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def random_spd_matrix(dim: int, seed: int = 0, dtype=jnp.float64) -> jnp.ndarray:
-    """Symmetric matrix with positive leading eigenvalue (the reference
-    resamples until x^T M x > 0 for a random probe; `PCA_example.py:14-31`)."""
+def random_spd_matrix(dim: int, seed: int = 0, dtype=np.float64) -> np.ndarray:
+    """Symmetric matrix with a positive probe quadratic form, mirroring
+    the reference's `Hessian_Matrix` exactly (`PCA_example.py:14-31`).
+    NOTE: despite the reference's 'positive definite' docstring (kept in
+    this function's name for parity), a symmetrised Gaussian matrix is
+    almost surely INDEFINITE — the optimisation only needs the leading
+    eigenvector, which is well-defined either way. Returns NUMPY so the
+    jitted objective/gradient closures embed M as an HLO constant
+    (CLAUDE.md platform rule 1: jnp closures re-ship per call)."""
     rng = np.random.RandomState(seed)
     probe = rng.rand(dim)
     while True:
         m = rng.randn(dim, dim)
         m = 0.5 * (m + m.T)
         if probe @ (m @ probe) > 0:
-            return jnp.asarray(m, dtype=dtype)
+            return m.astype(dtype)
 
 
 class PCAProblem:
     """Callable triple (objective, gradient, inner_product) for the optimiser."""
 
-    def __init__(self, m: jnp.ndarray):
-        self.m = m
+    def __init__(self, m):
+        # numpy: closed over by the jitted impls as an HLO constant
+        self.m = np.asarray(m)
         self._objective = jax.jit(self._objective_impl)
         self._gradient = jax.jit(self._gradient_impl)
         self._inner = jax.jit(jnp.dot)
@@ -65,7 +72,12 @@ class PCAProblem:
         return vecs[:, -1]
 
     def sd_rate(self) -> float:
-        """Theoretical SD convergence rate ((k-1)/(k+1))^2
-        (`PCA_example.py:149-150`)."""
+        """The reference's printed SD 'theoretical rate' ((k-1)/(k+1))^2
+        with kappa = cond(M), reproduced verbatim for parity
+        (`PCA_example.py:149-150`). Caveat inherited with it: cond() of
+        an (almost surely indefinite) symmetrised Gaussian is
+        |lambda|max/|lambda|min, not the eigenvalue-gap ratio the SD
+        rate formula assumes — treat as the reference's diagnostic, not
+        a sharp bound."""
         kappa = np.linalg.cond(np.asarray(self.m))
         return ((kappa - 1.0) / (kappa + 1.0)) ** 2

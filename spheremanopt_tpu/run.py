@@ -122,6 +122,15 @@ def make_problem(args):
     # remote TPU compiles (measured; harmless on CPU)
     from spheremanopt_tpu.utils.jaxcache import enable_persistent_cache
 
+    # archive-flag normalisation: --archive-full alone previously
+    # archived NOTHING (the default --archive-every is 0), and
+    # --no-archive was parsed but never read
+    if args.no_archive:
+        args.archive_every = 0
+        args.archive_full = False
+    elif args.archive_full and args.archive_every == 0:
+        args.archive_every = 1
+
     enable_persistent_cache()
     on_tpu = jax.devices()[0].platform not in ("cpu",)
     # Production default on TPU: the VMEM-resident kernel paths measure
@@ -265,9 +274,17 @@ def main(argv=None) -> int:
             x0, dx0, problem.objective, problem.gradient, problem.inner_product,
             save_path=os.path.join(args.out_dir, "eps_TestR_TestR2_h_h2.npy"),
         )
-        ok = abs(r.gamma1 - 1.0) < 0.1 and (
-            args.adjoint == "continuous" or abs(r.gamma2 - 2.0) < 0.1
-        )
+        if args.adjoint == "continuous":
+            # a continuous adjoint plateaus at discretisation error, so
+            # the order-2 fit is not the criterion — but the gamma1 check
+            # alone never consults the gradient at all. Require the
+            # SECOND remainder to beat the first by a solid margin at the
+            # largest eps: |J(X+eps dX) - J(X) - eps<dX,g>| << |J(X+eps
+            # dX) - J(X)| holds only when g is (approximately) right.
+            ok = (abs(r.gamma1 - 1.0) < 0.1
+                  and r.remainder2[0] < 0.1 * r.remainder1[0])
+        else:
+            ok = abs(r.gamma1 - 1.0) < 0.1 and abs(r.gamma2 - 2.0) < 0.1
         print(f"gradient test {'PASSED' if ok else 'FAILED'}")
         return 0 if ok else 1
 
@@ -318,8 +335,11 @@ def main(argv=None) -> int:
             "problem": args.problem,
             "driver": "device-resident (single jit)",
             "iterations": k,
-            "J_final": float(r.function_values[max(k - 1, 0)]),
-            "residuals_final": np.asarray(r.residuals[max(k - 1, 0)]).tolist(),
+            # k == 0 (first line search failed / already converged):
+            # history slot 0 holds zero-INITIALISED values, not results
+            "J_final": float(r.function_values[k - 1]) if k > 0 else None,
+            "residuals_final": (np.asarray(r.residuals[k - 1]).tolist()
+                                if k > 0 else None),
             "wall_time_total_s": round(wall, 3),
         }
         with open(os.path.join(args.out_dir, "summary.json"), "w") as f:

@@ -67,7 +67,11 @@ def nested_checkpoint_scan(
     """Two-level checkpointed scan over `length` steps with no per-step xs.
 
     `step(carry) -> (carry, y)` where y must be a scalar/small pytree that
-    is summed across steps (sufficient for cost-functional accumulation).
+    is summed across steps (sufficient for cost-functional accumulation;
+    the summation is hierarchical — XLA pairwise jnp.sum within each
+    chunk, then across chunks — whose f32 error is log-factor class,
+    well below the per-step solve rounding; it is NOT Kahan, unlike the
+    flat-scan paths' kahan_add).
     Returns (final_carry, summed_y), or with `return_series=True`
     (final_carry, summed_y, per_step_ys) — the stacked per-step y series
     is tiny (scalars) so keeping it does not defeat the sqrt(N) carry
@@ -94,9 +98,15 @@ def nested_checkpoint_scan(
     if return_series:
         ys, series = ys
     total = jax.tree_util.tree_map(lambda a: jnp.sum(a, axis=0), ys)
+    # remainder steps: checkpointed like the chunked body — an unwrapped
+    # tail would store up to inner-1 steps of FULL internals as backward
+    # residuals, defeating the sqrt(N) memory policy exactly at the
+    # large-trajectory scales it exists for (primal arithmetic is
+    # unchanged; jax.checkpoint only changes what the reverse pass saves)
+    ck_step = jax.checkpoint(step)
     rem_ys = []
     for _ in range(rem):
-        carry, y = step(carry)
+        carry, y = ck_step(carry)
         total = jax.tree_util.tree_map(jnp.add, total, y)
         rem_ys.append(y)
     if not return_series:

@@ -28,5 +28,13 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
         return d
-    except Exception:
+    except Exception as e:
+        # degrade to a no-op, but NOT silently: without the cache every
+        # heavy TPU process repays ~20-40 s/program of remote compiles
+        # (CLAUDE.md rule 8) and no caller checks the return value
+        import warnings
+
+        warnings.warn(f"persistent XLA compile cache disabled: {e!r} — "
+                      "every program will pay its full compile",
+                      RuntimeWarning)
         return None

@@ -311,3 +311,56 @@ def test_float64_config_without_x64_raises():
         SwiftHohenberg(SH23Config(npts=32, n_iters=4, dtype="float32"))
     finally:
         jax.config.update("jax_enable_x64", True)
+
+
+def test_testgrad_exact_linear_gradient_zero_remainder():
+    """J(x) = <c, x>: the second Taylor remainder is exactly 0.0 at every
+    eps. fit_orders previously produced inf/nan orders (log of a zero
+    ratio) and the gammas went nan — a CORRECT gradient reported as a
+    failure (self-review r3). Exact-zero rows are now excluded and the
+    all-underflowed gamma falls back to the expected order."""
+    from spheremanopt_tpu.grad.testgrad import adjoint_gradient_test
+
+    # integer data + power-of-two eps: every float op is exact, so the
+    # linear Taylor remainder really is bitwise 0.0
+    c = np.array([1.0, 2.0, 3.0, 4.0])
+    f = lambda xs: float(np.dot(c, np.asarray(xs[0])))
+    g = lambda xs: [c]
+    ip = lambda a, b: float(np.dot(np.asarray(a), np.asarray(b)))
+    x0 = [np.arange(4.0)]
+    dx0 = [np.ones(4)]
+    r = adjoint_gradient_test(x0, dx0, f, g, ip, epsilon=2.0 ** -13,
+                              verbose=False)
+    assert (r.remainder2 == 0.0).all()
+    assert np.isfinite(r.gamma1) and np.isfinite(r.gamma2)
+    assert r.gamma2 == 2.0       # all-zero remainder2 -> expected order
+
+
+def test_cli_archive_full_alone_archives(tmp_path):
+    """--archive-full without --archive-every previously archived
+    NOTHING (default 0 disabled the whole block); it now implies
+    --archive-every 1."""
+    env = dict(os.environ, PYTHONPATH="/root/repo", JAX_PLATFORM_NAME="cpu")
+    out = subprocess.run(
+        [sys.executable, "-m", "spheremanopt_tpu.run", "sh23", "--platform",
+         "cpu", "--npts", "32", "--n-iters", "20", "--max-iters", "2",
+         "--archive-full", "--quiet", "--out-dir", str(tmp_path / "run")],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-800:]
+    archives = list((tmp_path / "run").glob("diag_iter_*.npz"))
+    assert archives, sorted(os.listdir(tmp_path / "run"))
+
+
+def test_cli_testgrad_continuous_criterion(tmp_path):
+    """--test-grad --adjoint continuous: the pass criterion must consult
+    the gradient (r2 << r1), not just the gradient-free gamma1."""
+    env = dict(os.environ, PYTHONPATH="/root/repo", JAX_PLATFORM_NAME="cpu")
+    out = subprocess.run(
+        [sys.executable, "-m", "spheremanopt_tpu.run", "sh23", "--platform",
+         "cpu", "--npts", "32", "--n-iters", "40", "--adjoint", "continuous",
+         "--test-grad", "--quiet", "--out-dir", str(tmp_path / "tgc")],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd="/root/repo")
+    assert out.returncode == 0, out.stdout + out.stderr[-500:]
+    assert "PASSED" in out.stdout

@@ -91,3 +91,15 @@ def test_geometry_is_jittable_and_differentiable():
     # grad of a scalar through the retraction exists and is finite
     g = jax.grad(lambda a: jnp.sum(step(x, d, a)))(0.1)
     assert np.isfinite(float(g))
+
+
+def test_inner_product_list_length_validated():
+    """A per-sphere inner-product list shorter than the state would
+    silently DROP spheres via zip truncation (self-review r3)."""
+    import pytest
+
+    from spheremanopt_tpu.manifold import sphere as geom
+
+    ip = lambda a, b: jnp.dot(a, b)
+    with pytest.raises(ValueError, match="inner products"):
+        geom.normalise_multi([jnp.ones(3), jnp.ones(3)], [1.0, 1.0], [ip])

@@ -86,3 +86,23 @@ def test_throughput_nonblocking(tmp_path, available):
     assert enqueue_t < 2.0, enqueue_t
     loaded = native_io.read_records(path)
     assert len(loaded) == 50
+
+
+def test_byteorder_agnostic_dtypes_roundtrip(tmp_path, available):
+    """bool/int8 dtypes have numpy .str codes with a leading '|'
+    ('|b1'), which corrupted the 3-field record tag and made the WHOLE
+    file unreadable (self-review r3). Also: loaded arrays must be
+    writable like the npz loaders' (frombuffer alone is read-only)."""
+    path = str(tmp_path / "b.smo")
+    with native_io.AsyncRecordWriter(path) as w:
+        w.write("converged", np.asarray(True))
+        w.write("flags", np.array([1, 0, 1], np.int8))
+        w.write("x", np.arange(4.0))
+        w.flush()
+    out = native_io.read_records(path)
+    assert bool(out["converged"]) is True
+    np.testing.assert_array_equal(out["flags"], [1, 0, 1])
+    out["x"][0] = 7.0   # writable, matching load_progress semantics
+    with pytest.raises(ValueError, match=r"\|"):
+        with native_io.AsyncRecordWriter(str(tmp_path / "c.smo")) as w:
+            w.write("bad|name", np.arange(3))
