@@ -46,10 +46,12 @@ def _fwd_kernel(a_ref, b_ref, w_ref, u0_ref, sc_ref, uT_ref, j_ref, traj_ref,
 
     def kadd(acc, comp, value):
         # Kahan-compensated accumulation (repo precision policy: f32
-        # cost sums over thousands of steps carry compensation)
-        y = value - comp
-        t = acc + y
-        return t, (t - acc) - y
+        # cost sums over thousands of steps carry compensation); shared
+        # implementation — same ops as the former inline copy, so the
+        # cached Mosaic programs' HLO is unchanged
+        from spheremanopt_tpu.solvers.scan_utils import kahan_add
+
+        return kahan_add((acc, comp), value)
 
     def body(i, carry):
         u, acc, comp = carry

@@ -192,11 +192,10 @@ def step_planes_T(cr, ci, u, C, prec=_HI):
     return br_bar + gr_bar, bi_bar + gi_bar, e_bar
 
 
-def _kahan(acc, x):
-    s, c = acc
-    y = x - c
-    t = s + y
-    return t, (t - s) - y
+# compensated accumulation: the SINGLE shared implementation (pure jnp,
+# valid inside Pallas kernels) — same ops, so the cached Mosaic programs'
+# HLO is unchanged
+from spheremanopt_tpu.solvers.scan_utils import kahan_add as _kahan  # noqa: E402
 
 
 def _fwd_traj_kernel(br0_ref, bi0_ref, u_ref, *refs, n_steps: int, prec,

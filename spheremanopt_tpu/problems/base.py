@@ -37,6 +37,16 @@ def check_x64(dtype) -> None:
             "runs f32; arrays would otherwise be silently truncated)")
 
 
+def check_choice(field: str, value, allowed) -> None:
+    """Loud validation for string config switches: an unrecognised value
+    (e.g. method='fft' on a problem whose paths are matmul|pallas, or a
+    capitalised adjoint='Continuous') must not silently select a
+    fallback compute path or gradient/inner-product pairing."""
+    if value not in allowed:
+        raise ValueError(
+            f"{field} must be one of {sorted(allowed)!r}, got {value!r}")
+
+
 @runtime_checkable
 class Problem(Protocol):
     radii: Sequence[float]

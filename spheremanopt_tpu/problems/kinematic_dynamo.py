@@ -42,7 +42,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from spheremanopt_tpu.problems.base import check_x64
+from spheremanopt_tpu.problems.base import check_choice, check_x64
 from spheremanopt_tpu.solvers.scan_utils import kahan_add, kahan_zero
 
 
@@ -155,6 +155,11 @@ class KinematicDynamo:
 
     def __init__(self, cfg: KDynConfig = KDynConfig()):
         check_x64(cfg.dtype)
+        check_choice("method", cfg.method, ("xla", "pallas"))
+        check_choice("transform", cfg.transform,
+                     ("matmul", "fft", "distributed"))
+        check_choice("adjoint", cfg.adjoint, ("discrete", "continuous"))
+        check_choice("cost", cfg.cost, ("Final", "Integrated"))
         self.cfg = cfg
         n = cfg.npts
         self.mg = int(round(n * cfg.pad_factor))

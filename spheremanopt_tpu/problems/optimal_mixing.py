@@ -51,7 +51,7 @@ import numpy as np
 from scipy.special import erf
 
 from spheremanopt_tpu.ops.chebyshev import ChebyshevBasis1D
-from spheremanopt_tpu.problems.base import check_x64
+from spheremanopt_tpu.problems.base import check_choice, check_x64
 from spheremanopt_tpu.solvers.scan_utils import kahan_add, kahan_zero
 
 
@@ -258,6 +258,8 @@ class OptimalMixing:
 
     def __init__(self, cfg: MixingConfig = MixingConfig()):
         check_x64(cfg.dtype)
+        check_choice("adjoint", cfg.adjoint, ("discrete", "continuous"))
+        check_choice("s", cfg.s, (0, 1))
         self.cfg = cfg
         rdtype = jnp.dtype(cfg.dtype)
         self._rdtype = rdtype

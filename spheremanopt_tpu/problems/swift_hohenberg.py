@@ -48,7 +48,8 @@ from spheremanopt_tpu.ops.fourier import (
     filter_coeff_fraction,
     nyquist_mask_rfft,
 )
-from spheremanopt_tpu.problems.base import check_x64, riesz_gradient
+from spheremanopt_tpu.problems.base import (check_choice, check_x64,
+                                             riesz_gradient)
 from spheremanopt_tpu.solvers.scan_utils import kahan_add, kahan_zero
 
 
@@ -87,6 +88,8 @@ class SwiftHohenberg:
 
     def __init__(self, cfg: SH23Config = SH23Config()):
         check_x64(cfg.dtype)
+        check_choice("method", cfg.method, ("matmul", "fft", "pallas"))
+        check_choice("adjoint", cfg.adjoint, ("discrete", "continuous"))
         self.cfg = cfg
         if cfg.diag_stride < 1 or cfg.n_iters % cfg.diag_stride:
             raise ValueError(

@@ -40,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from spheremanopt_tpu.ops.chebyshev import ChebyshevBasis1D
-from spheremanopt_tpu.problems.base import check_x64
+from spheremanopt_tpu.problems.base import check_choice, check_x64
 from spheremanopt_tpu.solvers.scan_utils import kahan_add, kahan_zero
 
 
@@ -72,6 +72,8 @@ class SwiftHohenbergBounded:
 
     def __init__(self, cfg: SHB23Config = SHB23Config()):
         check_x64(cfg.dtype)
+        check_choice("method", cfg.method, ("matmul", "pallas"))
+        check_choice("adjoint", cfg.adjoint, ("discrete", "continuous"))
         self.cfg = cfg
         if cfg.diag_stride < 1 or cfg.n_iters % cfg.diag_stride:
             raise ValueError(
@@ -104,9 +106,7 @@ class SwiftHohenbergBounded:
         V, A = b.synthesis, b.analysis
         self._A_lin = (V @ Minv_E @ A / cfg.dt).astype(rdtype)
         self._A_nl = (V @ Minv_E @ Z @ A).astype(rdtype)
-        self._resid = float(
-            np.abs(M_tau @ np.linalg.solve(M_tau, E) - E).max()
-        )
+        self._resid = float(np.abs(M_tau @ Minv_E - E).max())
 
         # Inner-product weights pair with the adjoint mode, mirroring the
         # reference's Inner_Prod alias switch (`FWD_Solve_SHB23.py:951-965`):

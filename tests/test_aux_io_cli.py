@@ -364,3 +364,26 @@ def test_cli_testgrad_continuous_criterion(tmp_path):
         cwd="/root/repo")
     assert out.returncode == 0, out.stdout + out.stderr[-500:]
     assert "PASSED" in out.stdout
+
+
+def test_config_switch_typos_fail_loudly():
+    """Unrecognised method/adjoint/transform/cost strings previously
+    selected a silent fallback path (e.g. SH23 method='matmull' ran the
+    fft path; adjoint='Continuous' ran discrete gradients with the
+    discrete inner product) — all four problems now validate."""
+    from spheremanopt_tpu.problems.optimal_mixing import (MixingConfig,
+                                                          OptimalMixing)
+    from spheremanopt_tpu.problems.swift_hohenberg_bounded import (
+        SHB23Config, SwiftHohenbergBounded)
+
+    with pytest.raises(ValueError, match="method"):
+        SwiftHohenberg(SH23Config(npts=32, n_iters=4, method="matmull"))
+    with pytest.raises(ValueError, match="adjoint"):
+        SwiftHohenberg(SH23Config(npts=32, n_iters=4, adjoint="Continuous"))
+    with pytest.raises(ValueError, match="method"):
+        SwiftHohenbergBounded(SHB23Config(npts=32, n_iters=4, method="fft"))
+    with pytest.raises(ValueError, match="cost"):
+        KinematicDynamo(KDynConfig(npts=8, n_iters=4, cost="final"))
+    with pytest.raises(ValueError, match="adjoint"):
+        OptimalMixing(MixingConfig(nx=16, nz=12, n_iters=4,
+                                   adjoint="Discrete"))
