@@ -50,7 +50,8 @@ from spheremanopt_tpu.ops.fourier import (
 )
 from spheremanopt_tpu.problems.base import (check_choice, check_x64,
                                              riesz_gradient)
-from spheremanopt_tpu.solvers.scan_utils import kahan_add, kahan_zero
+from spheremanopt_tpu.solvers.scan_utils import (kahan_add, kahan_zero,
+                                                  strided_energy_scan)
 
 
 @dataclass(frozen=True)
@@ -265,41 +266,15 @@ class SwiftHohenberg:
     def _integrate_aux(self, s0, n_steps: int, use_matmul: bool):
         """`_integrate` that additionally scans out the energy series
         (the 'scalar_data' KE monitor) from the SAME solve, every
-        `diag_stride` steps. The J arithmetic is identical op-for-op, so
-        objective values match the plain path bitwise."""
-        stride = self.cfg.diag_stride
+        `diag_stride` steps, via the shared `strided_energy_scan` (one
+        implementation for SH23/SHB23). J matches the plain path bitwise."""
         step = self._matmul_step if use_matmul else self._sbdf1_step
         energy = (lambda u: jnp.mean(u * u)) if use_matmul else self._energy
         if self.cfg.remat:
             step = jax.checkpoint(step)
-
-        def body(carry, _):
-            s, acc = carry
-            e = energy(s)
-            acc = kahan_add(acc, e)
-            s = step(s)
-            return (s, acc), e
-
-        acc0 = kahan_zero(self._rdtype)
-        if stride == 1:
-            (s, acc), es = jax.lax.scan(body, (s0, acc0), xs=None,
-                                        length=n_steps)
-        else:
-            # chunked: the inner scan advances `stride` steps with no ys
-            # (the measured materialisation cost), the outer records the
-            # chunk-start energy; the J/kahan op sequence is unchanged
-            def outer(carry, _):
-                e0 = energy(carry[0])
-                carry, _ = jax.lax.scan(
-                    lambda c, x: (body(c, x)[0], None), carry, xs=None,
-                    length=stride)
-                return carry, e0
-
-            (s, acc), es = jax.lax.scan(outer, (s0, acc0), xs=None,
-                                        length=n_steps // stride)
-        eN = energy(s)
-        acc = kahan_add(acc, eN)
-        return s, self.cfg.dt * acc[0], jnp.concatenate([es, eN[None]])
+        return strided_energy_scan(step, energy, s0, n_steps,
+                                   self.cfg.diag_stride, self._rdtype,
+                                   self.cfg.dt)
 
     def _objective_aux_impl(self, x_list):
         """(-J, diagnostics) from ONE forward solve — the fused-capture

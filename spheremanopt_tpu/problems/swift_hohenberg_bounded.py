@@ -41,7 +41,8 @@ import numpy as np
 
 from spheremanopt_tpu.ops.chebyshev import ChebyshevBasis1D
 from spheremanopt_tpu.problems.base import check_choice, check_x64
-from spheremanopt_tpu.solvers.scan_utils import kahan_add, kahan_zero
+from spheremanopt_tpu.solvers.scan_utils import (kahan_add, kahan_zero,
+                                                  strided_energy_scan)
 
 
 @dataclass(frozen=True)
@@ -212,38 +213,12 @@ class SwiftHohenbergBounded:
 
     def _integrate_aux(self, u0: jnp.ndarray, n_steps: int):
         """`_integrate` that also scans out the KE series from the SAME
-        solve, every `diag_stride` steps; J arithmetic is op-identical
-        to the plain path (see SwiftHohenberg._integrate_aux)."""
-        stride = self.cfg.diag_stride
+        solve, every `diag_stride` steps, via the shared
+        `strided_energy_scan`; J is op-identical to the plain path."""
         step = jax.checkpoint(self._step) if self.cfg.remat else self._step
-
-        def body(carry, _):
-            u, acc = carry
-            e = self._energy(u)
-            acc = kahan_add(acc, e)
-            u = step(u)
-            return (u, acc), e
-
-        acc0 = kahan_zero(self._rdtype)
-        if stride == 1:
-            (u, acc), es = jax.lax.scan(body, (u0, acc0), xs=None,
-                                        length=n_steps)
-        else:
-            # chunked: the inner scan advances `stride` steps with no ys
-            # (per-step ys materialisation is the measured cost), the
-            # outer records the chunk-start energy
-            def outer(carry, _):
-                e0 = self._energy(carry[0])
-                carry, _ = jax.lax.scan(
-                    lambda c, x: (body(c, x)[0], None), carry, xs=None,
-                    length=stride)
-                return carry, e0
-
-            (u, acc), es = jax.lax.scan(outer, (u0, acc0), xs=None,
-                                        length=n_steps // stride)
-        eN = self._energy(u)
-        acc = kahan_add(acc, eN)
-        return u, self.cfg.dt * acc[0], jnp.concatenate([es, eN[None]])
+        return strided_energy_scan(step, self._energy, u0, n_steps,
+                                   self.cfg.diag_stride, self._rdtype,
+                                   self.cfg.dt)
 
     def _objective_aux_impl(self, x_list):
         """(-J, diagnostics) captured from one forward solve (the fused

@@ -122,6 +122,42 @@ def nested_checkpoint_scan(
     return carry, total, series
 
 
+def strided_energy_scan(step: Callable, energy: Callable, s0, n_steps: int,
+                        stride: int, rdtype, dt: float):
+    """Integrate `n_steps` of `step` while (a) Kahan-accumulating the
+    time-integrated energy cost and (b) scanning out the energy series
+    every `stride` steps — the fused 'scalar_data'-riding-the-FWD-solve
+    capture shared by SH23 and SHB23 (single implementation so the
+    chunked-Kahan op order cannot drift between them). The J op sequence
+    is identical to the plain no-series integration, so objective values
+    match bitwise. Per-step ys materialisation is the measured cost of
+    stride=1 (BASELINE r3); stride>1 advances `stride` steps in an inner
+    scan with no ys and records the chunk-start energy.
+    Returns (final_state, dt * integrated_energy, series[n//stride + 1])."""
+
+    def body(carry, _):
+        s, acc = carry
+        e = energy(s)
+        acc = kahan_add(acc, e)
+        return (step(s), acc), e
+
+    acc0 = kahan_zero(rdtype)
+    if stride == 1:
+        (s, acc), es = lax.scan(body, (s0, acc0), xs=None, length=n_steps)
+    else:
+        def outer(carry, _):
+            e0 = energy(carry[0])
+            carry, _ = lax.scan(lambda c, x: (body(c, x)[0], None),
+                                carry, xs=None, length=stride)
+            return carry, e0
+
+        (s, acc), es = lax.scan(outer, (s0, acc0), xs=None,
+                                length=n_steps // stride)
+    eN = energy(s)
+    acc = kahan_add(acc, eN)
+    return s, dt * acc[0], jnp.concatenate([es, eN[None]])
+
+
 def kahan_add(acc: Tuple[jnp.ndarray, jnp.ndarray], value):
     """Compensated (Kahan) accumulation step: acc = (sum, compensation).
 
