@@ -32,6 +32,18 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "x") -> Mesh:
     return Mesh(np.asarray(devs[:n]), axis_names=(axis,))
 
 
+def make_mesh2d(px: int, py: int, axes=("x", "y")) -> Mesh:
+    """2-D process mesh for pencil decompositions
+    (`parallel.fft.distributed_rfftn_2d`)."""
+    devs = jax.devices()
+    n = px * py
+    if n > len(devs):
+        raise ValueError(
+            f"requested a {px}x{py} mesh but only {len(devs)} device(s) "
+            "are visible")
+    return Mesh(np.asarray(devs[:n]).reshape(px, py), axis_names=tuple(axes))
+
+
 def field_sharding(mesh: Mesh, ndim: int, sharded_dim: int,
                    axis: str = "x") -> NamedSharding:
     """Shard one spatial dimension of an ndim field (pencil/slab layout)."""

@@ -66,6 +66,15 @@ class KDynConfig:
                                  # in trajectory length); False: store-all
     n_shards: int = 0            # transform="distributed": mesh size
                                  # (0 = all visible devices)
+    mesh_shape: tuple = ()       # transform="distributed": () = 1-D slab
+                                 # over n_shards devices; (px, py) = 2-D
+                                 # PENCIL decomposition (x over px, y
+                                 # over py; parallel/fft.py
+                                 # distributed_rfftn_2d) — the scaling
+                                 # layout for chip counts past the slab
+                                 # limit (<= grid size). The reference's
+                                 # Dedalus accepts a 2-D process mesh it
+                                 # never exercises (slab -np 4 runs only)
     transform: str = "matmul"    # "matmul" (per-axis DFT einsums, MXU-
                                  # native, GSPMD-shardable)
                                  # | "distributed" (pencil-decomposed
@@ -224,9 +233,16 @@ class KinematicDynamo:
                 "sharding; use carry='natural' with transform='distributed'")
 
         if cfg.transform == "distributed":
-            from spheremanopt_tpu.parallel.mesh import make_mesh
+            from spheremanopt_tpu.parallel.mesh import make_mesh, make_mesh2d
 
-            self._mesh = make_mesh(cfg.n_shards or None)
+            if cfg.mesh_shape:
+                if len(cfg.mesh_shape) != 2:
+                    raise ValueError(
+                        "mesh_shape must be a (px, py) pair for the 2-D "
+                        f"pencil decomposition, got {cfg.mesh_shape!r}")
+                self._mesh = make_mesh2d(*cfg.mesh_shape)
+            else:
+                self._mesh = make_mesh(cfg.n_shards or None)
 
         # Per-axis DFT matrices for the matmul transform path. On TPU,
         # 24^3-scale transforms are faster as three small batched einsums
@@ -338,9 +354,14 @@ class KinematicDynamo:
         for matmul/fft, band-masked (c, mg, mg, mg//2+1) for
         distributed."""
         if self.cfg.transform == "distributed":
-            from spheremanopt_tpu.parallel.fft import distributed_rfftn
+            if self.cfg.mesh_shape:
+                from spheremanopt_tpu.parallel.fft import distributed_rfftn_2d
 
-            c = distributed_rfftn(v_grid, self._mesh) / (self.mg ** 3)
+                c = distributed_rfftn_2d(v_grid, self._mesh) / (self.mg ** 3)
+            else:
+                from spheremanopt_tpu.parallel.fft import distributed_rfftn
+
+                c = distributed_rfftn(v_grid, self._mesh) / (self.mg ** 3)
             return jnp.where(jnp.asarray(self._keep), c, 0.0)
         if self.cfg.transform == "matmul":
             pr = self.cfg.matmul_precision
@@ -376,6 +397,11 @@ class KinematicDynamo:
         """Truncated coeffs -> (c, mg, mg, mg) oversampled grid."""
         n, mg = self.cfg.npts, self.mg
         if self.cfg.transform == "distributed":
+            if self.cfg.mesh_shape:
+                from spheremanopt_tpu.parallel.fft import distributed_irfftn_2d
+
+                return distributed_irfftn_2d(c * (mg ** 3), self._mesh,
+                                             n_z=mg)
             from spheremanopt_tpu.parallel.fft import distributed_irfftn
 
             return distributed_irfftn(c * (mg ** 3), self._mesh, n_z=mg)
