@@ -268,3 +268,68 @@ def test_sharded_shb23_gradient_matches_single_device(eight_devices):
     np.testing.assert_allclose(float(J8), float(J1), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(g8[0]), np.asarray(g1[0]),
                                rtol=1e-8, atol=1e-12)
+
+
+def test_nested_remat_composes_with_2d_pencil(eight_devices):
+    """The sqrt(N) trajectory-memory policy composed with the 2-D PENCIL
+    decomposition (KDynConfig.mesh_shape): KDyn 64^3-class fused
+    objective+gradient with remat='nested' + a 2x4 process mesh matches
+    the unsharded matmul trajectory to f64 roundoff — the scaling layout
+    for chip counts past the slab limit."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from spheremanopt_tpu.parallel.mesh import make_mesh2d
+    from spheremanopt_tpu.problems.kinematic_dynamo import (
+        KDynConfig, KinematicDynamo)
+
+    cfg = dict(npts=32, n_iters=9, dt=1e-3, dtype="float64")
+    pm = KinematicDynamo(KDynConfig(transform="matmul", remat=True, **cfg))
+    pd = KinematicDynamo(KDynConfig(transform="distributed",
+                                    mesh_shape=(2, 4), remat="nested",
+                                    **cfg))
+    x0 = pm.generate_ic(seed=5)
+    Jm, gm = pm.objective_and_gradient(x0)
+
+    mesh = make_mesh2d(2, 4)
+    sh = NamedSharding(mesh, P(None, "x", "y", None))
+    xs = [jax.device_put(np.asarray(x), sh) for x in x0]
+    Jd, gd = jax.jit(pd.objective_and_gradient)(xs)
+
+    assert len(gd[0].sharding.device_set) == 8, gd[0].sharding
+    np.testing.assert_allclose(float(Jd), float(Jm), rtol=1e-12)
+    for a, b in zip(gd, gm):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-12)
+
+
+def test_sharded_2d_pencil_device_loop_trajectory(eight_devices, kdyn):
+    """The single-jit device-resident Wolfe+CG loop with the state
+    PENCIL-sharded over a 2x4 mesh reproduces the single-device
+    trajectory (the 2-D analogue of
+    test_sharded_trajectory_matches_single_device)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from spheremanopt_tpu.optim.jit_driver import jit_optimise_on_multi_sphere
+    from spheremanopt_tpu.parallel.mesh import make_mesh2d
+    from spheremanopt_tpu.problems.kinematic_dynamo import (
+        KDynConfig, KinematicDynamo)
+
+    p2 = KinematicDynamo(KDynConfig(npts=16, n_iters=5, dt=1e-3,
+                                    dtype="float64", remat=True,
+                                    transform="distributed",
+                                    mesh_shape=(2, 4)))
+    x0 = [np.asarray(x) for x in kdyn.generate_ic(seed=11)]
+
+    def build(p):
+        return jit_optimise_on_multi_sphere(
+            p.objective_and_gradient, p.inner_product, p.radii,
+            max_iters=6, alpha0=1.0, line_search="wolfe", cg=True)
+
+    r1 = build(kdyn)([jax.device_put(x, eight_devices[0]) for x in x0])
+    mesh = make_mesh2d(2, 4)
+    sh = NamedSharding(mesh, P(None, "x", "y", None))
+    r2 = build(p2)([jax.device_put(x, sh) for x in x0])
+    np.testing.assert_allclose(np.asarray(r2.function_values),
+                               np.asarray(r1.function_values), rtol=1e-11)
+    np.testing.assert_allclose(np.asarray(r2.step_sizes),
+                               np.asarray(r1.step_sizes), rtol=1e-11)
