@@ -44,6 +44,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "lbfgs = Riemannian L-BFGS, beyond the reference)")
     ap.add_argument("--lbfgs-memory", type=int, default=8,
                     help="curvature-pair history length for --direction lbfgs")
+    ap.add_argument("--shards", type=int, default=0,
+                    help="kdyn: 1-D slab distributed-FFT over this many "
+                         "devices (transform='distributed')")
+    ap.add_argument("--mesh-shape", default=None, metavar="PX,PY",
+                    help="kdyn: 2-D PENCIL decomposition over a PX x PY "
+                         "process mesh (overrides --shards)")
     ap.add_argument("--remat", choices=["step", "nested", "offload", "none"],
                     default=None,
                     help="kdyn trajectory-memory policy: per-step HBM "
@@ -200,6 +206,13 @@ def make_problem(args):
                 kw[name] = val
         if args.remat is not None:
             kw["remat"] = False if args.remat == "none" else args.remat
+        if args.mesh_shape is not None:
+            px, py = (int(v) for v in args.mesh_shape.split(","))
+            kw["transform"] = "distributed"
+            kw["mesh_shape"] = (px, py)
+        elif args.shards:
+            kw["transform"] = "distributed"
+            kw["n_shards"] = args.shards
         p = KinematicDynamo(KDynConfig(**kw))
         return p, None, dict(alpha=100.0, max_iters=10)
 

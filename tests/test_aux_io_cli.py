@@ -387,3 +387,25 @@ def test_config_switch_typos_fail_loudly():
     with pytest.raises(ValueError, match="adjoint"):
         OptimalMixing(MixingConfig(nx=16, nz=12, n_iters=4,
                                    adjoint="Discrete"))
+
+
+def test_cli_kdyn_2d_pencil_mesh(tmp_path):
+    """--mesh-shape PX,PY runs the kdyn optimisation on the 2-D pencil
+    distributed transform (8 virtual devices)."""
+    env = dict(os.environ, PYTHONPATH="/root/repo", JAX_PLATFORM_NAME="cpu",
+               XLA_FLAGS=(os.environ.get("XLA_FLAGS", "")
+                          + " --xla_force_host_platform_device_count=8"))
+    out = subprocess.run(
+        [sys.executable, "-m", "spheremanopt_tpu.run", "kdyn", "--platform",
+         "cpu", "--npts", "16", "--dt", "1e-3", "--n-iters", "5",
+         "--max-iters", "2", "--mesh-shape", "2,4", "--quiet",
+         "--out-dir", str(tmp_path / "k2d")],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-800:]
+    import json as _json
+
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    s = _json.loads(line)
+    assert s["config"]["mesh_shape"] == [2, 4]
+    assert s["iterations"] == 2 and np.isfinite(s["J_final"])
