@@ -10,7 +10,7 @@ optimisation can warm-start from `x_opt`.
 from __future__ import annotations
 
 import os
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 

@@ -6,7 +6,7 @@ API parity). Headless-safe (Agg backend)."""
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 
 def plot_optimisation(

@@ -16,7 +16,7 @@ autodiff of the discrete forward; memory policy is expressed through
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
