@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--ls", choices=["wolfe", "armijo"], default="wolfe")
+    ap.add_argument("--mesh-shape", default=None, metavar="PX,PY",
+                    help="2-D PENCIL decomposition instead of the 1-D "
+                         "slab (KDynConfig.mesh_shape)")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu)")
     args = ap.parse_args()
@@ -74,11 +77,23 @@ def main():
         KinematicDynamo,
     )
 
-    p = KinematicDynamo(KDynConfig(npts=args.npts, n_iters=args.steps,
-                                   dt=1e-3, dtype="float32"))
-    mesh = make_mesh(args.devices)
-    x0 = p.generate_ic(seed=3)
-    x0 = shard_fields(mesh, [np.asarray(x) for x in x0], sharded_dim=1)
+    kw = dict(npts=args.npts, n_iters=args.steps, dt=1e-3, dtype="float32")
+    if args.mesh_shape:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from spheremanopt_tpu.parallel.mesh import make_mesh2d
+
+        px, py = (int(v) for v in args.mesh_shape.split(","))
+        p = KinematicDynamo(KDynConfig(transform="distributed",
+                                       mesh_shape=(px, py), **kw))
+        mesh = make_mesh2d(px, py)
+        sh = NamedSharding(mesh, P(None, "x", "y", None))
+        x0 = [jax.device_put(np.asarray(x), sh) for x in p.generate_ic(seed=3)]
+    else:
+        p = KinematicDynamo(KDynConfig(**kw))
+        mesh = make_mesh(args.devices)
+        x0 = p.generate_ic(seed=3)
+        x0 = shard_fields(mesh, [np.asarray(x) for x in x0], sharded_dim=1)
 
     opt = jit_optimise_on_multi_sphere(
         p.objective_and_gradient, p.inner_product, p.radii,
