@@ -21,6 +21,17 @@ from __future__ import annotations
 import numpy as np
 
 
+
+def _cross(a, b):
+    """3-component cross product over leading axis 0 (shared by the
+    forward induction term and every transpose sweep — one body, no
+    copy-paste surface between a map and its adjoint)."""
+    return np.stack([
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    ])
+
 class KDynNumpy:
     def __init__(self, npts=24, length=2 * np.pi, rm=1.0, dt=5e-4,
                  n_iters=2000, pad_factor=1.5, cost="Final"):
@@ -52,9 +63,18 @@ class KDynNumpy:
         a, nu = 1.0 / dt, 1.0 / (2.0 * rm)
         self.lhs_inv = 1.0 / (a + nu * k2)
         self.rhs_fac = a - nu * k2
-        # transpose weights along the rfft axis
-        self.wD = self.pw                        # doubling for D^T
-        self.wQ = 1.0 / self.pw                  # halving for Q^T
+        # transpose weights along the rfft axis. NOT the Parseval
+        # weights pw: for even n the retained kz = n/2 bin of the
+        # 1.5x-PADDED grid is an interior Hermitian-paired mode, so the
+        # transpose pairing needs weight 2 there even though the energy
+        # weight is 1 (mirrors sh23_numpy.wD[-1] = 2.0). Unobservable
+        # today only because `keep` zeroes that bin everywhere DT/QT
+        # outputs are read — fixed so relaxing `keep` cannot silently
+        # corrupt the adjoint at the Nyquist plane.
+        wzD = np.full(n // 2 + 1, 2.0)
+        wzD[0] = 1.0
+        self.wD = np.broadcast_to(wzD, (n, n, n // 2 + 1)).copy()
+        self.wQ = 1.0 / self.wD                  # halving for Q^T
 
     # --- transforms: (3, n, n, n//2+1) coeff <-> (3, mg, mg, mg) grid ---
     def _pad(self, c):
@@ -98,18 +118,9 @@ class KDynNumpy:
 
     def induction(self, b_c, u_grid):
         b = self.D(b_c)
-        e = np.stack([
-            u_grid[1] * b[2] - u_grid[2] * b[1],
-            u_grid[2] * b[0] - u_grid[0] * b[2],
-            u_grid[0] * b[1] - u_grid[1] * b[0],
-        ])
+        e = _cross(u_grid, b)
         ec = self.Q(e)
-        k = self.k
-        return 1j * np.stack([
-            k[1] * ec[2] - k[2] * ec[1],
-            k[2] * ec[0] - k[0] * ec[2],
-            k[0] * ec[1] - k[1] * ec[0],
-        ])
+        return 1j * _cross(self.k, ec)
 
     def step(self, b_c, u_grid):
         rhs = self.rhs_fac * b_c + self.induction(b_c, u_grid)
@@ -143,29 +154,16 @@ class KDynNumpy:
         # F^T (linear diffusion part)
         lam_prev = self.rhs_fac * wp
         # induction^T: curl self-adjoint, then Q^T, then cross transposes
-        k = self.k
-        g = 1j * np.stack([
-            k[1] * wp[2] - k[2] * wp[1],
-            k[2] * wp[0] - k[0] * wp[2],
-            k[0] * wp[1] - k[1] * wp[0],
-        ])
+        g = 1j * _cross(self.k, wp)
         s = self.QT(g)           # grid-space cotangent of E = U x B
         bg = self.D(b_c)
         # dE/dB^T s = -(U x s);  dE/dU^T s = +(B x s)... E = U x B:
         # w.r.t. B: E = [U]_x B -> transpose = -[U]_x = s x U? compute:
-        dB = np.stack([
-            u_grid[1] * s[2] - u_grid[2] * s[1],
-            u_grid[2] * s[0] - u_grid[0] * s[2],
-            u_grid[0] * s[1] - u_grid[1] * s[0],
-        ])
+        dB = _cross(u_grid, s)
         dB = -dB  # ([U]_x)^T = -[U]_x
         lam_prev = lam_prev + self.DT(dB)
         # w.r.t. U: E = -[B]_x U -> transpose = +[B]_x s = B x s
-        dU = np.stack([
-            bg[1] * s[2] - bg[2] * s[1],
-            bg[2] * s[0] - bg[0] * s[2],
-            bg[0] * s[1] - bg[1] * s[0],
-        ])
+        dU = _cross(bg, s)
         return lam_prev, dU
 
     def gradient(self, b_grid, u_grid):

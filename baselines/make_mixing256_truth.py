@@ -34,6 +34,31 @@ def main():
     x0 = np.asarray(p32.generate_ic(seed=42)[0], np.float64)
     p = OptimalMixing(MixingConfig(dtype="float64", s=1))
     J, g = p.objective_and_gradient([x0])
+
+    # independent cross-validation BEFORE writing, like the kdyn truth
+    # maker: the hand-rolled numpy reverse sweep at REDUCED steps (the
+    # full 1000-step sweep costs 726.7 s; 60 steps exercise the same
+    # solve/transform/NL/mix-norm transposes at ~1/16 the cost), so an
+    # autodiff regression in optimal_mixing.py cannot be baked into the
+    # truth artifact
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from mixing_numpy import MixingNumpy
+
+    n_chk = 60
+    p_chk = OptimalMixing(MixingConfig(dtype="float64", s=1,
+                                       n_iters=n_chk))
+    J_chk, g_chk = p_chk.objective_and_gradient([x0])
+    sim = MixingNumpy(n_iters=n_chk)
+    J_np = sim.forward(x0)
+    rel_j = abs(float(J_chk) - J_np) / abs(J_np)
+    assert rel_j < 1e-12, (float(J_chk), J_np, rel_j)
+    g_np = sim.gradient(x0)
+    rel_g = (np.linalg.norm(np.asarray(g_chk[0]) - g_np)
+             / np.linalg.norm(g_np))
+    assert rel_g < 1e-9, rel_g
+    print(f"numpy cross-check ok at {n_chk} steps: "
+          f"J rel {rel_j:.2e}, grad rel {rel_g:.2e}")
+
     out = os.path.join(os.path.dirname(__file__), "mixing256_truth.npz")
     np.savez_compressed(out, J=np.float64(float(J)),
                         g=np.asarray(g[0], np.float32),

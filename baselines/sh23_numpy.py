@@ -122,7 +122,7 @@ def generate_ic_like(npts=256, pad_factor=2.0, seed=42, e0=0.0725,
     idx = np.arange(sim.K) / float(npts // 2)
     c[idx > 0.5] = 0.0
     c *= np.sqrt(e0 / sim.energy(c))
-    for _ in range(100):
+    for _ in range(sim.n_iters):   # prep length = the constructor's 100
         c = sim.step(c)
     c *= np.sqrt(e0 / sim.energy(c))
     return sim.D(c)

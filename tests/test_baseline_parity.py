@@ -2,13 +2,16 @@
 discrete adjoint, and forward trajectory parity (SURVEY.md section 4
 item d — small-N end-to-end parity runs)."""
 
+import os
 import sys
 
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-sys.path.insert(0, "baselines")
+# anchored on this file, not the cwd, so collection works from anywhere
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "baselines"))
 from sh23_numpy import SH23Numpy, generate_ic_like  # noqa: E402
 
 from spheremanopt_tpu.problems.swift_hohenberg import SH23Config, SwiftHohenberg
@@ -151,9 +154,6 @@ def test_kdyn_full_optimisation_loop_parity_vs_numpy_baseline():
     top of the per-solve gradient parity already pinned."""
     import warnings
 
-    import jax.numpy as jnp
-
-    sys.path.insert(0, "baselines")
     from kdyn_numpy import KDynNumpy
 
     from spheremanopt_tpu.optim.optimiser import optimise_on_multi_sphere
@@ -297,3 +297,52 @@ def test_mixing_full_optimisation_loop_parity_vs_numpy_baseline():
     np.testing.assert_allclose(np.asarray(res_j.x_opt[0]),
                                np.asarray(res_n.x_opt[0]),
                                rtol=1e-8, atol=1e-12)
+
+
+def test_kdyn_numpy_integrated_gradient_matches_autodiff():
+    """Per-solve parity of the hand-rolled KDyn reverse sweep vs jax
+    autodiff for cost='Integrated' — the branch nothing else constructs
+    (self-review r3 coverage hole; previously only the Final-cost
+    optimiser-loop test and the non-pytest truth maker exercised the
+    baseline gradient)."""
+    from kdyn_numpy import KDynNumpy
+
+    from spheremanopt_tpu.problems.kinematic_dynamo import (KDynConfig,
+                                                            KinematicDynamo)
+
+    p = KinematicDynamo(KDynConfig(npts=12, n_iters=30, dt=1e-3,
+                                   cost="Integrated",
+                                   project_gradients=False))
+    x0 = [np.asarray(v) for v in p.generate_ic(seed=2)]
+    J, g = p.objective_and_gradient(x0)
+
+    sim = KDynNumpy(npts=12, dt=1e-3, n_iters=30, cost="Integrated")
+    J_np = sim.forward(x0[0], x0[1])
+    np.testing.assert_allclose(float(J), J_np, rtol=1e-12)
+    gb_np, gu_np = sim.gradient(x0[0], x0[1])
+    np.testing.assert_allclose(np.asarray(g[0]), gb_np, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(g[1]), gu_np, rtol=1e-9, atol=1e-12)
+
+
+def test_kdyn_numpy_transform_transpose_identities():
+    """<D c, v>_grid == Re<c, D^T v> and <Q v, b> == <v, Q^T b> under the
+    PLAIN real pairing sum(re*re + im*im) over the retained band — the
+    3-D analogue of test_numpy_adjoint_transpose_identities (guards the
+    wD/wQ transpose weights, incl. the even-n Nyquist bin fixed r3)."""
+    from kdyn_numpy import KDynNumpy
+
+    sim = KDynNumpy(npts=12, dt=1e-3, n_iters=1)
+    rng = np.random.RandomState(0)
+    shape_c = (3, sim.n, sim.n, sim.n // 2 + 1)
+    c = (rng.randn(*shape_c) + 1j * rng.randn(*shape_c)) * sim.keep
+    b = (rng.randn(*shape_c) + 1j * rng.randn(*shape_c)) * sim.keep
+    v = rng.randn(3, sim.mg, sim.mg, sim.mg)
+
+    def ip_c(a, d):
+        return float(np.sum(a.real * d.real + a.imag * d.imag))
+
+    dt_v = sim.DT(v)
+    np.testing.assert_allclose(float(np.sum(sim.D(c) * v)), ip_c(c, dt_v),
+                               rtol=1e-11)
+    np.testing.assert_allclose(ip_c(sim.Q(v), b),
+                               float(np.sum(v * sim.QT(b))), rtol=1e-11)
