@@ -270,6 +270,39 @@ def test_sharded_shb23_gradient_matches_single_device(eight_devices):
                                rtol=1e-8, atol=1e-12)
 
 
+def test_sharded_shb23_device_loop_trajectory(eight_devices):
+    """SHB23 through the single-jit device-resident Wolfe+CG loop with
+    the grid vector sharded over the 8-device mesh reproduces the
+    single-device trajectory — completing sharded device-loop coverage
+    for the bounded-Chebyshev problem (gradient-only parity was the
+    round-2 residue)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from spheremanopt_tpu.problems.swift_hohenberg_bounded import (
+        SHB23Config, SwiftHohenbergBounded)
+
+    p = SwiftHohenbergBounded(SHB23Config(npts=64, n_iters=40, dt=0.01))
+    opt = jit_optimise_on_multi_sphere(
+        p.objective_and_gradient, p.inner_product, p.radii,
+        max_iters=6, alpha0=1.0, line_search="wolfe", cg=True)
+    x_np = np.asarray(p.generate_ic(seed=4)[0])
+
+    r1 = opt([jax.device_put(x_np, eight_devices[0])])
+    mesh = make_mesh(8)
+    r8 = opt([jax.device_put(x_np, NamedSharding(mesh, P("x")))])
+
+    assert len(r8.x_opt[0].sharding.device_set) == 8, r8.x_opt[0].sharding
+    np.testing.assert_allclose(np.asarray(r8.function_values),
+                               np.asarray(r1.function_values),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(r8.step_sizes),
+                               np.asarray(r1.step_sizes),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(r8.x_opt[0]),
+                               np.asarray(r1.x_opt[0]),
+                               rtol=1e-7, atol=1e-10)
+
+
 def test_nested_remat_composes_with_2d_pencil(eight_devices):
     """The sqrt(N) trajectory-memory policy composed with the 2-D PENCIL
     decomposition (KDynConfig.mesh_shape): KDyn 64^3-class fused
