@@ -22,9 +22,12 @@ class SHB23Numpy:
             SwiftHohenbergBounded,
         )
 
+        # device_ops=False: assembly-only f64 construction — works in
+        # non-x64 processes (the bench child runs on the TPU without
+        # x64); the exact f64 numpy matrices are read directly
         p = SwiftHohenbergBounded(SHB23Config(
             npts=npts, z0=z0, z1=z1, a=a, dt=dt, n_iters=n_iters,
-            dealias_frac=dealias_frac, dtype="float64",
+            dealias_frac=dealias_frac, dtype="float64", device_ops=False,
         ))
         self.n, self.dt, self.n_iters = npts, dt, n_iters
         self.A_lin = np.asarray(p._A_lin, np.float64)

@@ -257,7 +257,12 @@ class OptimalMixing:
         return perm, len(fam_a)
 
     def __init__(self, cfg: MixingConfig = MixingConfig()):
-        check_x64(cfg.dtype)
+        if cfg.device_ops:
+            # device_ops=False constructs NO jax arrays (operator
+            # assembly stays numpy end-to-end for the CPU baselines),
+            # so the x64 truncation hazard check_x64 guards against
+            # cannot occur; solve entry points raise via _solve_ops()
+            check_x64(cfg.dtype)
         check_choice("adjoint", cfg.adjoint, ("discrete", "continuous"))
         check_choice("s", cfg.s, (0, 1))
         self.cfg = cfg
@@ -780,13 +785,24 @@ class OptimalMixing:
         )
         return [jnp.stack([self.to_grid(ua), self.to_grid(wa)])]
 
+    def _solve_ops(self):
+        """Device operator stacks for the solve paths; loud failure for
+        the operator-assembly-only mode (device_ops=False), whose
+        construction skips both device placement and the x64 check."""
+        if self._ops is None:
+            raise RuntimeError(
+                "this OptimalMixing was constructed with device_ops="
+                "False (operator assembly only, e.g. for the numpy "
+                "baselines) — solve paths need device_ops=True")
+        return self._ops
+
     def objective(self, x_list):
-        return self._objective(self._ops, list(x_list))
+        return self._objective(self._solve_ops(), list(x_list))
 
     def gradient(self, x_list):
         if self.cfg.adjoint == "continuous":
-            return self._grad_cnts(self._ops, list(x_list))
-        return self._gradient(self._ops, list(x_list))
+            return self._grad_cnts(self._solve_ops(), list(x_list))
+        return self._gradient(self._solve_ops(), list(x_list))
 
     def objective_and_gradient(self, x_list):
         """Fused (J, gradient); under adjoint='continuous' there is no
@@ -797,9 +813,9 @@ class OptimalMixing:
         (Wolfe fused phi, the device loop) must not mix the two gradient
         definitions (or their paired inner products) in one search."""
         if self.cfg.adjoint == "continuous":
-            return (self._objective(self._ops, list(x_list)),
-                    self._grad_cnts(self._ops, list(x_list)))
-        return self._obj_and_grad(self._ops, list(x_list))
+            return (self._objective(self._solve_ops(), list(x_list)),
+                    self._grad_cnts(self._solve_ops(), list(x_list)))
+        return self._obj_and_grad(self._solve_ops(), list(x_list))
 
     # ------------------------------------------------------------------
     # fused diagnostics: same-solve capture for zero-extra-cost archiving
@@ -819,7 +835,7 @@ class OptimalMixing:
     def objective_and_diagnostics(self, x_list):
         """(J, diagnostics dict) from ONE forward solve (vs `diagnostics`,
         which re-runs it). Used by `io.timeseries.FusedArchiver`."""
-        J, diag = self._obj_and_diag(self._ops, list(x_list))
+        J, diag = self._obj_and_diag(self._solve_ops(), list(x_list))
         return J, self._diag_host(diag)
 
     def objective_gradient_and_diagnostics(self, x_list):
@@ -828,8 +844,8 @@ class OptimalMixing:
         diagnostics-carrying forward — see `objective_and_gradient`)."""
         if self.cfg.adjoint == "continuous":
             J, diag = self.objective_and_diagnostics(x_list)
-            return J, self._grad_cnts(self._ops, list(x_list)), diag
-        J, g, diag = self._obj_grad_and_diag(self._ops, list(x_list))
+            return J, self._grad_cnts(self._solve_ops(), list(x_list)), diag
+        J, g, diag = self._obj_grad_and_diag(self._solve_ops(), list(x_list))
         return J, g, self._diag_host(diag)
 
     @property
@@ -848,8 +864,8 @@ class OptimalMixing:
                 return (self._objective_impl(ops, list(xs)),
                         self._gradient_continuous_impl(ops, list(xs)))
 
-            return fg_cnts, self._ops
-        return self._obj_and_grad, self._ops
+            return fg_cnts, self._solve_ops()
+        return self._obj_and_grad, self._solve_ops()
 
     def inner_product(self, x, y):
         return self._inner(x, y)
@@ -892,7 +908,7 @@ class OptimalMixing:
 
             from spheremanopt_tpu.problems.base import SegmentAdvance
             self._advance = SegmentAdvance(step)
-        return self._advance(state, n_steps, self._ops)
+        return self._advance(state, n_steps, self._solve_ops())
 
     def state_fields(self, state) -> dict:
         if not hasattr(self, "_state_fields_fn"):
@@ -929,7 +945,7 @@ class OptimalMixing:
 
             self._final_fields_fn = run
         return tuple(np.asarray(p[0]) + 1j * np.asarray(p[1])
-                     for p in self._final_fields_fn(self._ops, x))
+                     for p in self._final_fields_fn(self._solve_ops(), x))
 
     def diagnostics(self, x_list) -> dict:
         """KE + buoyancy-variance series, final vorticity and density
@@ -951,6 +967,7 @@ class OptimalMixing:
         `FWD_Solve_Build_Lin` with Sim_Type="Linear",
         `FWD_Solve_Poiseuille.py:480-484,549`)."""
         if not hasattr(self, "_prep_ops_cache"):
+            self._solve_ops()   # assembly-only mode must fail loudly
             S_prep, _ = self._build_operators(dt=self.cfg.prep_dt,
                                               build_mixnorm=False)
             self._prep_ops_cache = self._put_op(S_prep)

@@ -59,6 +59,9 @@ class SHB23Config:
     dealias_frac: float = 0.5    # zero coefficients with n >= frac * N
     adjoint: str = "discrete"    # "discrete" (autodiff) | "continuous"
                                  # (adjoint PDE, ref ADJ_Solve_IVP_Cnts)
+    device_ops: bool = True      # False: operator assembly only (the
+                                 # numpy CPU baselines read the exact
+                                 # f64 matrices; solve paths raise)
     method: str = "matmul"       # "matmul" (XLA scan) | "pallas" (both
                                  # propagator matrices pinned in VMEM for
                                  # the whole forward AND reverse sweep)
@@ -72,7 +75,11 @@ class SwiftHohenbergBounded:
     """SHB23 problem: callable triple + IC generation for the optimiser."""
 
     def __init__(self, cfg: SHB23Config = SHB23Config()):
-        check_x64(cfg.dtype)
+        if cfg.device_ops:
+            # assembly-only construction (device_ops=False) creates no
+            # jax arrays — _A_lin/_A_nl/_w stay numpy — so the x64
+            # truncation hazard cannot occur; solves raise loudly below
+            check_x64(cfg.dtype)
         check_choice("method", cfg.method, ("matmul", "pallas"))
         check_choice("adjoint", cfg.adjoint, ("discrete", "continuous"))
         self.cfg = cfg
@@ -273,10 +280,22 @@ class SwiftHohenbergBounded:
         q, _ = jax.lax.scan(adj_body, q0, snaps, reverse=True)
         return [q]
 
+    def _require_solve(self):
+        """Loud failure for the assembly-only mode (device_ops=False),
+        whose construction skips the x64 check: running a solve there
+        would silently truncate the f64 operators to f32."""
+        if not self.cfg.device_ops:
+            raise RuntimeError(
+                "this SwiftHohenbergBounded was constructed with "
+                "device_ops=False (operator assembly only, e.g. for the "
+                "numpy baselines) — solve paths need device_ops=True")
+
     def objective(self, x_list):
+        self._require_solve()
         return self._objective(list(x_list))
 
     def gradient(self, x_list):
+        self._require_solve()
         if self.cfg.adjoint == "continuous":
             return self._grad_cnts(list(x_list))
         return self._gradient(list(x_list))
@@ -287,6 +306,7 @@ class SwiftHohenbergBounded:
         integration, not the VJP of the discrete forward), so the mode's
         gradient is paired with a separate forward — f_and_g consumers
         (Wolfe fused phi) must not mix gradient definitions."""
+        self._require_solve()
         if self.cfg.adjoint == "continuous":
             return self._objective(list(x_list)), self._grad_cnts(list(x_list))
         return self._obj_and_grad(list(x_list))
@@ -320,6 +340,7 @@ class SwiftHohenbergBounded:
     def objective_and_diagnostics(self, x_list):
         """(J, diagnostics dict) from ONE forward solve (vs `diagnostics`,
         which re-runs it). Used by `io.timeseries.FusedArchiver`."""
+        self._require_solve()
         if self._obj_and_diag is None:
             raise ValueError("fused diagnostics unavailable for "
                              f"method={self.cfg.method!r}")
@@ -330,6 +351,7 @@ class SwiftHohenbergBounded:
         """(J, grads, diagnostics) from one fused fwd+bwd solve (or, under
         adjoint='continuous', the mode's own gradient next to the
         diagnostics-carrying forward — see `objective_and_gradient`)."""
+        self._require_solve()
         if self._obj_grad_and_diag is None:
             raise ValueError("fused diagnostics unavailable for "
                              f"method={self.cfg.method!r}")
@@ -340,12 +362,14 @@ class SwiftHohenbergBounded:
         return J, g, self._diag_host(x_list, diag)
 
     def final_state(self, x_list) -> jnp.ndarray:
+        self._require_solve()
         u, _ = self._integrate(jnp.asarray(x_list[0], self._rdtype), self.cfg.n_iters)
         return u
 
     def diagnostics(self, x_list) -> dict:
         """Per-step KE series + initial/final states (the reference's
         scalar_data/CheckPoints h5 payloads, `FWD_Solve_SHB23.py:604-676`)."""
+        self._require_solve()
         u0 = jnp.asarray(x_list[0], self._rdtype)
         if not hasattr(self, "_diagnostics_fn"):
             @jax.jit
@@ -373,6 +397,7 @@ class SwiftHohenbergBounded:
     # ------------------------------------------------------------------
 
     def generate_ic(self, seed: int = 42, m0: float = None) -> List[jnp.ndarray]:
+        self._require_solve()
         m0 = self.cfg.m0 if m0 is None else m0
         prep = SwiftHohenbergBounded(
             SHB23Config(
