@@ -1,8 +1,12 @@
 """Generalised VMEM-resident fused integrator: u' = A u + B g(u).
 
 Covers every 1D problem in the framework:
-  * SH23:  u' = M(u/dt + 1.8u^2 - u^3)  ->  A = M/dt, B = M, g = c2,c3
-  * SHB23: u' = A_lin u + A_nl (2u^2 - u^3)
+  * SH23:  u' = M(u/dt + 1.8u^2 - u^3): ONE matrix — served by the
+    shared-matrix variant `fused_objective_shared` (u' = B(lin u + g),
+    a single MXU dot per forward step and a single transposed dot per
+    reverse step — half the two-matrix form's MXU work)
+  * SHB23: u' = A_lin u + A_nl (2u^2 - u^3): genuinely two matrices
+    (A_nl carries the dealias projector), two-dot `fused_objective`
 
 Both the FORWARD (timestepping + weighted Euler-rule cost accumulation +
 trajectory capture) and the BACKWARD (reverse sweep with the transposed
@@ -114,6 +118,157 @@ def _bwd_kernel(a_ref, b_ref, w_ref, uT_ref, traj_ref, sc_ref,
     lam_ref[:] = lam
 
 
+def _fwd_kernel_notraj(a_ref, b_ref, w_ref, u0_ref, sc_ref, uT_ref, j_ref,
+                       *, n_steps: int):
+    """Objective-only forward: same stepping/cost ops as `_fwd_kernel`
+    but WITHOUT materialising (and flushing to HBM) the trajectory the
+    primal call discards — used by the primal `fused_objective`; the
+    custom_vjp forward rule keeps the trajectory-storing kernel."""
+    c2 = sc_ref[0, 0]
+    c3 = sc_ref[0, 1]
+    a = a_ref[:]
+    b = b_ref[:]
+    w = w_ref[:]
+
+    def mm(mat, vec_tile):
+        return jax.lax.dot_general(
+            vec_tile, mat, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI,
+        )
+
+    def kadd(acc, comp, value):
+        from spheremanopt_tpu.solvers.scan_utils import kahan_add
+
+        return kahan_add((acc, comp), value)
+
+    def body(i, carry):
+        u, acc, comp = carry
+        acc, comp = kadd(acc, comp, jnp.sum(w[0, :] * u[0, :] * u[0, :]))
+        g = c2 * u * u + c3 * u * u * u
+        u_new = mm(a, u) + mm(b, g)
+        return (u_new, acc, comp)
+
+    u, acc, comp = jax.lax.fori_loop(
+        0, n_steps, body, (u0_ref[:], jnp.float32(0.0), jnp.float32(0.0))
+    )
+    acc, _ = kadd(acc, comp, jnp.sum(w[0, :] * u[0, :] * u[0, :]))
+    uT_ref[:] = u
+    j_ref[0, 0] = acc
+
+
+# ---------------------------------------------------------------------------
+# shared-matrix variant: u' = B (lin u + g(u))
+#
+# SH23's step is ONE matrix — u' = M(u/dt + g), i.e. A = B/dt — so the
+# generalised two-matrix kernel runs twice the MXU work it needs. The
+# shared form folds the linear term into the nonlinear rhs and runs ONE
+# dot per forward step and ONE transposed dot per reverse step.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel_shared(b_ref, w_ref, u0_ref, sc_ref, uT_ref, j_ref, traj_ref,
+                       *, n_steps: int):
+    c2 = sc_ref[0, 0]
+    c3 = sc_ref[0, 1]
+    lin = sc_ref[0, 2]
+    b = b_ref[:]
+    w = w_ref[:]
+
+    def mm(mat, vec_tile):
+        return jax.lax.dot_general(
+            vec_tile, mat, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI,
+        )
+
+    def kadd(acc, comp, value):
+        from spheremanopt_tpu.solvers.scan_utils import kahan_add
+
+        return kahan_add((acc, comp), value)
+
+    def body(i, carry):
+        u, acc, comp = carry
+        traj_ref[i, :] = u[0, :]
+        acc, comp = kadd(acc, comp, jnp.sum(w[0, :] * u[0, :] * u[0, :]))
+        v = lin * u + c2 * u * u + c3 * u * u * u
+        return (mm(b, v), acc, comp)
+
+    u, acc, comp = jax.lax.fori_loop(
+        0, n_steps, body, (u0_ref[:], jnp.float32(0.0), jnp.float32(0.0))
+    )
+    acc, _ = kadd(acc, comp, jnp.sum(w[0, :] * u[0, :] * u[0, :]))
+    uT_ref[:] = u
+    j_ref[0, 0] = acc
+
+
+def _fwd_kernel_shared_notraj(b_ref, w_ref, u0_ref, sc_ref, uT_ref, j_ref,
+                              *, n_steps: int):
+    c2 = sc_ref[0, 0]
+    c3 = sc_ref[0, 1]
+    lin = sc_ref[0, 2]
+    b = b_ref[:]
+    w = w_ref[:]
+
+    def mm(mat, vec_tile):
+        return jax.lax.dot_general(
+            vec_tile, mat, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI,
+        )
+
+    def kadd(acc, comp, value):
+        from spheremanopt_tpu.solvers.scan_utils import kahan_add
+
+        return kahan_add((acc, comp), value)
+
+    def body(i, carry):
+        u, acc, comp = carry
+        acc, comp = kadd(acc, comp, jnp.sum(w[0, :] * u[0, :] * u[0, :]))
+        v = lin * u + c2 * u * u + c3 * u * u * u
+        return (mm(b, v), acc, comp)
+
+    u, acc, comp = jax.lax.fori_loop(
+        0, n_steps, body, (u0_ref[:], jnp.float32(0.0), jnp.float32(0.0))
+    )
+    acc, _ = kadd(acc, comp, jnp.sum(w[0, :] * u[0, :] * u[0, :]))
+    uT_ref[:] = u
+    j_ref[0, 0] = acc
+
+
+def _bwd_kernel_shared(b_ref, w_ref, uT_ref, traj_ref, sc_ref,
+                       lam_ref, db_ref, *, n_steps: int, op_grads: bool):
+    """Reverse sweep of the shared-matrix step (one transposed dot):
+    lam_n = (lin + g'(u_n)) . (B^T lam_{n+1}) + scale * w * u_n,
+    dB += lam_{n+1} (x) (lin u_n + g(u_n))."""
+    c2 = sc_ref[0, 0]
+    c3 = sc_ref[0, 1]
+    lin = sc_ref[0, 2]
+    scale = sc_ref[0, 3]   # = -gbar * dt * 2
+    b = b_ref[:]
+    w = w_ref[:]
+
+    def mmT(mat, vec_tile):
+        return jax.lax.dot_general(
+            vec_tile, mat, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI,
+        )
+
+    db_ref[:] = jnp.zeros_like(db_ref)
+    lam0 = scale * (w * uT_ref[:])
+
+    def body(k, lam):
+        i = n_steps - 1 - k
+        u_row = traj_ref[i, :].reshape(1, -1)
+        if op_grads:  # static: operator cotangent requested
+            v_row = lin * u_row + c2 * u_row * u_row \
+                + c3 * u_row * u_row * u_row
+            db_ref[:, :] += lam[0, :].reshape(-1, 1) * v_row
+        wb = mmT(b, lam)
+        vprime = lin + 2.0 * c2 * u_row + 3.0 * c3 * u_row * u_row
+        return vprime * wb + scale * (w * u_row)
+
+    lam = jax.lax.fori_loop(0, n_steps, body, lam0)
+    lam_ref[:] = lam
+
+
 def _run_fwd(a, b, w, u0, c2, c3, n_steps, interpret):
     mg = u0.shape[-1]
     u0_t = jnp.zeros((8, mg), jnp.float32).at[0, :].set(u0)
@@ -136,6 +291,85 @@ def _run_fwd(a, b, w, u0, c2, c3, n_steps, interpret):
         interpret=interpret,
     )(a, b, w_t, u0_t, sc)
     return uT, Jsum[0, 0], traj
+
+
+def _run_fwd_notraj(a, b, w, u0, c2, c3, n_steps, interpret):
+    mg = u0.shape[-1]
+    u0_t = jnp.zeros((8, mg), jnp.float32).at[0, :].set(u0)
+    w_t = jnp.zeros((8, mg), jnp.float32).at[0, :].set(w)
+    sc = jnp.asarray([[c2, c3]], jnp.float32)
+    uT, Jsum = pl.pallas_call(
+        partial(_fwd_kernel_notraj, n_steps=n_steps),
+        out_shape=(
+            jax.ShapeDtypeStruct((8, mg), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        interpret=interpret,
+    )(a, b, w_t, u0_t, sc)
+    return Jsum[0, 0]
+
+
+def _run_fwd_shared(b, w, u0, c2, c3, lin, n_steps, interpret,
+                    store_traj=True):
+    mg = u0.shape[-1]
+    u0_t = jnp.zeros((8, mg), jnp.float32).at[0, :].set(u0)
+    w_t = jnp.zeros((8, mg), jnp.float32).at[0, :].set(w)
+    sc = jnp.asarray([[c2, c3, lin]], jnp.float32)
+    out_shape = [
+        jax.ShapeDtypeStruct((8, mg), jnp.float32),
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    if store_traj:
+        out_shape.append(jax.ShapeDtypeStruct((n_steps, mg), jnp.float32))
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        kern = _fwd_kernel_shared
+    else:
+        kern = _fwd_kernel_shared_notraj
+    out = pl.pallas_call(
+        partial(kern, n_steps=n_steps),
+        out_shape=tuple(out_shape),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=tuple(out_specs),
+        interpret=interpret,
+    )(b, w_t, u0_t, sc)
+    if store_traj:
+        uT, Jsum, traj = out
+        return uT, Jsum[0, 0], traj
+    uT, Jsum = out
+    return uT, Jsum[0, 0]
+
+
+def _run_bwd_shared(b, w, uT, traj, c2, c3, lin, scale, n_steps, interpret,
+                    op_grads=True):
+    mg = uT.shape[-1]
+    w_t = jnp.zeros((8, mg), jnp.float32).at[0, :].set(w)
+    sc = jnp.asarray([[c2, c3, lin, scale]], jnp.float32)
+    lam, db = pl.pallas_call(
+        partial(_bwd_kernel_shared, n_steps=n_steps, op_grads=op_grads),
+        out_shape=(
+            jax.ShapeDtypeStruct((8, mg), jnp.float32),
+            jax.ShapeDtypeStruct((mg, mg), jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(b, w_t, uT, traj, sc)
+    return lam[0, :], db
 
 
 def _run_bwd(a, b, w, uT, traj, c2, c3, scale, n_steps, interpret,
@@ -174,8 +408,9 @@ def fused_objective(a, b, w, u0, c2: float, c3: float, dt: float,
     (returning zero cotangents for A/B) — an explicit opt-out for the
     common case where the operators are fixed problem data; leave it
     True whenever differentiating w.r.t. the operators."""
-    _, Jsum, _ = _run_fwd(a, b, w, u0, c2, c3, n_steps, interpret)
-    return -dt * Jsum
+    # primal-only call: trajectory-free kernel (no HBM flush of a
+    # trajectory nobody reads); grad contexts go through _vjp_fwd below
+    return -dt * _run_fwd_notraj(a, b, w, u0, c2, c3, n_steps, interpret)
 
 
 def _vjp_fwd(a, b, w, u0, c2, c3, dt, n_steps, interpret, op_grads):
@@ -196,3 +431,37 @@ def _vjp_bwd(c2, c3, dt, n_steps, interpret, op_grads, res, gbar):
 
 
 fused_objective.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def fused_objective_shared(b, w, u0, c2: float, c3: float, lin: float,
+                           dt: float, n_steps: int, interpret: bool = False,
+                           op_grads: bool = True):
+    """Shared-matrix form of `fused_objective`: -J with
+    J = dt * sum_{n=0..n_steps} sum_j w_j u_n,j^2 under
+    u' = B (lin u + c2 u^2 + c3 u^3). Differentiable in u0, B, w.
+
+    Equivalent to `fused_objective(lin*B, B, ...)` but runs ONE MXU dot
+    per forward step and ONE transposed dot per reverse step instead of
+    two — SH23's step is exactly this shape (u' = M(u/dt + g), so
+    B = M, lin = 1/dt; `FWD_Solve_SH23.py:308-325`'s SBDF1 LHS)."""
+    return -dt * _run_fwd_shared(b, w, u0, c2, c3, lin, n_steps, interpret,
+                                 store_traj=False)[1]
+
+
+def _vjp_fwd_shared(b, w, u0, c2, c3, lin, dt, n_steps, interpret, op_grads):
+    uT, Jsum, traj = _run_fwd_shared(b, w, u0, c2, c3, lin, n_steps,
+                                     interpret, store_traj=True)
+    return -dt * Jsum, (b, w, uT, traj)
+
+
+def _vjp_bwd_shared(c2, c3, lin, dt, n_steps, interpret, op_grads, res, gbar):
+    b, w, uT, traj = res
+    lam, db = _run_bwd_shared(b, w, uT, traj, c2, c3, lin,
+                              jnp.float32(-2.0 * dt) * gbar, n_steps,
+                              interpret, op_grads=op_grads)
+    dw = gbar * (-dt) * (jnp.sum(traj * traj, axis=0) + uT[0, :] * uT[0, :])
+    return (db, dw, lam)
+
+
+fused_objective_shared.defvjp(_vjp_fwd_shared, _vjp_bwd_shared)

@@ -145,14 +145,16 @@ class SwiftHohenberg:
                     "method='pallas' is an f32 TPU kernel; use "
                     "dtype='float32' (or method='matmul' for f64 runs)"
                 )
-            # generalised two-matrix kernel: u' = (M/dt) u + M g(u), cost
-            # weights = grid mean; BOTH sweeps VMEM-resident
+            # shared-matrix kernel: the SH23 step is ONE matrix,
+            # u' = M (u/dt + g(u)), so the kernel runs a single MXU dot
+            # per forward step and a single transposed dot per reverse
+            # step (half the two-matrix form's MXU work); cost weights =
+            # grid mean; BOTH sweeps VMEM-resident
             from spheremanopt_tpu.ops.pallas.fused_two_matrix import (
-                fused_objective,
+                fused_objective_shared,
             )
 
             mg = self.basis.n_grid
-            a32 = (self._M / cfg.dt).astype(np.float32)
             b32 = self._M.astype(np.float32)
             w32 = np.full(mg, 1.0 / mg, np.float32)
             p32 = self._P.astype(np.float32)
@@ -161,9 +163,10 @@ class SwiftHohenberg:
             def obj_pl(xs):
                 u0 = jnp.dot(jnp.asarray(p32), xs[0].astype(jnp.float32),
                              preferred_element_type=jnp.float32)
-                return fused_objective(
-                    jnp.asarray(a32), jnp.asarray(b32), jnp.asarray(w32),
-                    u0, 1.8, -1.0, cfg.dt, cfg.n_iters, interp, False,
+                return fused_objective_shared(
+                    jnp.asarray(b32), jnp.asarray(w32),
+                    u0, 1.8, -1.0, 1.0 / cfg.dt, cfg.dt, cfg.n_iters,
+                    interp, False,
                 )
 
             self._objective = jax.jit(obj_pl)

@@ -100,6 +100,97 @@ def test_method_pallas_problem_integration():
     np.testing.assert_allclose(float(Jf), float(pp.objective(x0)), rtol=1e-6)
 
 
+def test_shared_kernel_matches_two_matrix_and_xla(setup):
+    """fused_objective_shared(B, lin=1/dt) == fused_objective(B/dt, B)
+    for objective AND u0-gradient, and both match the XLA matmul path."""
+    from spheremanopt_tpu.ops.pallas.fused_two_matrix import (
+        fused_objective_shared,
+    )
+
+    p, x0 = setup
+    a, b, w = _sh23_args(p)
+    pmat = jnp.asarray(p._P.astype(np.float32))
+    u0 = jnp.dot(pmat, x0[0])
+    lin = 1.0 / p.cfg.dt
+
+    J_sh = float(fused_objective_shared(b, w, u0, 1.8, -1.0, lin,
+                                        p.cfg.dt, p.cfg.n_iters, True))
+    J_2m = float(fused_objective(a, b, w, u0, 1.8, -1.0, p.cfg.dt,
+                                 p.cfg.n_iters, True))
+    J_xla = float(p.objective(x0))
+    assert abs(J_sh - J_2m) / abs(J_2m) < 1e-6, (J_sh, J_2m)
+    assert abs(J_sh - J_xla) / abs(J_xla) < 1e-5
+
+    def obj_sh(v):
+        return fused_objective_shared(b, w, jnp.dot(pmat, v), 1.8, -1.0,
+                                      lin, p.cfg.dt, p.cfg.n_iters, True)
+
+    g_sh = jax.grad(obj_sh)(x0[0])
+    g_xla = p.gradient(x0)[0] / p.basis.n_grid  # raw (un-Riesz) gradient
+    rel = float(jnp.linalg.norm(g_sh - g_xla) / jnp.linalg.norm(g_xla))
+    assert rel < 1e-5, rel
+
+
+def test_shared_kernel_operator_and_weight_cotangents(setup):
+    """FD directional checks of EVERY differentiable cotangent of the
+    shared kernel (B, w, u0) — repo custom_vjp rule (b)."""
+    from spheremanopt_tpu.ops.pallas.fused_two_matrix import (
+        fused_objective_shared,
+    )
+
+    p, x0 = setup
+    _, b, w = _sh23_args(p)
+    u0 = jnp.dot(jnp.asarray(p._P.astype(np.float32)), x0[0])
+    lin = 1.0 / p.cfg.dt
+    n = 20
+
+    def obj(b, w, u0):
+        return fused_objective_shared(b, w, u0, 1.8, -1.0, lin,
+                                      p.cfg.dt, n, True)
+
+    rng = np.random.RandomState(3)
+    grads = jax.grad(obj, argnums=(0, 1, 2))(b, w, u0)
+    for idx, (arg, g) in enumerate(zip((b, w, u0), grads)):
+        assert float(jnp.abs(g).max()) > 0.0, idx
+        v = jnp.asarray(rng.randn(*np.shape(arg)).astype(np.float32))
+        v = v / jnp.linalg.norm(v)
+        # u0 needs a larger step: at eps=1e-3 the f32 central difference
+        # is roundoff-limited (~0.6% FD error; the u0 gradient is
+        # independently checked to 1e-5 vs XLA autodiff above)
+        eps = 5e-3 if idx == 2 else 1e-3
+        args_p = [b, w, u0]
+        args_m = [b, w, u0]
+        args_p[idx] = arg + eps * v
+        args_m[idx] = arg - eps * v
+        fd = (float(obj(*args_p)) - float(obj(*args_m))) / (2 * eps)
+        ad = float(jnp.sum(g * v))
+        assert abs(fd - ad) < 5e-3 * max(abs(fd), 1e-6), (idx, fd, ad)
+
+
+def test_shared_kernel_op_grads_false_zero_db(setup):
+    """op_grads=False returns a zero B-cotangent but the exact
+    u0-gradient (matches op_grads=True)."""
+    from spheremanopt_tpu.ops.pallas.fused_two_matrix import (
+        fused_objective_shared,
+    )
+
+    p, x0 = setup
+    _, b, w = _sh23_args(p)
+    u0 = jnp.dot(jnp.asarray(p._P.astype(np.float32)), x0[0])
+    lin = 1.0 / p.cfg.dt
+
+    def obj(b, u0, op_grads):
+        return fused_objective_shared(b, w, u0, 1.8, -1.0, lin,
+                                      p.cfg.dt, 20, True, op_grads)
+
+    db_off, g_off = jax.grad(lambda b, u: obj(b, u, False),
+                             argnums=(0, 1))(b, u0)
+    _, g_on = jax.grad(lambda b, u: obj(b, u, True), argnums=(0, 1))(b, u0)
+    assert float(jnp.abs(db_off).max()) == 0.0
+    np.testing.assert_allclose(np.asarray(g_off), np.asarray(g_on),
+                               rtol=1e-6)
+
+
 def test_two_matrix_kernel_shb23_parity():
     """Generalised fused kernel (interpret) matches the SHB23 XLA path
     for objective + gradient, and op_grads=True matches FD for dA."""
