@@ -118,6 +118,39 @@ def test_vmapped_batch_sweep_matches_unbatched():
                                    rtol=1e-9, atol=1e-12)
 
 
+def test_vmapped_mixing_sweep_with_aux_operand_matches_unbatched():
+    """Batched mixing optimisations share ONE operator-stack operand:
+    `jax.vmap(..., in_axes=(0, 0, None))` threads the per-kx solve
+    stacks through the driver jit unbatched (broadcast), so a B-point
+    E0 sweep streams the operators once per step for the WHOLE batch —
+    the structural reason the batched mixing sweep is cheap (the per-kx
+    matvec uses 2 of 128 MXU lanes; batching widens it). Every row must
+    equal its unbatched run (examples/mixing_e0_sweep.py)."""
+    from spheremanopt_tpu.problems.optimal_mixing import (
+        MixingConfig, OptimalMixing)
+
+    p = OptimalMixing(MixingConfig(nx=16, nz=16, n_iters=16,
+                                   prep_steps=4, s=1))
+    fg, ops = p.objective_and_gradient_aux
+    opt = jit_optimise_on_multi_sphere(
+        fg, p.inner_product, p.radii,
+        max_iters=3, alpha0=10.0, cg=True, line_search="wolfe")
+    x0s = jnp.stack([p.generate_ic(seed=s)[0] for s in range(2)])
+    e0s = jnp.asarray([0.02, 0.05])
+    batched = jax.jit(jax.vmap(
+        lambda x, r, a: opt([x], radii_dyn=[r], aux=a),
+        in_axes=(0, 0, None)))
+    res = batched(x0s, e0s, ops)
+    for i in range(2):
+        r1 = opt([x0s[i]], radii_dyn=[e0s[i]], aux=ops)
+        np.testing.assert_allclose(np.asarray(res.function_values[i]),
+                                   np.asarray(r1.function_values),
+                                   rtol=1e-10, atol=1e-14)
+        np.testing.assert_allclose(np.asarray(res.x_opt[0][i]),
+                                   np.asarray(r1.x_opt[0]),
+                                   rtol=1e-9, atol=1e-12)
+
+
 @pytest.mark.parametrize("make", [
     lambda m: SwiftHohenberg(SH23Config(
         npts=48, n_iters=40, dt=0.05, dtype="float32", method=m)),
