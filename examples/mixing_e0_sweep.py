@@ -7,12 +7,16 @@ Here the WHOLE E0 sweep runs as one vmapped device-loop executable:
 B complete strong-Wolfe+CG optimisations (1000-step Boussinesq forward
 + adjoint solves per line-search trial) batched onto the chip.
 
-Structurally this batching is nearly free: the per-kx tau solve applies
-a (3nz, 3nz) operator plane to a (3nz, 2) packed rhs — 2 of 128 MXU
-lanes. Batching widens the rhs to (3nz, 2B) while the VMEM-resident
-operator stacks (threaded ONCE as an unbatched vmap operand,
-in_axes=None — embedding them as constants is rejected by the compile
-tunnel) are read once per step for the whole batch.
+The operator stacks are threaded ONCE as an unbatched vmap operand
+(in_axes=None — embedding them as constants is rejected by the compile
+tunnel), so each step reads them once for the whole batch. Measured
+(v5e, B=8, full reference config): batched 6.9 s vs sequential 7.9 s
+per optimisation — +15% throughput plus one-dispatch amortisation, NOT
+the ~Bx an MXU-lane argument predicts ((3nz,384)@(384,2) uses 2 of 128
+lanes): consistent with the KDyn batched-scaling finding (BASELINE.md)
+that these scan bodies sit at a per-element VMEM-traffic floor, which
+batching multiplies. The capability value is the study-in-one-program:
+the whole mix-norm-vs-E0 curve from one compile + one dispatch.
 
 Run: python examples/mixing_e0_sweep.py [B]
 """

@@ -122,10 +122,10 @@ def test_vmapped_mixing_sweep_with_aux_operand_matches_unbatched():
     """Batched mixing optimisations share ONE operator-stack operand:
     `jax.vmap(..., in_axes=(0, 0, None))` threads the per-kx solve
     stacks through the driver jit unbatched (broadcast), so a B-point
-    E0 sweep streams the operators once per step for the WHOLE batch —
-    the structural reason the batched mixing sweep is cheap (the per-kx
-    matvec uses 2 of 128 MXU lanes; batching widens it). Every row must
-    equal its unbatched run (examples/mixing_e0_sweep.py)."""
+    E0 sweep reads the operators once per step for the WHOLE batch.
+    Every row must equal its unbatched run
+    (examples/mixing_e0_sweep.py; measured +15% throughput at B=8 —
+    the value is the one-executable study, see the example docstring)."""
     from spheremanopt_tpu.problems.optimal_mixing import (
         MixingConfig, OptimalMixing)
 
