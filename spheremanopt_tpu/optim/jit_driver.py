@@ -48,6 +48,32 @@ from spheremanopt_tpu.optim.device_wolfe import device_armijo, device_wolfe
 from spheremanopt_tpu.optim.optimiser import _curv_eps
 
 
+def _early_exit_loop(lo: int, hi: int, body, init, *, active_idx: int):
+    """`fori_loop(lo, hi, body, init)` that STOPS once the carry's
+    `active` flag (position `active_idx`) goes False — each masked
+    post-convergence iteration of the optimiser body still costs full
+    forward+adjoint PDE solves, so a max_iters=200 run that converges
+    at 7 would otherwise pay 200 (measured: SHB23 pallas device loop,
+    max_iters=50, converged at 11: 3.45 s as fori vs the work of 11).
+    Under `jax.vmap` the predicate is batch-reduced by while_loop
+    semantics (runs until EVERY row converges, inactive rows masked by
+    the body exactly as before), preserving row-exactness of batched
+    sweeps. History tails differ from the fori form only in padding:
+    frozen -J/residual fill becomes zeros past the last live iteration
+    (`iterations` counts are unchanged)."""
+
+    def cond(state):
+        i, carry = state
+        return jnp.logical_and(i < hi, jnp.any(carry[active_idx]))
+
+    def wbody(state):
+        i, carry = state
+        return (i + 1, body(i, carry))
+
+    _, carry = jax.lax.while_loop(cond, wbody, (jnp.asarray(lo), init))
+    return carry
+
+
 class JitOptResult(NamedTuple):
     x_opt: List[jnp.ndarray]
     function_values: jnp.ndarray   # (max_iters,) -J_k (reference convention)
@@ -283,9 +309,8 @@ def jit_optimise_on_multi_sphere(
         init = (xs, J0, g0, g0, [-g for g in g0],
                 jnp.asarray(alpha0 / 2.0, dtype), jnp.asarray(True),
                 (J_hist, r_hist, a_hist))
-        xs, J, gs, _, _, _, active, (J_hist, r_hist, a_hist) = jax.lax.fori_loop(
-            0, max_iters, body, init
-        )
+        carry = _early_exit_loop(0, max_iters, body, init, active_idx=6)
+        xs, J, gs, _, _, _, active, (J_hist, r_hist, a_hist) = carry
         n_done = jnp.sum(a_hist > 0)
         return JitOptResult(xs, J_hist, r_hist, a_hist, n_done)
 
@@ -431,8 +456,8 @@ def jit_optimise_on_multi_sphere(
             lb0 = ()
         init = (xs, J, J_old, has_old, gs, g0, ds0, active, lb0,
                 (J_hist, r_hist, a_hist))
-        xs, J, _, _, gs, _, _, active, _, (J_hist, r_hist, a_hist) = (
-            jax.lax.fori_loop(1, max_iters, body, init))
+        carry = _early_exit_loop(1, max_iters, body, init, active_idx=7)
+        xs, J, _, _, gs, _, _, active, _, (J_hist, r_hist, a_hist) = carry
         n_done = jnp.sum(a_hist > 0)
         return JitOptResult(xs, J_hist, r_hist, a_hist, n_done)
 
