@@ -425,6 +425,29 @@ class OptimalMixing:
 
     def _build_operators(self, adjoint: bool = False, dt: float = None,
                          build_mixnorm: bool = True):
+        """Content-keyed disk cache around `_build_operators_uncached`:
+        the f64 tau assembly + inversions cost ~10 s at the reference
+        resolution and ~8 min per stack at 512x256 on one CPU core —
+        per process. Same policy as the persistent XLA compile cache
+        (CLAUDE.md rule 8); disable with SMO_OP_CACHE=0."""
+        from spheremanopt_tpu.utils.opcache import cached_arrays
+
+        cfg = self.cfg
+        key = dict(problem="mixing", nx=cfg.nx, nz=cfg.nz, lx=cfg.lx,
+                   reynolds=cfg.reynolds, richardson=cfg.richardson,
+                   prandtl=cfg.prandtl,
+                   dt=float(cfg.dt if dt is None else dt),
+                   adjoint=bool(adjoint), build_mixnorm=bool(build_mixnorm))
+        S, MN = cached_arrays(
+            key,
+            lambda: self._build_operators_uncached(adjoint, dt,
+                                                   build_mixnorm),
+            ("S", "MN"))
+        return S, MN
+
+    def _build_operators_uncached(self, adjoint: bool = False,
+                                  dt: float = None,
+                                  build_mixnorm: bool = True):
         cfg = self.cfg
         nz = cfg.nz
         I = np.eye(nz)
