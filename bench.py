@@ -526,7 +526,42 @@ def _secondary(name, pre):
     if name == "shb23_pallas":
         t, _J = bench_shb23_pallas()
         return {"ms": t}
+    if name == "sh23_workload":
+        return bench_sh23_workload()
     raise ValueError(f"unknown secondary bench {name!r}")
+
+
+def bench_sh23_workload(repeats=3):
+    """COMPLETE SH23 reference optimisation (the ref `__main__` config:
+    max_iters=200, Wolfe+CG, alpha0=pi) as ONE device-loop executable
+    (optim/jit_driver, method='pallas', early convergence exit). This is
+    the end-to-end number a reference user experiences: wall-clock for
+    the whole optimisation, not one fwd+grad unit."""
+    import jax
+    import jax.numpy as jnp
+
+    from spheremanopt_tpu.optim.jit_driver import jit_optimise_on_multi_sphere
+    from spheremanopt_tpu.problems.swift_hohenberg import (
+        SH23Config, SwiftHohenberg)
+
+    p = SwiftHohenberg(SH23Config(npts=NPTS, n_iters=N_ITERS, dt=DT, e0=E0,
+                                  dtype="float32", method="pallas"))
+    opt = jit_optimise_on_multi_sphere(
+        p.objective_and_gradient, p.inner_product, p.radii,
+        max_iters=200, alpha0=float(np.pi), cg=True, line_search="wolfe")
+    x0 = [jnp.asarray(np.asarray(p.generate_ic(seed=42)[0]), jnp.float32)]
+    r = opt(x0)
+    _ = float(jnp.sum(r.function_values))   # compile + drain
+    best = None
+    for _i in range(repeats):
+        t0 = time.perf_counter()
+        r = opt(x0)
+        jf = np.asarray(r.function_values)  # value pull ends the timing
+        dt_s = time.perf_counter() - t0
+        best = dt_s if best is None else min(best, dt_s)
+    k = int(r.iterations)
+    return {"total_s": best, "iterations": k,
+            "J_final": float(jf[max(k - 1, 0)])}
 
 
 def main():
@@ -627,7 +662,7 @@ def main():
     # the persistent cache holds their Mosaic compiles)
     runners = ["mixing_256x128", "shb23_512", "kdyn48_scale"]
     if on_tpu:
-        runners += ["sh23_pallas", "shb23_pallas"]
+        runners += ["sh23_pallas", "shb23_pallas", "sh23_workload"]
 
     def _record(name, r):
         r = dict(r)
