@@ -15,13 +15,14 @@ import os
 import sys
 
 os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
-import jax
-
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+# shared in-process CPU force + x64 (CLAUDE.md rule 5)
+from spheremanopt_tpu.utils.platform import apply_platform  # noqa: E402
+
+apply_platform("cpu", x64=True)
 
 from spheremanopt_tpu.problems.optimal_mixing import (  # noqa: E402
     MixingConfig,

@@ -53,12 +53,13 @@ def main():
 
     # JAX_PLATFORM_NAME=cpu still initialises the axon TPU plugin, which
     # hangs process startup whenever the tunnel is wedged (measured r3)
-    # — honor it by forcing the backend in-process (CLAUDE.md rule 5).
-    if os.environ.get("JAX_PLATFORM_NAME", "").lower() == "cpu":
-        jax.config.update("jax_platforms", "cpu")
+    # — honored via the shared in-process force (CLAUDE.md rule 5).
+    # x64 follows the RESOLVED platform, not just --platform: a CPU
+    # selected via JAX_PLATFORM_NAME or a CPU-only host must not run the
+    # 'float64' config silently downcast to f32.
+    from spheremanopt_tpu.utils.platform import apply_platform
 
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
+    on_tpu = apply_platform(args.platform)
     import numpy as np
 
     from spheremanopt_tpu.optim.jit_driver import jit_optimise_on_multi_sphere
@@ -69,12 +70,6 @@ def main():
     from spheremanopt_tpu.utils.jaxcache import enable_persistent_cache
 
     enable_persistent_cache()
-    on_tpu = jax.devices()[0].platform != "cpu"
-    if not on_tpu:
-        # x64 must follow the RESOLVED platform, not just --platform: a
-        # CPU selected via JAX_PLATFORM_NAME or a CPU-only host would
-        # otherwise run the 'float64' config silently downcast to f32
-        jax.config.update("jax_enable_x64", True)
     dtype = "float32" if on_tpu else "float64"
     p = KinematicDynamo(KDynConfig(
         npts=args.npts, n_iters=args.steps, dt=args.dt, dtype=dtype))

@@ -17,14 +17,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-
-if os.environ.get("JAX_PLATFORM_NAME", "").lower() == "cpu":
-    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
 from spheremanopt_tpu.optim.jit_driver import jit_optimise_on_multi_sphere
+from spheremanopt_tpu.utils.platform import apply_platform
 
 
 def _steady(opt, x0, aux=None):
@@ -43,9 +40,7 @@ def run_sh23():
     from spheremanopt_tpu.problems.swift_hohenberg import (
         SH23Config, SwiftHohenberg)
 
-    on_tpu = jax.devices()[0].platform != "cpu"
-    if not on_tpu:
-        jax.config.update("jax_enable_x64", True)
+    on_tpu = apply_platform()
     p = SwiftHohenberg(SH23Config(
         npts=256, n_iters=1000, dt=0.05,
         dtype="float32" if on_tpu else "float64"))
@@ -64,9 +59,7 @@ def run_kdyn():
     from spheremanopt_tpu.problems.kinematic_dynamo import (
         KDynConfig, KinematicDynamo)
 
-    on_tpu = jax.devices()[0].platform != "cpu"
-    if not on_tpu:
-        jax.config.update("jax_enable_x64", True)
+    on_tpu = apply_platform()
     p = KinematicDynamo(KDynConfig(
         npts=24, n_iters=2000, dt=5e-4,
         dtype="float32" if on_tpu else "float64"))

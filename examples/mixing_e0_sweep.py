@@ -33,16 +33,12 @@ import numpy as np
 
 from spheremanopt_tpu.optim.jit_driver import jit_optimise_on_multi_sphere
 from spheremanopt_tpu.problems.optimal_mixing import MixingConfig, OptimalMixing
-
-if os.environ.get("JAX_PLATFORM_NAME", "").lower() == "cpu":
-    jax.config.update("jax_platforms", "cpu")
+from spheremanopt_tpu.utils.platform import apply_platform
 
 
 def main(batch: int = 8) -> None:
-    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    on_tpu = apply_platform()
     dtype = "float32" if on_tpu else "float64"
-    if not on_tpu:
-        jax.config.update("jax_enable_x64", True)
     if on_tpu:
         from spheremanopt_tpu.utils.jaxcache import enable_persistent_cache
 

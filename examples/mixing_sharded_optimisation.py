@@ -53,12 +53,10 @@ def main():
 
     # JAX_PLATFORM_NAME=cpu still initialises the axon TPU plugin, which
     # hangs process startup whenever the tunnel is wedged (measured r3)
-    # — honor it by forcing the backend in-process (CLAUDE.md rule 5).
-    if os.environ.get("JAX_PLATFORM_NAME", "").lower() == "cpu":
-        jax.config.update("jax_platforms", "cpu")
+    # — honored via the shared in-process force (CLAUDE.md rule 5).
+    from spheremanopt_tpu.utils.platform import apply_platform
 
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
+    apply_platform(args.platform, x64=None)
     if args.platform is None and len(jax.devices()) < args.devices:
         # The backend is initialised the moment jax.devices() runs, so a
         # jax_platforms update here would be a silent no-op — restart the

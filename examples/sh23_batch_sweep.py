@@ -35,19 +35,12 @@ from spheremanopt_tpu.optim.jit_driver import jit_optimise_on_multi_sphere
 from spheremanopt_tpu.problems.swift_hohenberg import SH23Config, SwiftHohenberg
 
 
-# Env-var platform selection (JAX_PLATFORM_NAME=cpu) still INITIALISES
-# the axon TPU plugin, which hangs process startup whenever the tunnel
-# is wedged (measured r3) — honor the env var by forcing the backend
-# in-process before anything touches jax.devices().
-if os.environ.get("JAX_PLATFORM_NAME", "").lower() == "cpu":
-    jax.config.update("jax_platforms", "cpu")
+from spheremanopt_tpu.utils.platform import apply_platform
 
 
 def main(batch: int = 8) -> None:
-    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    on_tpu = apply_platform()
     dtype = "float32" if on_tpu else "float64"
-    if not on_tpu:
-        jax.config.update("jax_enable_x64", True)
     if os.environ.get("SMO_SWEEP_TINY") == "1":   # CI/CPU smoke mode
         cfg = SH23Config(dtype=dtype, npts=48, n_iters=50)
         max_iters = 4

@@ -40,26 +40,19 @@ def main():
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
-    import jax
-
     # JAX_PLATFORM_NAME=cpu still initialises the axon TPU plugin, which
     # hangs process startup whenever the tunnel is wedged (measured r3)
-    # — honor it by forcing the backend in-process (CLAUDE.md rule 5).
-    if os.environ.get("JAX_PLATFORM_NAME", "").lower() == "cpu":
-        jax.config.update("jax_platforms", "cpu")
+    # — honored via the shared in-process force (CLAUDE.md rule 5).
+    from spheremanopt_tpu.utils.platform import apply_platform
 
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
+    on_tpu = apply_platform(args.platform)
     import jax.numpy as jnp
     import numpy as np
 
     from spheremanopt_tpu.optim.jit_driver import jit_optimise_on_multi_sphere
     from spheremanopt_tpu.problems.swift_hohenberg import SH23Config, SwiftHohenberg
 
-    on_tpu = jax.devices()[0].platform not in ("cpu",)
     dtype = "float32" if on_tpu else "float64"
-    if not on_tpu:
-        jax.config.update("jax_enable_x64", True)
     n_iters = int(round(args.t_final / args.dt))
 
     # One problem instance; the sphere radius enters only through the

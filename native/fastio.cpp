@@ -15,7 +15,13 @@
 //     durability that never happened.
 //   * the queue is BOUNDED (kQueueCapBytes of payload); fio_enqueue
 //     blocks until space frees rather than growing RSS without limit
-//     when the producer outruns the disk.
+//     when the producer outruns the disk. The wait also wakes on
+//     shutdown/IO-error (returns -3/-2) so a parked producer can never
+//     sleep through fio_close.
+//   * fio_close must not race in-flight fio_enqueue/fio_flush calls
+//     (same contract as fclose vs fwrite): producers must have returned
+//     before close() frees the writer. The Python wrapper serialises
+//     all calls on one thread, satisfying this by construction.
 //
 // Container format "SMO1":
 //   [8B magic "SMO1\0\0\0\1"]
@@ -157,12 +163,17 @@ int fio_enqueue(void* handle, const char* name, const void* data,
                      static_cast<const uint8_t*>(data) + nbytes);
   {
     // bounded queue: block until the writer drains below the cap (or an
-    // I/O error makes waiting pointless) rather than growing unbounded
+    // I/O error / shutdown makes waiting pointless) rather than growing
+    // unbounded. `stop` must be part of the predicate: a producer parked
+    // here while another thread calls fio_close would otherwise wake
+    // AFTER the writer thread exits and push a record nobody drains (or
+    // touch a Writer close() is about to delete).
     std::unique_lock<std::mutex> lk(w->mu);
     w->cv.wait(lk, [&] {
-      return w->io_error.load() || w->queue.empty() ||
+      return w->stop.load() || w->io_error.load() || w->queue.empty() ||
              w->queued_bytes.load() + nbytes <= kQueueCapBytes;
     });
+    if (w->stop.load()) return -3;  // closing: record would never be written
     if (w->io_error.load()) return -2;
     w->queue.push_back(std::move(rec));
     w->pending.fetch_add(1);

@@ -34,41 +34,55 @@ from jax.experimental.pallas import tpu as pltpu
 _HI = jax.lax.Precision.HIGHEST
 
 
-def _fwd_kernel(a_ref, b_ref, w_ref, u0_ref, sc_ref, uT_ref, j_ref, traj_ref,
-                *, n_steps: int):
+def _mm(mat, vec_tile):
+    return jax.lax.dot_general(
+        vec_tile, mat, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_HI,
+    )
+
+
+def _mmT(mat, vec_tile):
+    # vec @ mat = mat^T applied to the row vector
+    return jax.lax.dot_general(
+        vec_tile, mat, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_HI,
+    )
+
+
+def _kadd(acc, comp, value):
+    # Kahan-compensated accumulation (repo precision policy: f32 cost
+    # sums over thousands of steps carry compensation)
+    from spheremanopt_tpu.solvers.scan_utils import kahan_add
+
+    return kahan_add((acc, comp), value)
+
+
+def _fwd_kernel(a_ref, b_ref, w_ref, u0_ref, sc_ref, uT_ref, j_ref,
+                traj_ref=None, *, n_steps: int):
+    """Forward: timestepping + weighted Kahan cost accumulation. When
+    `traj_ref` is present (grad contexts, via the custom_vjp forward
+    rule) every pre-step state is stored for the reverse sweep; the
+    primal objective runs trajectory-free — no HBM flush of a
+    trajectory nobody reads."""
     c2 = sc_ref[0, 0]
     c3 = sc_ref[0, 1]
     a = a_ref[:]
     b = b_ref[:]
     w = w_ref[:]
 
-    def mm(mat, vec_tile):
-        return jax.lax.dot_general(
-            vec_tile, mat, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HI,
-        )
-
-    def kadd(acc, comp, value):
-        # Kahan-compensated accumulation (repo precision policy: f32
-        # cost sums over thousands of steps carry compensation); shared
-        # implementation — same ops as the former inline copy, so the
-        # cached Mosaic programs' HLO is unchanged
-        from spheremanopt_tpu.solvers.scan_utils import kahan_add
-
-        return kahan_add((acc, comp), value)
-
     def body(i, carry):
         u, acc, comp = carry
-        traj_ref[i, :] = u[0, :]
-        acc, comp = kadd(acc, comp, jnp.sum(w[0, :] * u[0, :] * u[0, :]))
+        if traj_ref is not None:  # static: kernel arity fixes the variant
+            traj_ref[i, :] = u[0, :]
+        acc, comp = _kadd(acc, comp, jnp.sum(w[0, :] * u[0, :] * u[0, :]))
         g = c2 * u * u + c3 * u * u * u
-        u_new = mm(a, u) + mm(b, g)
+        u_new = _mm(a, u) + _mm(b, g)
         return (u_new, acc, comp)
 
     u, acc, comp = jax.lax.fori_loop(
         0, n_steps, body, (u0_ref[:], jnp.float32(0.0), jnp.float32(0.0))
     )
-    acc, _ = kadd(acc, comp, jnp.sum(w[0, :] * u[0, :] * u[0, :]))
+    acc, _ = _kadd(acc, comp, jnp.sum(w[0, :] * u[0, :] * u[0, :]))
     uT_ref[:] = u
     j_ref[0, 0] = acc
 
@@ -84,13 +98,6 @@ def _bwd_kernel(a_ref, b_ref, w_ref, uT_ref, traj_ref, sc_ref,
     a = a_ref[:]
     b = b_ref[:]
     w = w_ref[:]
-
-    def mmT(mat, vec_tile):
-        # vec @ mat = mat^T applied to the row vector
-        return jax.lax.dot_general(
-            vec_tile, mat, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HI,
-        )
 
     da_ref[:] = jnp.zeros_like(da_ref)
     db_ref[:] = jnp.zeros_like(db_ref)
@@ -108,52 +115,14 @@ def _bwd_kernel(a_ref, b_ref, w_ref, uT_ref, traj_ref, sc_ref,
             lam_col = lam[0, :].reshape(-1, 1)
             da_ref[:, :] += lam_col * u_row
             db_ref[:, :] += lam_col * g_row
-        wa = mmT(a, lam)
-        wb = mmT(b, lam)
+        wa = _mmT(a, lam)
+        wb = _mmT(b, lam)
         gprime = 2.0 * c2 * u_row + 3.0 * c3 * u_row * u_row
         lam_new = wa + gprime * wb + scale * (w * u_row)
         return lam_new
 
     lam = jax.lax.fori_loop(0, n_steps, body, lam0)
     lam_ref[:] = lam
-
-
-def _fwd_kernel_notraj(a_ref, b_ref, w_ref, u0_ref, sc_ref, uT_ref, j_ref,
-                       *, n_steps: int):
-    """Objective-only forward: same stepping/cost ops as `_fwd_kernel`
-    but WITHOUT materialising (and flushing to HBM) the trajectory the
-    primal call discards — used by the primal `fused_objective`; the
-    custom_vjp forward rule keeps the trajectory-storing kernel."""
-    c2 = sc_ref[0, 0]
-    c3 = sc_ref[0, 1]
-    a = a_ref[:]
-    b = b_ref[:]
-    w = w_ref[:]
-
-    def mm(mat, vec_tile):
-        return jax.lax.dot_general(
-            vec_tile, mat, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HI,
-        )
-
-    def kadd(acc, comp, value):
-        from spheremanopt_tpu.solvers.scan_utils import kahan_add
-
-        return kahan_add((acc, comp), value)
-
-    def body(i, carry):
-        u, acc, comp = carry
-        acc, comp = kadd(acc, comp, jnp.sum(w[0, :] * u[0, :] * u[0, :]))
-        g = c2 * u * u + c3 * u * u * u
-        u_new = mm(a, u) + mm(b, g)
-        return (u_new, acc, comp)
-
-    u, acc, comp = jax.lax.fori_loop(
-        0, n_steps, body, (u0_ref[:], jnp.float32(0.0), jnp.float32(0.0))
-    )
-    acc, _ = kadd(acc, comp, jnp.sum(w[0, :] * u[0, :] * u[0, :]))
-    uT_ref[:] = u
-    j_ref[0, 0] = acc
 
 
 # ---------------------------------------------------------------------------
@@ -166,69 +135,27 @@ def _fwd_kernel_notraj(a_ref, b_ref, w_ref, u0_ref, sc_ref, uT_ref, j_ref,
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel_shared(b_ref, w_ref, u0_ref, sc_ref, uT_ref, j_ref, traj_ref,
-                       *, n_steps: int):
+def _fwd_kernel_shared(b_ref, w_ref, u0_ref, sc_ref, uT_ref, j_ref,
+                       traj_ref=None, *, n_steps: int):
+    """Shared-matrix forward; `traj_ref` optional as in `_fwd_kernel`."""
     c2 = sc_ref[0, 0]
     c3 = sc_ref[0, 1]
     lin = sc_ref[0, 2]
     b = b_ref[:]
     w = w_ref[:]
 
-    def mm(mat, vec_tile):
-        return jax.lax.dot_general(
-            vec_tile, mat, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HI,
-        )
-
-    def kadd(acc, comp, value):
-        from spheremanopt_tpu.solvers.scan_utils import kahan_add
-
-        return kahan_add((acc, comp), value)
-
     def body(i, carry):
         u, acc, comp = carry
-        traj_ref[i, :] = u[0, :]
-        acc, comp = kadd(acc, comp, jnp.sum(w[0, :] * u[0, :] * u[0, :]))
+        if traj_ref is not None:  # static: kernel arity fixes the variant
+            traj_ref[i, :] = u[0, :]
+        acc, comp = _kadd(acc, comp, jnp.sum(w[0, :] * u[0, :] * u[0, :]))
         v = lin * u + c2 * u * u + c3 * u * u * u
-        return (mm(b, v), acc, comp)
+        return (_mm(b, v), acc, comp)
 
     u, acc, comp = jax.lax.fori_loop(
         0, n_steps, body, (u0_ref[:], jnp.float32(0.0), jnp.float32(0.0))
     )
-    acc, _ = kadd(acc, comp, jnp.sum(w[0, :] * u[0, :] * u[0, :]))
-    uT_ref[:] = u
-    j_ref[0, 0] = acc
-
-
-def _fwd_kernel_shared_notraj(b_ref, w_ref, u0_ref, sc_ref, uT_ref, j_ref,
-                              *, n_steps: int):
-    c2 = sc_ref[0, 0]
-    c3 = sc_ref[0, 1]
-    lin = sc_ref[0, 2]
-    b = b_ref[:]
-    w = w_ref[:]
-
-    def mm(mat, vec_tile):
-        return jax.lax.dot_general(
-            vec_tile, mat, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HI,
-        )
-
-    def kadd(acc, comp, value):
-        from spheremanopt_tpu.solvers.scan_utils import kahan_add
-
-        return kahan_add((acc, comp), value)
-
-    def body(i, carry):
-        u, acc, comp = carry
-        acc, comp = kadd(acc, comp, jnp.sum(w[0, :] * u[0, :] * u[0, :]))
-        v = lin * u + c2 * u * u + c3 * u * u * u
-        return (mm(b, v), acc, comp)
-
-    u, acc, comp = jax.lax.fori_loop(
-        0, n_steps, body, (u0_ref[:], jnp.float32(0.0), jnp.float32(0.0))
-    )
-    acc, _ = kadd(acc, comp, jnp.sum(w[0, :] * u[0, :] * u[0, :]))
+    acc, _ = _kadd(acc, comp, jnp.sum(w[0, :] * u[0, :] * u[0, :]))
     uT_ref[:] = u
     j_ref[0, 0] = acc
 
@@ -245,12 +172,6 @@ def _bwd_kernel_shared(b_ref, w_ref, uT_ref, traj_ref, sc_ref,
     b = b_ref[:]
     w = w_ref[:]
 
-    def mmT(mat, vec_tile):
-        return jax.lax.dot_general(
-            vec_tile, mat, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HI,
-        )
-
     db_ref[:] = jnp.zeros_like(db_ref)
     lam0 = scale * (w * uT_ref[:])
 
@@ -261,7 +182,7 @@ def _bwd_kernel_shared(b_ref, w_ref, uT_ref, traj_ref, sc_ref,
             v_row = lin * u_row + c2 * u_row * u_row \
                 + c3 * u_row * u_row * u_row
             db_ref[:, :] += lam[0, :].reshape(-1, 1) * v_row
-        wb = mmT(b, lam)
+        wb = _mmT(b, lam)
         vprime = lin + 2.0 * c2 * u_row + 3.0 * c3 * u_row * u_row
         return vprime * wb + scale * (w * u_row)
 
@@ -269,50 +190,42 @@ def _bwd_kernel_shared(b_ref, w_ref, uT_ref, traj_ref, sc_ref,
     lam_ref[:] = lam
 
 
-def _run_fwd(a, b, w, u0, c2, c3, n_steps, interpret):
+def _traj_outputs(store_traj, n_steps, mg):
+    """(extra out_shape, extra out_specs) for the optional trajectory
+    output — present only in grad contexts (custom_vjp forward rules)."""
+    if not store_traj:
+        return [], []
+    return ([jax.ShapeDtypeStruct((n_steps, mg), jnp.float32)],
+            [pl.BlockSpec(memory_space=pltpu.VMEM)])
+
+
+def _run_fwd(a, b, w, u0, c2, c3, n_steps, interpret, store_traj=True):
     mg = u0.shape[-1]
     u0_t = jnp.zeros((8, mg), jnp.float32).at[0, :].set(u0)
     w_t = jnp.zeros((8, mg), jnp.float32).at[0, :].set(w)
     sc = jnp.asarray([[c2, c3]], jnp.float32)
-    uT, Jsum, traj = pl.pallas_call(
+    tshape, tspecs = _traj_outputs(store_traj, n_steps, mg)
+    out = pl.pallas_call(
         partial(_fwd_kernel, n_steps=n_steps),
         out_shape=(
             jax.ShapeDtypeStruct((8, mg), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_steps, mg), jnp.float32),
+            *tshape,
         ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            *tspecs,
         ),
         interpret=interpret,
     )(a, b, w_t, u0_t, sc)
-    return uT, Jsum[0, 0], traj
-
-
-def _run_fwd_notraj(a, b, w, u0, c2, c3, n_steps, interpret):
-    mg = u0.shape[-1]
-    u0_t = jnp.zeros((8, mg), jnp.float32).at[0, :].set(u0)
-    w_t = jnp.zeros((8, mg), jnp.float32).at[0, :].set(w)
-    sc = jnp.asarray([[c2, c3]], jnp.float32)
-    uT, Jsum = pl.pallas_call(
-        partial(_fwd_kernel_notraj, n_steps=n_steps),
-        out_shape=(
-            jax.ShapeDtypeStruct((8, mg), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
-        ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
-        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ),
-        interpret=interpret,
-    )(a, b, w_t, u0_t, sc)
-    return Jsum[0, 0]
+    if store_traj:
+        uT, Jsum, traj = out
+        return uT, Jsum[0, 0], traj
+    uT, Jsum = out
+    return uT, Jsum[0, 0]
 
 
 def _run_fwd_shared(b, w, u0, c2, c3, lin, n_steps, interpret,
@@ -321,26 +234,21 @@ def _run_fwd_shared(b, w, u0, c2, c3, lin, n_steps, interpret,
     u0_t = jnp.zeros((8, mg), jnp.float32).at[0, :].set(u0)
     w_t = jnp.zeros((8, mg), jnp.float32).at[0, :].set(w)
     sc = jnp.asarray([[c2, c3, lin]], jnp.float32)
-    out_shape = [
-        jax.ShapeDtypeStruct((8, mg), jnp.float32),
-        jax.ShapeDtypeStruct((1, 1), jnp.float32),
-    ]
-    out_specs = [
-        pl.BlockSpec(memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.SMEM),
-    ]
-    if store_traj:
-        out_shape.append(jax.ShapeDtypeStruct((n_steps, mg), jnp.float32))
-        out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-        kern = _fwd_kernel_shared
-    else:
-        kern = _fwd_kernel_shared_notraj
+    tshape, tspecs = _traj_outputs(store_traj, n_steps, mg)
     out = pl.pallas_call(
-        partial(kern, n_steps=n_steps),
-        out_shape=tuple(out_shape),
+        partial(_fwd_kernel_shared, n_steps=n_steps),
+        out_shape=(
+            jax.ShapeDtypeStruct((8, mg), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            *tshape,
+        ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=tuple(out_specs),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            *tspecs,
+        ),
         interpret=interpret,
     )(b, w_t, u0_t, sc)
     if store_traj:
@@ -410,7 +318,8 @@ def fused_objective(a, b, w, u0, c2: float, c3: float, dt: float,
     True whenever differentiating w.r.t. the operators."""
     # primal-only call: trajectory-free kernel (no HBM flush of a
     # trajectory nobody reads); grad contexts go through _vjp_fwd below
-    return -dt * _run_fwd_notraj(a, b, w, u0, c2, c3, n_steps, interpret)
+    return -dt * _run_fwd(a, b, w, u0, c2, c3, n_steps, interpret,
+                          store_traj=False)[1]
 
 
 def _vjp_fwd(a, b, w, u0, c2, c3, dt, n_steps, interpret, op_grads):

@@ -16,11 +16,15 @@ one further doubled trial and return it unchecked (host
 `linesearch.py:264-272`) — the host disables the gradient-reuse handoff
 there (derphi_star=None) while the device hands off the fused gradient,
 which equals what the host's next iteration recomputes at the same
-point; (c) a non-finite phi/derphi trial fails the device search
-IMMEDIATELY (ok=False, iterate frozen by the driver) — the host burns
-the remaining bracket/zoom evaluations on the NaN before its driver's
-non-finite guard (`optimiser.py`) terminates; same outcome, fewer
-wasted PDE solves, and the jitted `lax.while_loop` provably terminates.
+point; (c) a NaN phi/derphi trial fails the device search IMMEDIATELY
+(ok=False, iterate frozen by the driver) — the host burns the remaining
+bracket/zoom evaluations on the NaN before its driver's non-finite
+guard (`optimiser.py`) terminates; same outcome, fewer wasted PDE
+solves. An overflowed INF trial is handled like the host: it enters
+zoom (inf fails the sufficient-decrease test) whose interpolant guards
+fall back to bisection toward the finite a_lo, so recoverable
+overflows keep optimising instead of terminating early. Loop
+termination is guaranteed by the maxiter/max_zoom counters either way.
 """
 
 from __future__ import annotations
@@ -159,13 +163,22 @@ def device_wolfe(
         phi_t, derphi_t = f(phi_t), f(derphi_t)
         in_br = st.phase == _BRACKET
         finite = jnp.isfinite(phi_t) & jnp.isfinite(derphi_t)
+        # Fail fast ONLY on NaN (a poisoned PDE state never recovers and
+        # NaN comparisons are all-false, so letting it flow would burn
+        # every remaining evaluation exactly like the host does before
+        # its driver guard fires). An overflowed +inf trial is DIFFERENT:
+        # the host recovers from it — to_zoom1 fires (inf > threshold)
+        # and zoom bisects back toward the finite a_lo — so inf must take
+        # the same transitions here or the device driver terminates runs
+        # the host continues.
+        nan_t = jnp.isnan(phi_t) | jnp.isnan(derphi_t)
         # maxiter-exhausted final trial: accept unchecked, like the host's
         # post-loop return of the freshly doubled evaluation (:264-272)
         in_last = in_br & st.last
 
         # ---- bracket transition (host lines 237-269) ----
         br_fail = ((st.alpha_cur == 0.0) | (st.alpha_prev == amax)
-                   | ~finite)
+                   | nan_t)
         to_zoom1 = (phi_t > phi0 + c1 * a_t * derphi0) | (
             (phi_t >= st.phi_prev) & (st.i > 0))
         br_done = jnp.abs(derphi_t) <= -c2 * derphi0
@@ -200,7 +213,7 @@ def device_wolfe(
         zm_hi_move = (phi_t > phi0 + c1 * a_t * derphi0) | (phi_t >= st.phi_lo)
         zm_done = (~zm_hi_move) & (jnp.abs(derphi_t) <= -c2 * derphi0)
         zm_flip = derphi_t * (st.a_hi - st.a_lo) >= 0.0
-        zm_fail = (st.j + 1 > max_zoom) | ~finite
+        zm_fail = (st.j + 1 > max_zoom) | nan_t
 
         n_a_lo = jnp.where(zm_hi_move, st.a_lo, a_t)
         n_phi_lo = jnp.where(zm_hi_move, st.phi_lo, phi_t)

@@ -238,6 +238,14 @@ def optimise_on_multi_sphere(
         method = "cg" if cg else "sd"
     if method not in ("sd", "cg", "lbfgs"):
         raise ValueError(f"method must be sd|cg|lbfgs, got {method!r}")
+    # method='lbfgs' + line_search='armijo' is SUPPORTED here (unlike the
+    # device driver, which requires Wolfe): Armijo gives no curvature
+    # guarantee, so pairs failing <s,y> > 0 are skipped and the direction
+    # degrades toward SD in the worst case — tested to still converge
+    # (tests/test_lbfgs.py::test_lbfgs_armijo_converges_via_curvature_skip).
+    # The device loop rejects the combination because its fixed-size ring
+    # buffers bake the history length into the executable and a mostly-
+    # empty ring buys nothing over CG there (jit_driver.py).
     cg = method == "cg"
     use_wolfe = line_search == "wolfe"
     # The reference caps Wolfe at amax = alpha_0 (`Sphere_Grad_Descent.py`

@@ -122,8 +122,11 @@ def make_problem(args):
                 + (f" (choose from {', '.join(allowed)})" if allowed
                    else " (no method variants)"))
 
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
+    # shared in-process platform force (CLAUDE.md rule 5); x64 is
+    # resolved below from the dtype decision, not blanket-enabled
+    from spheremanopt_tpu.utils.platform import apply_platform
+
+    on_tpu = apply_platform(args.platform, x64=None)
     # persistent compile cache: repeat CLI runs skip the ~20-40 s/program
     # remote TPU compiles (measured; harmless on CPU)
     from spheremanopt_tpu.utils.jaxcache import enable_persistent_cache
@@ -138,7 +141,6 @@ def make_problem(args):
         args.archive_every = 1
 
     enable_persistent_cache()
-    on_tpu = jax.devices()[0].platform not in ("cpu",)
     # Production default on TPU: the VMEM-resident kernel paths measure
     # faster than the XLA scans end-to-end (SH23 1.7x, SHB23 2.4x in the
     # device loop; BASELINE.md r3) at the same f32 accuracy class. The

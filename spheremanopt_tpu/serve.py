@@ -224,13 +224,21 @@ class OptimisationService:
                          req.get("driver"), batch=B)
         sweep_fn = self._cache.get(skey)
         if sweep_fn is None:
-            def one(x_row, r_row):
+            def one(x_row, r_row, aux_op):
                 kw = {"radii_dyn": [r_row[j] for j in range(len(base_radii))]}
-                if aux is not None:
-                    kw["aux"] = aux
+                if aux_op is not None:
+                    kw["aux"] = aux_op
                 return opt(list(x_row), **kw)
 
-            sweep_fn = jax.jit(jax.vmap(one, in_axes=(0, 0)))
+            # aux (operator stacks — for mixing, hundreds of MB of device
+            # arrays) rides as an UNBATCHED jit ARGUMENT (in_axes=None):
+            # closing over it would embed the stacks in the program body
+            # (CLAUDE.md platform rule 1; cf. examples/mixing_e0_sweep.py)
+            jitted = jax.jit(jax.vmap(one, in_axes=(0, 0, None)))
+
+            def sweep_fn(xs_, radii_, _j=jitted, _a=aux):
+                return _j(xs_, radii_, _a)
+
             self._cache[skey] = sweep_fn
         else:
             self._hits += 1
@@ -332,19 +340,16 @@ def main(argv=None):
     args = ap.parse_args(argv)
     import jax
 
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
-    if args.x64:
-        jax.config.update("jax_enable_x64", True)
+    from spheremanopt_tpu.utils.platform import apply_platform
+
+    # x64="auto" matches run.py: CPU serves f64 configs (the problem
+    # defaults); without x64 their construction would raise
+    # (problems.base.check_x64) on every request
+    on_tpu = apply_platform(args.platform, x64=True if args.x64 else "auto")
     from spheremanopt_tpu.utils.jaxcache import enable_persistent_cache
 
     enable_persistent_cache()
     platform = jax.devices()[0].platform
-    if platform == "cpu" and not args.x64:
-        # match run.py: CPU serves f64 configs (the problem defaults);
-        # without x64 their construction would raise (problems.base
-        # .check_x64) on every request
-        jax.config.update("jax_enable_x64", True)
     print(f"serving on {args.socket} (platform={platform})", flush=True)
     serve(args.socket)
 

@@ -146,9 +146,17 @@ def strided_energy_scan(step: Callable, energy: Callable, s0, n_steps: int,
         (s, acc), es = lax.scan(body, (s0, acc0), xs=None, length=n_steps)
     else:
         def outer(carry, _):
-            e0 = energy(carry[0])
+            # first of the chunk's `stride` steps inlined so the recorded
+            # chunk-start energy IS the accumulated one (XLA cannot CSE a
+            # second energy() across the inner scan boundary); op order
+            # per step is unchanged, so J still matches the plain
+            # integration bitwise
+            s_c, acc_c = carry
+            e0 = energy(s_c)
+            acc_c = kahan_add(acc_c, e0)
             carry, _ = lax.scan(lambda c, x: (body(c, x)[0], None),
-                                carry, xs=None, length=stride)
+                                (step(s_c), acc_c), xs=None,
+                                length=stride - 1)
             return carry, e0
 
         (s, acc), es = lax.scan(outer, (s0, acc0), xs=None,

@@ -244,6 +244,35 @@ def test_device_wolfe_nonfinite_trial_fails_not_hangs(bad):
     assert not bool(ok)
 
 
+def test_device_wolfe_recovers_from_inf_overflow_like_host():
+    """An overflowed (+inf) bracket trial is RECOVERABLE: the host enters
+    zoom (inf fails sufficient decrease) and its interpolant guards
+    bisect back into the finite region where a Wolfe point exists. The
+    device search previously fail-fasted on any non-finite trial,
+    silently terminating optimisations the host continues (code-review
+    r3); it must now take the host's transitions and find the same
+    point. NaN still fails fast (test above)."""
+    f_ = lambda a: jnp.where(a > 1.6, jnp.inf, (a - 2.0) ** 2)
+    df_ = lambda a: jnp.where(a > 1.6, jnp.inf, 2.0 * (a - 2.0))
+    phi0, derphi0 = 4.0, -4.0
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        w = ls.wolfe_search(lambda a: float(f_(a)), lambda a: float(df_(a)),
+                            phi0=phi0, derphi0=derphi0, c1=1e-4, c2=0.4,
+                            amax=50.0)
+    assert w.alpha is not None  # the HOST recovers from the overflow
+
+    def ev(a):
+        return f_(a), df_(a), (a,)
+
+    a_d, p_d, _aux, ok = jax.jit(
+        lambda: device_wolfe(ev, phi0, derphi0, (jnp.asarray(0.0),),
+                             0.0, False, c1=1e-4, c2=0.4, amax=50.0))()
+    assert bool(ok)
+    assert abs(float(a_d) - w.alpha) < 1e-12, (float(a_d), w.alpha)
+    assert abs(float(p_d) - w.phi_star) < 1e-12
+
+
 @pytest.mark.parametrize("bad", [jnp.nan, jnp.inf])
 def test_device_armijo_nonfinite_trial_fails_not_hangs(bad):
     """device_armijo on a non-finite first trial: the quadratic

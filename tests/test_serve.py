@@ -95,6 +95,25 @@ def test_sweep_rows_match_individual_optimise(svc):
     assert sweep["points"][1]["J"] != row["J"]
 
 
+def test_sweep_mixing_aux_operand_path(svc):
+    """The sweep executable must carry the mixing operator stacks as an
+    UNBATCHED vmapped jit argument (in_axes=None), not a closure —
+    closing over the stacks embeds hundreds of MB in the program body on
+    TPU (CLAUDE.md platform rule 1). Rows must match plain optimise."""
+    cfg = {"nx": 32, "nz": 24, "n_iters": 30, "dt": 5e-3, "s": 1}
+    driver = {"max_iters": 3, "line_search": "wolfe", "cg": True}
+    sweep = svc.handle({"cmd": "sweep", "problem": "mixing",
+                        "config": cfg, "driver": driver, "seeds": [3, 5]})
+    assert sweep["ok"], sweep
+    assert len(sweep["points"]) == 2
+    single = svc.handle({"cmd": "optimise", "problem": "mixing",
+                         "config": cfg, "driver": driver, "seed": 3})
+    assert single["ok"], single
+    row = sweep["points"][0]
+    assert row["iterations"] == single["iterations"]
+    np.testing.assert_allclose(row["J"], single["J"], rtol=1e-10)
+
+
 def test_sweep_executable_is_cached(svc):
     req = {"cmd": "sweep", "problem": "sh23", "config": SH23_CFG,
            "driver": DRIVER, "seeds": [3, 5], "e0": [0.0725, 0.05]}
