@@ -28,7 +28,11 @@ import time
 
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="spheremanopt_tpu.run", description=__doc__)
-    ap.add_argument("problem", choices=["pca", "sh23", "shb23", "kdyn", "mixing"])
+    ap.add_argument("problem",
+                    choices=["pca", "sh23", "shb23", "kdyn", "mixing",
+                             "doctor"],
+                    help="problem to run, or 'doctor' for an environment "
+                         "health report (CPU/TPU probes, caches, native IO)")
     ap.add_argument("--out-dir", default="runs/latest")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--dtype", default=None, help="float32|float64 (default: auto)")
@@ -230,6 +234,13 @@ def make_problem(args):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.problem == "doctor":
+        # pure diagnostics: no backend init in THIS process (a wedged
+        # tunnel must not hang the tool that reports wedged tunnels)
+        from spheremanopt_tpu.utils.doctor import run_doctor
+
+        rep = run_doctor()
+        return 0 if rep["cpu_ok"] else 1
     os.makedirs(args.out_dir, exist_ok=True)
 
     t0 = time.time()
