@@ -103,6 +103,17 @@ class MixingConfig:
                                  #                split via reduce_precision,
                                  #                3 bf16 dots (lo.lo dropped)
                                  #  "highest"     2.4e-3: 6-pass f32 emulation
+                                 #  "df64"        f64-EMULATED forward (double-
+                                 #                float carries + Ozaki exact-
+                                 #                split matmuls, ops/doublefloat
+                                 #                + problems/mixing_df): the
+                                 #                escape hatch for the measured
+                                 #                ~6-9e-2 f32 GRADIENT floor
+                                 #                (chaotic amplification; no
+                                 #                pass mode fixes it). Core
+                                 #                triple only; aux paths run
+                                 #                "compensated". Requires
+                                 #                adjoint="discrete".
                                  # f64 runs (CPU/tests) are always exact.
 
 
@@ -301,15 +312,26 @@ class OptimalMixing:
         # bf16 MXU; f64 runs (CPU tests/baselines) are exact by
         # construction and use the plain packed form.
         allowed = {"bfloat16", "compensated", "compensated2", "high",
-                   "highest"}
+                   "highest", "df64"}
         if cfg.solve_precision not in allowed:
             # an unknown string would silently fall through to the plain
             # single-pass bf16 dot path
             raise ValueError(
                 f"solve_precision={cfg.solve_precision!r} not in "
                 f"{sorted(allowed)}")
-        self._smode = (cfg.solve_precision if rdtype == jnp.float32
-                       else "exact")
+        self._df64 = (cfg.solve_precision == "df64"
+                      and rdtype == jnp.float32)
+        if self._df64 and cfg.adjoint != "discrete":
+            raise ValueError(
+                "solve_precision='df64' pairs with adjoint='discrete' "
+                "(the df engine's gradient IS jax.grad of its forward; "
+                "the continuous adjoint integrates its own PDE on the "
+                "standard-precision machinery)")
+        # df64 layers over the standard machinery: aux paths
+        # (diagnostics, archiving, IC prep) run "compensated"
+        self._smode = (("compensated" if self._df64
+                        else cfg.solve_precision)
+                       if rdtype == jnp.float32 else "exact")
 
         # --- per-kx implicit solve operators (device args, not consts) ---
         # Stored as real/imag PAIRS (or bf16 hi/lo split QUADS in
@@ -415,9 +437,49 @@ class OptimalMixing:
 
         self._obj_grad_and_diag = jax.jit(_obj_grad_diag)
         self._grad_cnts = jax.jit(self._gradient_continuous_impl)
-        self._inner = jax.jit(
-            lambda x, y: jnp.sum(jnp.asarray(self._w)[None] * x * y)
-        )
+        if rdtype == jnp.float32:
+            # compensated line-search inner products (VERDICT r3 item 1):
+            # the Wolfe directional derivatives ride this reduction, so
+            # widen it to df accuracy — exact products + pairwise
+            # compensated fold, ~f64-quality from f32 operands
+            from spheremanopt_tpu.ops.doublefloat import df_dot
+
+            wnp = np.asarray(self._w)  # f32 numpy -> HLO constant
+
+            def _ip(x, y):
+                return df_dot(jnp.asarray(wnp)[None], x, y).hi
+
+            self._inner = jax.jit(_ip)
+        else:
+            self._inner = jax.jit(
+                lambda x, y: jnp.sum(jnp.asarray(self._w)[None] * x * y)
+            )
+
+        # --- df64 engine: f64-emulated core triple (see mixing_df) ---
+        self._dfe = None
+        if self._df64 and cfg.device_ops:
+            from spheremanopt_tpu.problems.mixing_df import MixingDFEngine
+
+            self._dfe = MixingDFEngine(self)
+            self._ops_df = jax.tree.map(
+                lambda a: jax.device_put(jnp.asarray(a)),
+                self._dfe.ops_np())
+            self._objective_df = jax.jit(self._dfe.objective)
+            wdiv = np.asarray(self._w)
+
+            def _grad_df(ops, xs):
+                raw = jax.grad(self._dfe.objective, argnums=1)(ops,
+                                                               list(xs))
+                return [raw[0] / jnp.asarray(wdiv)[None]]
+
+            def _obj_and_grad_df(ops, xs):
+                J, raw = jax.value_and_grad(
+                    self._dfe.objective, argnums=1)(ops, list(xs))
+                return J, [raw[0] / jnp.asarray(wdiv)[None]]
+
+            self._gradient_df = jax.jit(_grad_df)
+            self._obj_and_grad_df = jax.jit(_obj_and_grad_df)
+            self._objective_df_pair = jax.jit(self._dfe.objective_pair)
 
     # ------------------------------------------------------------------
     # operator assembly (init-time, f64 numpy)
@@ -437,7 +499,11 @@ class OptimalMixing:
                    reynolds=cfg.reynolds, richardson=cfg.richardson,
                    prandtl=cfg.prandtl,
                    dt=float(cfg.dt if dt is None else dt),
-                   adjoint=bool(adjoint), build_mixnorm=bool(build_mixnorm))
+                   adjoint=bool(adjoint), build_mixnorm=bool(build_mixnorm),
+                   # builder-source digest: editing the assembly code
+                   # auto-invalidates cached stacks (ADVICE r3); pinned
+                   # at import so runtime monkeypatching cannot skew keys
+                   code=_OP_BUILDER_DIGEST)
         S, MN = cached_arrays(
             key,
             lambda: self._build_operators_uncached(adjoint, dt,
@@ -820,9 +886,25 @@ class OptimalMixing:
         return self._ops
 
     def objective(self, x_list):
+        if self._dfe is not None:
+            return self._objective_df(self._ops_df, list(x_list))
         return self._objective(self._solve_ops(), list(x_list))
 
+    def objective_f64(self, x_list) -> float:
+        """df64 mode only: J reconstructed to double-float resolution on
+        the host (the f32 scalar `objective` rounds to ~ulp(J) ~ 4e-9
+        absolute, which swamps Taylor-remainder increments)."""
+        if self._dfe is None:
+            raise RuntimeError("objective_f64 requires "
+                               "solve_precision='df64'")
+        pair = np.asarray(self._objective_df_pair(self._ops_df,
+                                                  list(x_list)),
+                          np.float64)
+        return float(pair[0] + pair[1])
+
     def gradient(self, x_list):
+        if self._dfe is not None:
+            return self._gradient_df(self._ops_df, list(x_list))
         if self.cfg.adjoint == "continuous":
             return self._grad_cnts(self._solve_ops(), list(x_list))
         return self._gradient(self._solve_ops(), list(x_list))
@@ -835,6 +917,8 @@ class OptimalMixing:
         gradient is paired with a separate forward — f_and_g consumers
         (Wolfe fused phi, the device loop) must not mix the two gradient
         definitions (or their paired inner products) in one search."""
+        if self._dfe is not None:
+            return self._obj_and_grad_df(self._ops_df, list(x_list))
         if self.cfg.adjoint == "continuous":
             return (self._objective(self._solve_ops(), list(x_list)),
                     self._grad_cnts(self._solve_ops(), list(x_list)))
@@ -882,6 +966,8 @@ class OptimalMixing:
         mixing device-loop run). Dispatches on cfg.adjoint like
         `objective_and_gradient` (continuous mode pairs the forward with
         its own adjoint-PDE integration; both parts trace under jit)."""
+        if self._dfe is not None:
+            return self._obj_and_grad_df, self._ops_df
         if self.cfg.adjoint == "continuous":
             def fg_cnts(ops, xs):
                 return (self._objective_impl(ops, list(xs)),
@@ -1050,3 +1136,14 @@ class OptimalMixing:
             return x * jnp.sqrt(cfg.e0 / norm)
 
         return [make(self._prep_solve_ops(), jax.random.PRNGKey(seed))]
+
+
+# Import-pinned digest of the operator-assembly sources: cached stacks
+# auto-invalidate when any of these change (utils/opcache.source_digest);
+# pinned here (not at call time) so runtime monkeypatching of the
+# builder cannot skew cache keys.
+from spheremanopt_tpu.utils.opcache import source_digest as _source_digest  # noqa: E402
+
+_OP_BUILDER_DIGEST = _source_digest(
+    OptimalMixing._build_operators_uncached, _cheb_mult_T,
+    ChebyshevBasis1D)

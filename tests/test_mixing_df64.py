@@ -1,0 +1,119 @@
+"""df64 (f64-emulated) mixing mode: accuracy vs in-process f64 truth.
+
+The engine's purpose is gradient accuracy beyond the measured f32
+floor (BASELINE.md: every f32 pass mode leaves the mixing gradient at
+6-9e-2 rel-err at the reference config). Here, at a small config where
+the f64 truth is cheap, the df64 path must beat the compensated f32
+path by orders of magnitude on BOTH J and the gradient — in pure f32
+ops, as the TPU executes them."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spheremanopt_tpu.problems.optimal_mixing import (
+    MixingConfig, OptimalMixing)
+
+KW = dict(nx=32, nz=16, n_iters=30, dt=5e-3, prep_steps=10)
+
+
+@pytest.fixture(scope="module")
+def truth():
+    p64 = OptimalMixing(MixingConfig(dtype="float64", **KW))
+    x64 = p64.generate_ic(seed=3)
+    x32 = np.asarray(x64[0]).astype(np.float32)
+    xe = [jnp.asarray(x32.astype(np.float64))]  # the exact f32 point
+    J = float(p64.objective(xe))
+    g = np.asarray(p64.gradient(xe)[0])
+    return x32, J, g
+
+
+@pytest.fixture(scope="module")
+def df_prob():
+    return OptimalMixing(MixingConfig(dtype="float32",
+                                      solve_precision="df64", **KW))
+
+
+def test_df64_beats_compensated(truth, df_prob):
+    x32, J64, g64 = truth
+    Jdf, gdf = df_prob.objective_and_gradient([jnp.asarray(x32)])
+    Jdf, gdf = float(Jdf), np.asarray(gdf[0], np.float64)
+
+    pc = OptimalMixing(MixingConfig(dtype="float32",
+                                    solve_precision="compensated", **KW))
+    Jc, gc = pc.objective_and_gradient([jnp.asarray(x32)])
+    Jc, gc = float(Jc), np.asarray(gc[0], np.float64)
+
+    gn = np.linalg.norm(g64)
+    relJ_df = abs(Jdf - J64) / abs(J64)
+    relg_df = np.linalg.norm(gdf - g64) / gn
+    relJ_c = abs(Jc - J64) / abs(J64)
+    relg_c = np.linalg.norm(gc - g64) / gn
+    # measured at this config: df64 2e-8 / 2.1e-6 vs comp 3.5e-5 / 1.1e-4
+    assert relJ_df < 3e-7, relJ_df
+    assert relg_df < 3e-5, relg_df
+    assert relJ_df < 0.1 * relJ_c
+    assert relg_df < 0.2 * relg_c
+
+
+def test_df64_fused_matches_separate(truth, df_prob):
+    x32 = truth[0]
+    x = [jnp.asarray(x32)]
+    J1 = float(df_prob.objective(x))
+    g1 = np.asarray(df_prob.gradient(x)[0])
+    J2, g2 = df_prob.objective_and_gradient(x)
+    assert float(J2) == J1
+    np.testing.assert_array_equal(np.asarray(g2[0]), g1)
+
+
+def test_df64_aux_form_is_df(df_prob, truth):
+    # the device-loop driver consumes (fn, ops): df mode must hand it
+    # the df executable + slice stacks, not the compensated machinery
+    fn, ops = df_prob.objective_and_gradient_aux
+    x32 = truth[0]
+    J, g = fn(ops, [jnp.asarray(x32)])
+    J2, g2 = df_prob.objective_and_gradient([jnp.asarray(x32)])
+    assert float(J) == float(J2)
+    np.testing.assert_array_equal(np.asarray(g[0]), np.asarray(g2[0]))
+
+
+def test_df64_requires_discrete_adjoint():
+    with pytest.raises(ValueError, match="df64"):
+        OptimalMixing(MixingConfig(dtype="float32",
+                                   solve_precision="df64",
+                                   adjoint="continuous", **KW))
+
+
+def test_df64_f64_config_uses_exact_path():
+    # under dtype=float64 the df layer is a no-op (f64 is exact); the
+    # standard machinery must be selected
+    p = OptimalMixing(MixingConfig(dtype="float64",
+                                   solve_precision="df64", **KW))
+    assert p._dfe is None and p._smode == "exact"
+
+
+def test_df64_taylor_second_order(df_prob, truth):
+    """Taylor-remainder check of the df64 gradient against the df64
+    objective itself (architecture invariant: every gradient change
+    needs one). The df objective is accurate to ~1e-8 so remainders at
+    eps=1e-2..1e-3 resolve O(eps^2) cleanly in f32."""
+    x32 = truth[0]
+    x = [jnp.asarray(x32)]
+    # J at pair resolution: f32-scalar J rounds to ~4e-9 absolute,
+    # below the Taylor increments at these eps
+    J0 = df_prob.objective_f64(x)
+    g = df_prob.gradient(x)[0]
+    rng = np.random.default_rng(7)
+    d = rng.standard_normal(x32.shape).astype(np.float32)
+    d /= np.linalg.norm(d)
+    # <grad, dx> under the problem inner product (Riesz form: grad was
+    # divided by the IP weights, so IP(grad, d) = dJ[d])
+    slope = float(df_prob.inner_product(g, jnp.asarray(d)))
+    rems = []
+    for eps in (1e-1, 5e-2, 2.5e-2):
+        J1 = df_prob.objective_f64([jnp.asarray(x32 + eps * d)])
+        rems.append(abs(J1 - J0 - eps * slope))
+    orders = [np.log(rems[i] / rems[i + 1]) / np.log(2.0)
+              for i in range(len(rems) - 1)]
+    assert all(o > 1.7 for o in orders), (rems, orders)
