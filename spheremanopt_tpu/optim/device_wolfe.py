@@ -195,17 +195,26 @@ def device_wolfe(
         za_lo, zphi_lo, zderphi_lo, za_hi, zphi_hi = (
             zsel(z1[k], z2[k]) for k in range(5))
 
+        # Acceptance requires a FINITE trial everywhere (not only on the
+        # maxiter path): a -inf phi with a small finite derphi would
+        # otherwise satisfy br_done/zm_done, the driver's commit guard
+        # would block the step but leave `active` True, and the frozen
+        # iterate would re-run the identical failing search every
+        # remaining iteration. A would-be accept of a non-finite trial
+        # is a terminal failure (ok=False -> the driver clears active),
+        # matching the host driver's non-finite-objective early return.
         br_phase = jnp.where(
             in_last, jnp.where(finite, _DONE, _FAIL),
             jnp.where(
                 br_fail, _FAIL,
                 jnp.where(to_zoom1, _ZOOM,
-                          jnp.where(br_done, _DONE,
+                          jnp.where(br_done,
+                                    jnp.where(finite, _DONE, _FAIL),
                                     jnp.where(to_zoom2, _ZOOM,
                                               _BRACKET)))))
         br_accept = jnp.where(
             in_last, finite,
-            (~br_fail) & (~to_zoom1) & br_done)
+            (~br_fail) & (~to_zoom1) & br_done & finite)
         last_next = in_br & (~in_last) & (~br_fail) & (~to_zoom1) & (
             ~br_done) & (~to_zoom2) & br_maxed
 
@@ -225,12 +234,12 @@ def device_wolfe(
         n_a_rec = jnp.where(zm_hi_move | zm_flip, st.a_hi, st.a_lo)
         n_phi_rec = jnp.where(zm_hi_move | zm_flip, st.phi_hi, st.phi_lo)
 
-        zm_phase = jnp.where(zm_done, _DONE,
+        zm_phase = jnp.where(zm_done, jnp.where(finite, _DONE, _FAIL),
                              jnp.where(zm_fail, _FAIL, _ZOOM))
 
         # ---- merge ----
         phase = jnp.where(in_br, br_phase, zm_phase).astype(jnp.int32)
-        accepted = jnp.where(in_br, br_accept, zm_done)
+        accepted = jnp.where(in_br, br_accept, zm_done & finite)
 
         new = _WolfeState(
             phase=phase,

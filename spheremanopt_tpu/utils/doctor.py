@@ -56,6 +56,16 @@ def _dir_stats(path: str) -> Dict[str, Any]:
             "mb": round(size / 1e6, 1)}
 
 
+def _tpu_probe_ok(probe: Dict[str, Any]) -> bool:
+    """True iff the TPU probe ran, on a NON-cpu platform, and computed
+    the expected value. Probe output format: '<platform> <value>'."""
+    if not probe.get("ok"):
+        return False
+    parts = str(probe.get("out", "")).split()
+    return (len(parts) == 2 and parts[0] != "cpu"
+            and parts[1].startswith("16384"))
+
+
 def run_doctor(probe_timeout_s: float | None = None,
                verbose: bool = True) -> dict:
     """Collect the health report; print it when verbose. Returns the
@@ -93,13 +103,15 @@ def run_doctor(probe_timeout_s: float | None = None,
         and rep["cpu"].get("out") == "64.0"
 
     # TPU path: trivial compiled dispatch through the tunnel. A timeout
-    # here is the measured wedge signature — report, don't hang.
+    # here is the measured wedge signature — report, don't hang. The
+    # probe prints the executing platform alongside the value: without
+    # the axon plugin JAX silently falls back to CPU and the value
+    # alone would report a false 'TPU healthy' on CPU-only hosts.
     rep["tpu"] = _subprocess_probe(
         "import jax, jax.numpy as jnp; "
-        "print(float(jax.jit(lambda x: (x*x).sum())"
-        "(jnp.ones((128,128)))))", timeout_s=probe_timeout_s)
-    rep["tpu_ok"] = bool(rep["tpu"].get("ok")) \
-        and "16384" in str(rep["tpu"].get("out", ""))
+        "v = float(jax.jit(lambda x: (x*x).sum())(jnp.ones((128,128)))); "
+        "print(jax.devices()[0].platform, v)", timeout_s=probe_timeout_s)
+    rep["tpu_ok"] = _tpu_probe_ok(rep["tpu"])
     if not rep["tpu_ok"] and rep["tpu"].get("seconds", 0) >= probe_timeout_s:
         rep["tpu"]["hint"] = (
             "tunnel wedge signature: trivial dispatch hung. Measured "

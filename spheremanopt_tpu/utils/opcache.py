@@ -12,9 +12,11 @@ to a disk read.
 
 Keying is conservative: any parameter change produces a different key
 (a false miss only costs a rebuild; there is no way to get a stale hit
-without a hash collision). A version salt invalidates all entries when
-the assembly code changes — bump `_SALT` in the same commit as any
-builder change.
+without a hash collision). Builder-code changes auto-invalidate:
+callers mix `source_digest(<builder fns/classes>)` into the key, so a
+forgotten manual bump can no longer serve stale operator stacks (wrong
+physics) across code revisions; `_SALT` remains as a manual escape
+hatch for changes outside the digested sources.
 
 Env:
   SMO_OP_CACHE=0       disable entirely
@@ -38,6 +40,22 @@ def _cache_dir() -> Optional[str]:
     if env == "0":
         return None
     return env or "/tmp/smo_op_cache"
+
+
+def source_digest(*objs) -> str:
+    """Digest of the SOURCE of the given functions/classes, for mixing
+    into cache keys: editing a digested builder auto-invalidates its
+    entries. Falls back to repr() for objects without retrievable
+    source (builtins, REPL definitions) — conservative either way."""
+    import inspect
+
+    h = hashlib.sha256()
+    for o in objs:
+        try:
+            h.update(inspect.getsource(o).encode())
+        except (OSError, TypeError):
+            h.update(repr(o).encode())
+    return h.hexdigest()[:16]
 
 
 def cache_key(parts: dict) -> str:

@@ -33,3 +33,15 @@ def test_cli_doctor_exits_zero_and_emits_json():
     rep = json.loads(body)
     assert rep["cpu_ok"] is True
     assert "doctor:" in out.stdout
+
+
+def test_tpu_probe_rejects_cpu_fallback():
+    """A silently-CPU probe (no axon plugin; value still 16384.0) must
+    NOT report TPU healthy — the ADVICE r3 false-positive."""
+    from spheremanopt_tpu.utils.doctor import _tpu_probe_ok
+
+    assert _tpu_probe_ok({"ok": True, "out": "axon 16384.0"})
+    assert _tpu_probe_ok({"ok": True, "out": "tpu 16384.0"})
+    assert not _tpu_probe_ok({"ok": True, "out": "cpu 16384.0"})
+    assert not _tpu_probe_ok({"ok": True, "out": "16384.0"})
+    assert not _tpu_probe_ok({"ok": False, "out": "axon 16384.0"})
