@@ -540,6 +540,12 @@ def _secondary(name, pre):
         return {"ms": t}
     if name == "sh23_workload":
         return bench_sh23_workload()
+    if name == "kdyn_workload":
+        return bench_kdyn_workload()
+    if name == "shb23_workload":
+        return bench_shb23_workload()
+    if name == "mixing_workload":
+        return bench_mixing_workload()
     raise ValueError(f"unknown secondary bench {name!r}")
 
 
@@ -757,7 +763,8 @@ def main():
     # the persistent cache holds their Mosaic compiles)
     runners = ["mixing_256x128", "shb23_512", "kdyn48_scale"]
     if on_tpu:
-        runners += ["sh23_pallas", "shb23_pallas", "sh23_workload"]
+        runners += ["sh23_pallas", "shb23_pallas", "sh23_workload",
+                    "kdyn_workload", "shb23_workload", "mixing_workload"]
 
     def _record(name, r):
         r = dict(r)
