@@ -58,23 +58,32 @@ def _kadd(acc, comp, value):
 
 
 def _fwd_kernel(a_ref, b_ref, w_ref, u0_ref, sc_ref, uT_ref, j_ref,
-                traj_ref=None, *, n_steps: int):
+                *rest, n_steps: int, has_traj: bool = False,
+                has_ser: bool = False):
     """Forward: timestepping + weighted Kahan cost accumulation. When
-    `traj_ref` is present (grad contexts, via the custom_vjp forward
-    rule) every pre-step state is stored for the reverse sweep; the
-    primal objective runs trajectory-free — no HBM flush of a
-    trajectory nobody reads."""
+    `has_traj` (grad contexts, via the custom_vjp forward rule) every
+    pre-step state is stored for the reverse sweep; the primal objective
+    runs trajectory-free — no HBM flush of a trajectory nobody reads.
+    When `has_ser` the per-step energies feeding the Kahan sum are ALSO
+    stored (lane-replicated rows — the proven dynamic-row-store
+    pattern), so fused archiving costs a (n_steps+1, 128) store instead
+    of a second forward solve; the J arithmetic is op-identical."""
     c2 = sc_ref[0, 0]
     c3 = sc_ref[0, 1]
     a = a_ref[:]
     b = b_ref[:]
     w = w_ref[:]
+    traj_ref = rest[0] if has_traj else None
+    ser_ref = rest[1 if has_traj else 0] if has_ser else None
 
     def body(i, carry):
         u, acc, comp = carry
-        if traj_ref is not None:  # static: kernel arity fixes the variant
+        if traj_ref is not None:  # static: flags fix the variant
             traj_ref[i, :] = u[0, :]
-        acc, comp = _kadd(acc, comp, jnp.sum(w[0, :] * u[0, :] * u[0, :]))
+        e = jnp.sum(w[0, :] * u[0, :] * u[0, :])
+        if ser_ref is not None:
+            ser_ref[i, :] = jnp.full((ser_ref.shape[-1],), e, jnp.float32)
+        acc, comp = _kadd(acc, comp, e)
         g = c2 * u * u + c3 * u * u * u
         u_new = _mm(a, u) + _mm(b, g)
         return (u_new, acc, comp)
@@ -82,7 +91,10 @@ def _fwd_kernel(a_ref, b_ref, w_ref, u0_ref, sc_ref, uT_ref, j_ref,
     u, acc, comp = jax.lax.fori_loop(
         0, n_steps, body, (u0_ref[:], jnp.float32(0.0), jnp.float32(0.0))
     )
-    acc, _ = _kadd(acc, comp, jnp.sum(w[0, :] * u[0, :] * u[0, :]))
+    eN = jnp.sum(w[0, :] * u[0, :] * u[0, :])
+    if ser_ref is not None:
+        ser_ref[n_steps, :] = jnp.full((ser_ref.shape[-1],), eN, jnp.float32)
+    acc, _ = _kadd(acc, comp, eN)
     uT_ref[:] = u
     j_ref[0, 0] = acc
 
@@ -136,26 +148,36 @@ def _bwd_kernel(a_ref, b_ref, w_ref, uT_ref, traj_ref, sc_ref,
 
 
 def _fwd_kernel_shared(b_ref, w_ref, u0_ref, sc_ref, uT_ref, j_ref,
-                       traj_ref=None, *, n_steps: int):
-    """Shared-matrix forward; `traj_ref` optional as in `_fwd_kernel`."""
+                       *rest, n_steps: int, has_traj: bool = False,
+                       has_ser: bool = False):
+    """Shared-matrix forward; optional traj/series outputs as in
+    `_fwd_kernel`."""
     c2 = sc_ref[0, 0]
     c3 = sc_ref[0, 1]
     lin = sc_ref[0, 2]
     b = b_ref[:]
     w = w_ref[:]
+    traj_ref = rest[0] if has_traj else None
+    ser_ref = rest[1 if has_traj else 0] if has_ser else None
 
     def body(i, carry):
         u, acc, comp = carry
-        if traj_ref is not None:  # static: kernel arity fixes the variant
+        if traj_ref is not None:  # static: flags fix the variant
             traj_ref[i, :] = u[0, :]
-        acc, comp = _kadd(acc, comp, jnp.sum(w[0, :] * u[0, :] * u[0, :]))
+        e = jnp.sum(w[0, :] * u[0, :] * u[0, :])
+        if ser_ref is not None:
+            ser_ref[i, :] = jnp.full((ser_ref.shape[-1],), e, jnp.float32)
+        acc, comp = _kadd(acc, comp, e)
         v = lin * u + c2 * u * u + c3 * u * u * u
         return (_mm(b, v), acc, comp)
 
     u, acc, comp = jax.lax.fori_loop(
         0, n_steps, body, (u0_ref[:], jnp.float32(0.0), jnp.float32(0.0))
     )
-    acc, _ = _kadd(acc, comp, jnp.sum(w[0, :] * u[0, :] * u[0, :]))
+    eN = jnp.sum(w[0, :] * u[0, :] * u[0, :])
+    if ser_ref is not None:
+        ser_ref[n_steps, :] = jnp.full((ser_ref.shape[-1],), eN, jnp.float32)
+    acc, _ = _kadd(acc, comp, eN)
     uT_ref[:] = u
     j_ref[0, 0] = acc
 
@@ -190,23 +212,30 @@ def _bwd_kernel_shared(b_ref, w_ref, uT_ref, traj_ref, sc_ref,
     lam_ref[:] = lam
 
 
-def _traj_outputs(store_traj, n_steps, mg):
-    """(extra out_shape, extra out_specs) for the optional trajectory
-    output — present only in grad contexts (custom_vjp forward rules)."""
-    if not store_traj:
-        return [], []
-    return ([jax.ShapeDtypeStruct((n_steps, mg), jnp.float32)],
-            [pl.BlockSpec(memory_space=pltpu.VMEM)])
+def _aux_outputs(store_traj, store_series, n_steps, mg):
+    """(extra out_shape, extra out_specs) for the optional trajectory /
+    energy-series outputs. Ordering: traj (grad contexts), then the
+    lane-replicated per-step energy series (fused archiving)."""
+    shapes, specs = [], []
+    if store_traj:
+        shapes.append(jax.ShapeDtypeStruct((n_steps, mg), jnp.float32))
+        specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    if store_series:
+        shapes.append(jax.ShapeDtypeStruct((n_steps + 1, 128), jnp.float32))
+        specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    return shapes, specs
 
 
-def _run_fwd(a, b, w, u0, c2, c3, n_steps, interpret, store_traj=True):
+def _run_fwd(a, b, w, u0, c2, c3, n_steps, interpret, store_traj=True,
+             store_series=False):
     mg = u0.shape[-1]
     u0_t = jnp.zeros((8, mg), jnp.float32).at[0, :].set(u0)
     w_t = jnp.zeros((8, mg), jnp.float32).at[0, :].set(w)
     sc = jnp.asarray([[c2, c3]], jnp.float32)
-    tshape, tspecs = _traj_outputs(store_traj, n_steps, mg)
+    tshape, tspecs = _aux_outputs(store_traj, store_series, n_steps, mg)
     out = pl.pallas_call(
-        partial(_fwd_kernel, n_steps=n_steps),
+        partial(_fwd_kernel, n_steps=n_steps, has_traj=store_traj,
+                has_ser=store_series),
         out_shape=(
             jax.ShapeDtypeStruct((8, mg), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
@@ -221,22 +250,20 @@ def _run_fwd(a, b, w, u0, c2, c3, n_steps, interpret, store_traj=True):
         ),
         interpret=interpret,
     )(a, b, w_t, u0_t, sc)
-    if store_traj:
-        uT, Jsum, traj = out
-        return uT, Jsum[0, 0], traj
-    uT, Jsum = out
-    return uT, Jsum[0, 0]
+    uT, Jsum = out[0], out[1][0, 0]
+    return (uT, Jsum, *out[2:])
 
 
 def _run_fwd_shared(b, w, u0, c2, c3, lin, n_steps, interpret,
-                    store_traj=True):
+                    store_traj=True, store_series=False):
     mg = u0.shape[-1]
     u0_t = jnp.zeros((8, mg), jnp.float32).at[0, :].set(u0)
     w_t = jnp.zeros((8, mg), jnp.float32).at[0, :].set(w)
     sc = jnp.asarray([[c2, c3, lin]], jnp.float32)
-    tshape, tspecs = _traj_outputs(store_traj, n_steps, mg)
+    tshape, tspecs = _aux_outputs(store_traj, store_series, n_steps, mg)
     out = pl.pallas_call(
-        partial(_fwd_kernel_shared, n_steps=n_steps),
+        partial(_fwd_kernel_shared, n_steps=n_steps, has_traj=store_traj,
+                has_ser=store_series),
         out_shape=(
             jax.ShapeDtypeStruct((8, mg), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
@@ -251,11 +278,8 @@ def _run_fwd_shared(b, w, u0, c2, c3, lin, n_steps, interpret,
         ),
         interpret=interpret,
     )(b, w_t, u0_t, sc)
-    if store_traj:
-        uT, Jsum, traj = out
-        return uT, Jsum[0, 0], traj
-    uT, Jsum = out
-    return uT, Jsum[0, 0]
+    uT, Jsum = out[0], out[1][0, 0]
+    return (uT, Jsum, *out[2:])
 
 
 def _run_bwd_shared(b, w, uT, traj, c2, c3, lin, scale, n_steps, interpret,
@@ -374,3 +398,83 @@ def _vjp_bwd_shared(c2, c3, lin, dt, n_steps, interpret, op_grads, res, gbar):
 
 
 fused_objective_shared.defvjp(_vjp_fwd_shared, _vjp_bwd_shared)
+
+
+# ---------------------------------------------------------------------------
+# fused-diagnostics variants: (J, energy series, final state) from the
+# SAME kernel pass — the archiver's payload without a second forward
+# solve (the reference's scalar_data handler rides the cost's FWD solve,
+# FWD_Solve_SH23.py:478-483). J arithmetic is OP-IDENTICAL to the plain
+# kernels (the stored per-step energies are the very values the Kahan
+# sum consumes), so archiving leaves optimisation trajectories bitwise
+# unchanged. The aux outputs carry NO adjoint path: only J's cotangent
+# propagates in the backward rule — problems wrap them in stop_gradient
+# so autodiff can never silently route cotangents into them.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def fused_objective_diag(a, b, w, u0, c2: float, c3: float, dt: float,
+                         n_steps: int, interpret: bool = False,
+                         op_grads: bool = True):
+    """`fused_objective` that also returns (energies, uT): the per-step
+    weighted energies sum_j w_j u_n,j^2 for n = 0..n_steps and the final
+    state row. Differentiable in u0 (and A/B/w) through J ONLY."""
+    uT, Jsum, ser = _run_fwd(a, b, w, u0, c2, c3, n_steps, interpret,
+                             store_traj=False, store_series=True)
+    return -dt * Jsum, ser[:, 0], uT[0, :]
+
+
+def _vjp_fwd_diag(a, b, w, u0, c2, c3, dt, n_steps, interpret, op_grads):
+    uT, Jsum, traj, ser = _run_fwd(a, b, w, u0, c2, c3, n_steps, interpret,
+                                   store_traj=True, store_series=True)
+    return (-dt * Jsum, ser[:, 0], uT[0, :]), (a, b, w, uT, traj)
+
+
+def _vjp_bwd_diag(c2, c3, dt, n_steps, interpret, op_grads, res, gbars):
+    gbar = gbars[0]   # aux outputs are stop_gradient'd by callers
+    a, b, w, uT, traj = res
+    lam, da, db = _run_bwd(a, b, w, uT, traj, c2, c3,
+                           jnp.float32(-2.0 * dt) * gbar, n_steps, interpret,
+                           op_grads=op_grads)
+    dw = gbar * (-dt) * (jnp.sum(traj * traj, axis=0) + uT[0, :] * uT[0, :])
+    return (da, db, dw, lam)
+
+
+fused_objective_diag.defvjp(_vjp_fwd_diag, _vjp_bwd_diag)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def fused_objective_shared_diag(b, w, u0, c2: float, c3: float, lin: float,
+                                dt: float, n_steps: int,
+                                interpret: bool = False,
+                                op_grads: bool = True):
+    """`fused_objective_shared` that also returns (energies, uT); see
+    `fused_objective_diag`."""
+    uT, Jsum, ser = _run_fwd_shared(b, w, u0, c2, c3, lin, n_steps,
+                                    interpret, store_traj=False,
+                                    store_series=True)
+    return -dt * Jsum, ser[:, 0], uT[0, :]
+
+
+def _vjp_fwd_shared_diag(b, w, u0, c2, c3, lin, dt, n_steps, interpret,
+                         op_grads):
+    uT, Jsum, traj, ser = _run_fwd_shared(b, w, u0, c2, c3, lin, n_steps,
+                                          interpret, store_traj=True,
+                                          store_series=True)
+    return (-dt * Jsum, ser[:, 0], uT[0, :]), (b, w, uT, traj)
+
+
+def _vjp_bwd_shared_diag(c2, c3, lin, dt, n_steps, interpret, op_grads,
+                         res, gbars):
+    gbar = gbars[0]   # aux outputs are stop_gradient'd by callers
+    b, w, uT, traj = res
+    lam, db = _run_bwd_shared(b, w, uT, traj, c2, c3, lin,
+                              jnp.float32(-2.0 * dt) * gbar, n_steps,
+                              interpret, op_grads=op_grads)
+    dw = gbar * (-dt) * (jnp.sum(traj * traj, axis=0) + uT[0, :] * uT[0, :])
+    return (db, dw, lam)
+
+
+fused_objective_shared_diag.defvjp(_vjp_fwd_shared_diag,
+                                   _vjp_bwd_shared_diag)

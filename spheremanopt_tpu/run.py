@@ -72,9 +72,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "step histories + current iterate, zero extra "
                          "solves (the reference File_Manips analogue)")
     ap.add_argument("--archive-full", action="store_true",
-                    help="archives re-run diagnostics() for full field/"
-                         "spectra snapshots (costs one forward solve per "
-                         "archive)")
+                    help="archive full field/spectra diagnostics per "
+                         "iteration; captured FROM the optimisation's own "
+                         "solves when the problem has a fused-diagnostics "
+                         "form (all methods incl. pallas — zero extra "
+                         "solves), else re-runs diagnostics()")
     ap.add_argument("--diag-stride", type=int, default=None,
                     help="energy-series cadence of the fused archives "
                          "(sh23/shb23; must divide n_iters; the reference "
@@ -149,8 +151,9 @@ def make_problem(args):
     # faster than the XLA scans end-to-end (SH23 1.7x, SHB23 2.4x in the
     # device loop; BASELINE.md r3) at the same f32 accuracy class. The
     # one-time Mosaic compile is absorbed by the persistent cache.
-    # Opt out with --method matmul (e.g. for --archive-full fused
-    # capture, which the kernel objectives don't provide).
+    # Opt out with --method matmul. (--archive-full fused capture works
+    # on BOTH methods: the kernels carry diag variants that store the
+    # energy series from the same VMEM pass, J bitwise-unchanged.)
     if on_tpu and args.method is None and args.dtype in (None, "float32") \
             and args.problem in ("sh23", "shb23"):
         args.method = "pallas"

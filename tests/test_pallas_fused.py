@@ -224,3 +224,58 @@ def test_two_matrix_kernel_shb23_parity():
           - float(fused_objective(a - eps * v, b, w, u0, 2.0, -1.0, pm.cfg.dt, 40, True))) / (2 * eps)
     ad = float(jnp.sum(da * v))
     assert abs(fd - ad) < 5e-3 * max(abs(fd), 1e-8), (fd, ad)
+
+
+def test_diag_kernels_bitwise_J_and_grad(setup):
+    """The fused-diagnostics kernel variants must leave J and the u0
+    gradient BITWISE unchanged (the per-step energies they store are
+    exactly the values the Kahan cost sum consumes), and the captured
+    series must equal the XLA aux path's energies."""
+    from spheremanopt_tpu.ops.pallas.fused_two_matrix import (
+        fused_objective_diag,
+        fused_objective_shared,
+        fused_objective_shared_diag,
+    )
+
+    p, x0 = setup
+    a, b, w = _sh23_args(p)
+    pmat = jnp.asarray(p._P.astype(np.float32))
+    u0 = jnp.dot(pmat, x0[0])
+    lin = 1.0 / p.cfg.dt
+    args = (1.8, -1.0, lin, p.cfg.dt, p.cfg.n_iters, True)
+
+    # primal context: J bitwise across plain/diag shared kernels
+    J_plain = float(fused_objective_shared(b, w, u0, *args))
+    J_diag, ser, uT = fused_objective_shared_diag(b, w, u0, *args)
+    assert float(J_diag) == J_plain
+    assert ser.shape == (p.cfg.n_iters + 1,)
+
+    # grad context: J and gradient bitwise
+    def obj_plain(v):
+        return fused_objective_shared(b, w, v, *args)
+
+    def obj_diag(v):
+        out = fused_objective_shared_diag(b, w, v, *args)
+        return out[0], (jax.lax.stop_gradient(out[1]),
+                        jax.lax.stop_gradient(out[2]))
+
+    Jp, gp = jax.value_and_grad(obj_plain)(u0)
+    (Jd, (ser_g, uT_g)), gd = jax.value_and_grad(obj_diag,
+                                                 has_aux=True)(u0)
+    assert float(Jp) == float(Jd)
+    np.testing.assert_array_equal(np.asarray(gp), np.asarray(gd))
+    np.testing.assert_array_equal(np.asarray(ser_g), np.asarray(ser))
+
+    # series parity vs the XLA fused-aux path (f32 tolerance)
+    _, diag_xla = p._obj_and_diag(x0)
+    np.testing.assert_allclose(np.asarray(ser), 
+                               np.asarray(diag_xla["kinetic_energy"]),
+                               rtol=2e-5)
+
+    # two-matrix diag variant: J bitwise vs fused_objective
+    J2 = float(fused_objective(a, b, w, u0, 1.8, -1.0, p.cfg.dt,
+                               p.cfg.n_iters, True))
+    J2d, ser2, _uT2 = fused_objective_diag(a, b, w, u0, 1.8, -1.0,
+                                           p.cfg.dt, p.cfg.n_iters, True)
+    assert float(J2d) == J2
+    np.testing.assert_allclose(np.asarray(ser2), np.asarray(ser), rtol=2e-5)
