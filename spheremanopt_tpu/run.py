@@ -81,6 +81,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="energy-series cadence of the fused archives "
                          "(sh23/shb23; must divide n_iters; the reference "
                          "records scalar_data every 20 iters)")
+    ap.add_argument("--h5", action="store_true",
+                    help="also export the reference ecosystem's h5 "
+                         "artifacts (DAL_PROGRESS.h5 + scalar_data_s1.h5 "
+                         "+ CheckPoints_s1.h5, dataset names per the "
+                         "reference source) into --out-dir")
     ap.add_argument("--no-archive", action="store_true",
                     help="(deprecated alias for --archive-every 0)")
     ap.add_argument("--solve-steps", type=int, default=None,
@@ -433,6 +438,17 @@ def main(argv=None) -> int:
     elif hasattr(problem, "diagnostics"):
         diag = problem.diagnostics(res.x_opt)
         plot_energy_series(diag, os.path.join(args.out_dir, "energy_series.pdf"))
+
+    if args.h5:
+        # h5 migration shim: the reference ecosystem's DAL_PROGRESS.h5 /
+        # scalar_data / CheckPoints files, name-for-name (io/h5compat)
+        from spheremanopt_tpu.io.h5compat import export_run_h5
+
+        diag_h5 = (problem.diagnostics(res.x_opt)
+                   if hasattr(problem, "diagnostics") else {})
+        paths = export_run_h5(args.out_dir, args.problem, res, diag_h5)
+        if not args.quiet:
+            print("h5 exports:", json.dumps(paths))
 
     cfg_dict = None
     if hasattr(problem, "cfg"):

@@ -1,0 +1,101 @@
+"""h5 export shim: a reference user's h5py post-processing must read
+the rebuild's exports using ONLY dataset names from the reference
+source (`Sphere_Grad_Descent.py:823-826` DAL_PROGRESS fields;
+`plot_figure_SH23_FULL.py:38-42` scales/sim_time + tasks/<name>)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import h5py
+import numpy as np
+import pytest
+
+from spheremanopt_tpu import optimise_on_multi_sphere
+from spheremanopt_tpu.io.h5compat import (
+    export_run_h5, load_dal_progress_h5, save_dal_progress_h5,
+    save_scalar_series_h5)
+from spheremanopt_tpu.problems.swift_hohenberg import (SH23Config,
+                                                       SwiftHohenberg)
+
+
+@pytest.fixture(scope="module")
+def run(tmp_path_factory):
+    p = SwiftHohenberg(SH23Config(npts=32, n_iters=20, dt=0.05, e0=0.0725))
+    x0 = p.generate_ic(seed=3)
+    res = optimise_on_multi_sphere(
+        x0, p.radii, p.objective, p.gradient, p.inner_product,
+        max_iters=3, alpha_k=np.pi, f_and_g=p.objective_and_gradient,
+        verbose=False)
+    return p, res
+
+
+def test_dal_progress_reference_reader(run, tmp_path):
+    """The exact reads the reference's restart path performs
+    (`FWD_Solve_SH23.py:789-794`) work on the export."""
+    p, res = run
+    path = save_dal_progress_h5(str(tmp_path / "DAL_PROGRESS.h5"), res)
+    with h5py.File(path, "r") as DAL_file:
+        RESIDUAL = DAL_file["Residual"][()]
+        FUNCT = DAL_file["Function_Value"][()]
+        X_0 = DAL_file["X_opt"][0]
+        iters = int(DAL_file["Iterations"][()])
+        for name in ("N", "Function_Evals", "Gradient_Evals", "Step_Size"):
+            assert name in DAL_file
+    assert RESIDUAL.shape == (1, res.iterations)
+    assert FUNCT.shape == (res.iterations,)
+    np.testing.assert_allclose(FUNCT, np.asarray(res.function_values))
+    np.testing.assert_allclose(X_0, np.asarray(res.x_opt[0]))
+    assert iters == res.iterations
+    # round-trip helper
+    d = load_dal_progress_h5(path)
+    assert set(d) >= {"Residual", "Function_Value", "X_opt"}
+
+
+def test_scalar_series_reference_reader(run, tmp_path):
+    """The exact reads the reference's plot scripts perform
+    (`plot_figure_SH23_FULL.py:38-42`)."""
+    p, res = run
+    diag = p.diagnostics(res.x_opt)
+    path = save_scalar_series_h5(
+        str(tmp_path / "scalar_data_s1.h5"), diag["sim_time"],
+        {"Kinetic energy": np.asarray(diag["kinetic_energy"])})
+    with h5py.File(path, "r") as file:
+        time = file["scales/sim_time"][:]
+        BE = file["tasks/Kinetic energy"][:, 0]
+    assert time.shape == BE.shape
+    np.testing.assert_allclose(BE, np.asarray(diag["kinetic_energy"]))
+
+
+def test_export_run_h5_full_set(run, tmp_path):
+    p, res = run
+    diag = p.diagnostics(res.x_opt)
+    paths = export_run_h5(str(tmp_path), "sh23", res, diag)
+    assert set(paths) == {"dal", "scalar", "checkpoints"}
+    with h5py.File(paths["scalar"], "r") as f:
+        assert "tasks/Kinetic energy" in f
+    with h5py.File(paths["checkpoints"], "r") as f:
+        names = list(f["tasks"].keys())
+        assert "u_final" in names
+        # snapshot tasks carry the Dedalus leading write dimension
+        assert f["tasks/u_final"].shape[0] == 1
+
+
+def test_cli_h5_flag(tmp_path):
+    env = dict(os.environ, PYTHONPATH="/root/repo", JAX_PLATFORM_NAME="cpu")
+    out = subprocess.run(
+        [sys.executable, "-m", "spheremanopt_tpu.run", "sh23", "--platform",
+         "cpu", "--npts", "32", "--n-iters", "20", "--max-iters", "2",
+         "--h5", "--quiet", "--out-dir", str(tmp_path / "run")],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    dal = tmp_path / "run" / "DAL_PROGRESS.h5"
+    sca = tmp_path / "run" / "scalar_data_s1.h5"
+    assert dal.exists() and sca.exists()
+    with h5py.File(dal, "r") as f:
+        assert "Function_Value" in f and "X_opt" in f
+    with h5py.File(sca, "r") as f:
+        assert f["tasks/Kinetic energy"].shape[1] == 1
