@@ -27,8 +27,19 @@ request.
     -> per-point result rows from ONE vmapped executable (the batched
        capability of examples/sh23_batch_sweep.py as a service)
 
-  {"cmd": "status"}   -> uptime, request count, cached executable keys
+  {"cmd": "status"}   -> uptime, request count, cached executable keys,
+                         and live occupancy: {"busy": {...}|null,
+                         "queued": n} — answered IMMEDIATELY even while
+                         a long sweep runs
   {"cmd": "shutdown"} -> stops the server loop
+
+Concurrency model: connections are accepted on a THREADED server, so a
+second client is never blocked behind a long-running first one — but
+COMPUTE requests (optimise/sweep) are serialised through one worker
+lock: TPU work must not run concurrently in this environment (two
+concurrent heavy dispatches stall the remote compile helper, CLAUDE.md
+platform rule 6 — one serialising server is the fix, not the victim).
+Queued compute requests run FIFO; status/shutdown bypass the queue.
 
 Start:  python -m spheremanopt_tpu.serve --socket /tmp/smo.sock
 Client: spheremanopt_tpu.serve.request(path, {...}) -> dict
@@ -41,6 +52,7 @@ import json
 import os
 import socket
 import socketserver
+import threading
 import time
 from typing import Any, Dict, Tuple
 
@@ -91,6 +103,12 @@ class OptimisationService:
         self._t0 = time.time()
         self._requests = 0
         self._hits = 0
+        # compute serialisation: one worker at a time touches jax (see
+        # module docstring); status/shutdown answer without this lock
+        self._work_lock = threading.Lock()
+        self._state_lock = threading.Lock()
+        self._busy: Dict[str, Any] | None = None
+        self._queued = 0
 
     # -- executable cache ------------------------------------------------
 
@@ -124,23 +142,54 @@ class OptimisationService:
     # -- handlers ----------------------------------------------------------
 
     def handle(self, req: Dict[str, Any]) -> Dict[str, Any]:
-        self._requests += 1
+        with self._state_lock:
+            self._requests += 1
         try:
             cmd = req.get("cmd")
             if cmd == "status":
+                with self._state_lock:
+                    busy = dict(self._busy) if self._busy else None
+                    queued = self._queued
                 return {"ok": True, "uptime_s": round(time.time() - self._t0, 3),
                         "requests": self._requests,
                         "cache_hits": self._hits,
+                        "busy": busy, "queued": queued,
                         "executables": sorted(self._cache)}
             if cmd == "shutdown":
                 return {"ok": True, "shutdown": True}
-            if cmd == "optimise":
-                return self._optimise(req)
-            if cmd == "sweep":
-                return self._sweep(req)
+            if cmd in ("optimise", "sweep"):
+                return self._run_serialised(cmd, req)
             return {"ok": False, "error": f"unknown cmd {cmd!r}"}
         except Exception as e:  # noqa: BLE001 — a server must not die
             return {"ok": False, "error": f"{type(e).__name__}: {e}"}
+
+    def _run_serialised(self, cmd: str, req: Dict[str, Any]):
+        """FIFO-queue a compute request behind the single worker lock;
+        a concurrent status request sees it under 'queued' until it
+        starts, then under 'busy'."""
+        with self._state_lock:
+            self._queued += 1
+        acquired = False
+        try:
+            self._work_lock.acquire()
+            acquired = True
+            with self._state_lock:
+                self._queued -= 1
+                self._busy = {"cmd": cmd,
+                              "problem": req.get("problem"),
+                              "since_s": round(time.time() - self._t0, 3)}
+            try:
+                return (self._optimise(req) if cmd == "optimise"
+                        else self._sweep(req))
+            finally:
+                with self._state_lock:
+                    self._busy = None
+        finally:
+            if acquired:
+                self._work_lock.release()
+            else:  # interrupted before the lock: undo the queue count
+                with self._state_lock:
+                    self._queued -= 1
 
     @staticmethod
     def _result_row(res, np):
@@ -269,11 +318,12 @@ class OptimisationService:
 
 def serve(socket_path: str, service: OptimisationService | None = None,
           ready_event=None):
-    """Run the blocking server loop on a Unix domain socket. One request
-    per line; requests are served strictly in order (TPU work must be
-    serialised — two concurrent processes stall the compile helper,
-    CLAUDE.md platform rule 6; one serialising server process is the
-    fix, not the victim)."""
+    """Run the blocking server loop on a Unix domain socket. Connections
+    are THREADED (a status client is answered while a sweep runs);
+    compute requests serialise through the service's worker lock — TPU
+    work must not run concurrently in this environment (two concurrent
+    heavy dispatches stall the compile helper, CLAUDE.md platform rule
+    6; one serialising worker is the fix, not the victim)."""
     service = service or OptimisationService()
     if os.path.exists(socket_path):
         os.unlink(socket_path)
@@ -295,14 +345,13 @@ def serve(socket_path: str, service: OptimisationService | None = None,
                 if resp.get("shutdown"):
                     # stop accepting; must happen off-thread to not
                     # deadlock serve_forever's own handler
-                    import threading
-
                     threading.Thread(target=self.server.shutdown,
                                      daemon=True).start()
                     return
 
-    class Server(socketserver.UnixStreamServer):
+    class Server(socketserver.ThreadingUnixStreamServer):
         allow_reuse_address = True
+        daemon_threads = True
 
     with Server(socket_path, Handler) as srv:
         if ready_event is not None:

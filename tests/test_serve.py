@@ -171,3 +171,60 @@ def test_socket_transport_round_trip(tmp_path):
     t.join(10)
     assert not t.is_alive()
     assert not os.path.exists(sock)
+
+
+def test_concurrent_clients_status_during_long_compute(tmp_path):
+    """Two concurrent clients (VERDICT r3 item 5): a status request is
+    answered IMMEDIATELY while a long compute runs (threaded accept),
+    the occupancy is visible ('busy'/'queued'), and a second compute
+    queues FIFO without corruption."""
+    import time as _time
+
+    sock = str(tmp_path / "smo.sock")
+    ready = threading.Event()
+    t = threading.Thread(target=serve, args=(sock,),
+                         kwargs={"ready_event": ready}, daemon=True)
+    t.start()
+    assert ready.wait(10)
+
+    # slow compute: first-time compile of a fresh executable dominates
+    slow = {"cmd": "optimise", "problem": "pca",
+            "config": {"dim": 48, "matrix_seed": 3}, "seed": 1,
+            "driver": {"max_iters": 30, "cg": True}}
+    done = {}
+
+    def long_call(key, req):
+        done[key] = request(sock, req, timeout=300.0)
+
+    t1 = threading.Thread(target=long_call, args=("a", slow), daemon=True)
+    t1.start()
+    # a second compute queues behind the first
+    t2 = threading.Thread(
+        target=long_call,
+        args=("b", dict(slow, seed=2)), daemon=True)
+    t2.start()
+
+    # while the computes run, status must answer promptly and report
+    # occupancy at least once
+    saw_busy = False
+    deadline = _time.time() + 120
+    while (t1.is_alive() or t2.is_alive()) and _time.time() < deadline:
+        t0 = _time.time()
+        st = request(sock, {"cmd": "status"}, timeout=30.0)
+        assert st["ok"]
+        assert "busy" in st and "queued" in st
+        if st["busy"] is not None or st["queued"] > 0:
+            saw_busy = True
+            # status latency while busy: the threaded accept answers
+            # without waiting for the worker lock
+            assert _time.time() - t0 < 5.0
+        _time.sleep(0.05)
+    t1.join(120)
+    t2.join(120)
+    assert done["a"]["ok"] and done["b"]["ok"], done
+    assert saw_busy, "status never observed the busy/queued occupancy"
+    # both computes produced untangled, valid rows
+    assert done["a"]["iterations"] >= 1 and done["b"]["iterations"] >= 1
+    assert done["a"]["J"] != done["b"]["J"]  # different seeds
+    request(sock, {"cmd": "shutdown"})
+    t.join(10)
