@@ -340,7 +340,12 @@ class KinematicDynamo:
                 return J, _riesz(raw), diag
 
             self._obj_grad_and_diag = jax.jit(_obj_grad_diag)
-        self._grad_cnts = jax.jit(self._gradient_continuous_impl)
+        # the continuous sweep also emits its per-step invariant series
+        # (max|div G|, max|div nu|, |<G>| — see adjoint_diagnostics);
+        # the gradient path discards them (XLA DCEs the reductions)
+        self._grad_cnts = jax.jit(
+            lambda xs: self._gradient_continuous_impl(xs)[0])
+        self._grad_cnts_stats = jax.jit(self._gradient_continuous_impl)
         self._inner = jax.jit(
             lambda x, y: jnp.sum(jnp.mean(x * y, axis=(-3, -2, -1)))
         )
@@ -738,6 +743,8 @@ class KinematicDynamo:
         rhs_fac = jnp.asarray(self._rhs_fac)
         integrated = cfg.cost == "Integrated"
 
+        k = jnp.asarray(self._k)
+
         def adj_body(carry, bf_c):
             g, nu = carry
             bf = self.to_grid(bf_c)
@@ -750,15 +757,23 @@ class KinematicDynamo:
             f_nu = -self._curl_cross(g, bf)
             nu_new = nu + cfg.dt * self._leray(f_nu)
             nu_new = nu_new.at[:, 0, 0, 0].set(0.0)
-            return (g_new, nu_new), None
+            # per-step solenoidality/flux invariants of the adjoint
+            # fields — the reference logs max|div B|, <B>, max|div U|
+            # every ADJOINT step too (`FWD_Solve_KDyn.py:941-973`);
+            # these must sit at Leray-projection roundoff
+            stats = (jnp.abs(jnp.sum(k * g_new, axis=0)).max(),
+                     jnp.abs(jnp.sum(k * nu_new, axis=0)).max(),
+                     jnp.abs(g_new[:, 0, 0, 0]).max())
+            return (g_new, nu_new), stats
 
         if integrated:
             g0 = jnp.zeros_like(b0_c)
         else:
             g0 = -2.0 * b_T
         nu0 = jnp.zeros_like(b0_c)
-        (g, nu), _ = jax.lax.scan(adj_body, (g0, nu0), snaps, reverse=True)
-        return [self.to_grid(g), self.to_grid(nu)]
+        (g, nu), stats = jax.lax.scan(adj_body, (g0, nu0), snaps,
+                                      reverse=True)
+        return [self.to_grid(g), self.to_grid(nu)], stats
 
     # ------------------------------------------------------------------
     # public triple
@@ -771,6 +786,33 @@ class KinematicDynamo:
         if self.cfg.adjoint == "continuous":
             return self._grad_cnts(list(x_list))
         return self._gradient(list(x_list))
+
+    def adjoint_diagnostics(self, x_list) -> dict:
+        """Invariant monitoring of the continuous-adjoint sweep: per-step
+        max|div G|, max|div nu| and mean-flux |<G>| series (reported in
+        forward-time order t = dt..T), plus the gradient the sweep
+        produced — the one reference monitoring surface
+        (`FWD_Solve_KDyn.py:941-973` logs max|div B|, <B> flux,
+        max|div U| every adjoint step) the rebuild previously exposed
+        only for the forward solve. The series must sit at
+        Leray-projection roundoff; a drift flags a broken projector or
+        operator stack. Requires adjoint='continuous' (the discrete
+        adjoint is machine-verified by Taylor tests instead)."""
+        if self.cfg.adjoint != "continuous":
+            raise ValueError(
+                "adjoint_diagnostics monitors the continuous-adjoint "
+                "integration; construct with adjoint='continuous' (the "
+                "discrete mode's gradient is jax.grad — its correctness "
+                "surface is the Taylor-remainder tests)")
+        grads, (div_g, div_nu, flux_g) = self._grad_cnts_stats(
+            list(x_list))
+        return {
+            "adj_sim_time": self.cfg.dt * np.arange(1, self.cfg.n_iters + 1),
+            "max_div_G": np.asarray(div_g),
+            "max_div_nu": np.asarray(div_nu),
+            "max_flux_G": np.asarray(flux_g),
+            "gradient": grads,
+        }
 
     def objective_and_gradient(self, x_list):
         """Fused (J, [dJ/dB0, dJ/dU]); under adjoint='continuous' there

@@ -340,3 +340,37 @@ def test_continuous_mode_objective_and_gradient_dispatch():
     assert float(J_f) == float(p.objective(x0))
     for a, b in zip(g_f, g_ref):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_adjoint_diagnostics_invariants_at_roundoff():
+    """The continuous-adjoint sweep exposes per-step max|div G|,
+    max|div nu|, |<G>| series (the reference's adjoint-step logging,
+    FWD_Solve_KDyn.py:941-973) — all at Leray-projection roundoff —
+    and the gradient it returns is bitwise the gradient() path's."""
+    p = KinematicDynamo(KDynConfig(npts=12, n_iters=25, dt=1e-3,
+                                   adjoint="continuous"))
+    x0 = p.generate_ic(seed=4)
+    out = p.adjoint_diagnostics(x0)
+    n = p.cfg.n_iters
+    assert out["max_div_G"].shape == (n,)
+    assert out["max_div_nu"].shape == (n,)
+    assert out["adj_sim_time"].shape == (n,)
+    g = p.gradient(x0)
+    for a, b in zip(out["gradient"], g):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # roundoff scale: |div G| ~ eps * max|k| * max|G_hat|; bound it
+    # loosely (f64 Leray projection sits ~1e-16 relative)
+    import jax.numpy as jnp
+    scale = float(np.abs(np.asarray(p._k)).max()) * max(
+        float(jnp.abs(p.to_coeff(jnp.asarray(out["gradient"][0]))).max()),
+        1e-30)
+    assert out["max_div_G"].max() < 1e-10 * scale, (
+        out["max_div_G"].max(), scale)
+    assert out["max_div_nu"].max() < 1e-10 * scale
+    assert out["max_flux_G"].max() == 0.0   # zeroed mean mode, exactly
+
+
+def test_adjoint_diagnostics_requires_continuous():
+    p = KinematicDynamo(KDynConfig(npts=12, n_iters=5, dt=1e-3))
+    with pytest.raises(ValueError, match="continuous"):
+        p.adjoint_diagnostics(p.generate_ic(seed=1))
