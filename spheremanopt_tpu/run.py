@@ -114,6 +114,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="step-method override (sh23: matmul|fft|pallas; "
                          "shb23: matmul|pallas; kdyn: xla|pallas)")
     ap.add_argument("--s", type=int, choices=[0, 1], default=1, help="mixing objective")
+    ap.add_argument("--precision", default=None,
+                    choices=["bfloat16", "compensated", "compensated2",
+                             "high", "highest", "df64"],
+                    help="mixing f32 solve precision (MixingConfig."
+                         "solve_precision). 'df64' is the f64-emulated "
+                         "accuracy mode: ~144x more accurate gradients "
+                         "at ~11x the solve time (BASELINE.md r4)")
     return ap
 
 
@@ -233,7 +240,9 @@ def make_problem(args):
     from spheremanopt_tpu.problems.optimal_mixing import MixingConfig, OptimalMixing
 
     kw = dict(dtype=dtype, s=args.s, adjoint=args.adjoint)
-    for name, val in [("nx", args.nx), ("nz", args.nz), ("dt", args.dt), ("n_iters", args.n_iters)]:
+    for name, val in [("nx", args.nx), ("nz", args.nz), ("dt", args.dt),
+                      ("n_iters", args.n_iters),
+                      ("solve_precision", args.precision)]:
         if val is not None:
             kw[name] = val
     p = OptimalMixing(MixingConfig(**kw))
@@ -389,9 +398,21 @@ def main(argv=None) -> int:
     callback = None
     obj_fn = problem.objective
     fg_fn = getattr(problem, "objective_and_gradient", None)
+    if getattr(problem, "_dfe", None) is not None:
+        # df64 mixing: the host line search consumes J at pair
+        # resolution (the f32 scalar rounds to ~ulp(J) ~ 4e-9, which
+        # can swamp fine Wolfe comparisons the accuracy mode exists for)
+        obj_fn = problem.objective_f64
     if args.archive_every > 0:
-        if args.archive_full and getattr(problem, "has_fused_diagnostics",
-                                         False):
+        if args.archive_full and getattr(problem, "_dfe", None) is not None:
+            # the fused archiver substitutes f/f_and_g with the
+            # COMPENSATED-machinery aux forms — that would silently
+            # downgrade the df64 gradient path; re-run diagnostics
+            # instead and keep the df64 triple in the optimiser
+            archiver = IterationArchiver("diag", problem.diagnostics,
+                                         args.out_dir)
+        elif args.archive_full and getattr(problem, "has_fused_diagnostics",
+                                           False):
             # full diagnostics captured from the optimisation's own
             # solves — zero extra forward runs (vs IterationArchiver,
             # which re-runs diagnostics() per archive)

@@ -117,3 +117,18 @@ def test_df64_taylor_second_order(df_prob, truth):
     orders = [np.log(rems[i] / rems[i + 1]) / np.log(2.0)
               for i in range(len(rems) - 1)]
     assert all(o > 1.7 for o in orders), (rems, orders)
+
+
+def test_cli_precision_flag_selects_df64():
+    """--precision df64 reaches MixingConfig and activates the engine;
+    the host search consumes pair-resolution J (run.py wiring)."""
+    from spheremanopt_tpu.run import build_parser, make_problem
+
+    args = build_parser().parse_args(
+        ["mixing", "--platform", "cpu", "--precision", "df64",
+         "--dtype", "float32", "--nx", "16", "--nz", "8",
+         "--n-iters", "4"])
+    p, _x0, _defaults = make_problem(args)
+    assert p.cfg.solve_precision == "df64"
+    assert p._dfe is not None
+    assert callable(p.objective_f64)
