@@ -450,6 +450,9 @@ def main(argv=None) -> int:
         f_and_g=fg_fn,
     )
 
+    if callback is not None and hasattr(archiver, "flush"):
+        archiver.flush()   # drain async archive writes before reading
+
     plot_optimisation(res, save_path=os.path.join(args.out_dir, "convergence.pdf"))
     from spheremanopt_tpu.io.figures import PROBLEM_FIGURES, plot_energy_series
 

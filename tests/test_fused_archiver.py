@@ -155,6 +155,7 @@ def test_fused_archiver_zero_extra_solves(tmp_path):
     assert arch.fallback_recomputes == 0
 
     # the archived payload at the final iterate matches a fresh re-run
+    arch.flush()
     with np.load(arch.paths[-1]) as data:
         archived = data["kinetic_energy"]
     fresh = orig(res.x_opt)
@@ -225,6 +226,7 @@ def test_pallas_fused_archiver_zero_extra_solves(tmp_path):
     assert res.iterations >= 2
     assert calls["diagnostics"] == 0
     assert arch.fallback_recomputes == 0
+    arch.flush()
     with np.load(arch.paths[-1]) as data:
         assert data["kinetic_energy"].shape == (21,)
         assert "u_final" in data.files
