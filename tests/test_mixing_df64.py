@@ -132,3 +132,24 @@ def test_cli_precision_flag_selects_df64():
     assert p.cfg.solve_precision == "df64"
     assert p._dfe is not None
     assert callable(p.objective_f64)
+
+
+def test_df64_s0_objective_accuracy():
+    """The s=0 (time-avg KE) df64 path: J and gradient vs f64 truth at
+    a small config (the s=1 coverage above; s=0 exercises the df KE
+    accumulator riding the scan carry)."""
+    kw = dict(KW, s=0)
+    p64 = OptimalMixing(MixingConfig(dtype="float64", **kw))
+    x32 = np.asarray(p64.generate_ic(seed=5)[0]).astype(np.float32)
+    xe = [jnp.asarray(x32.astype(np.float64))]
+    J64 = float(p64.objective(xe))
+    g64 = np.asarray(p64.gradient(xe)[0])
+
+    pdf = OptimalMixing(MixingConfig(dtype="float32",
+                                     solve_precision="df64", **kw))
+    Jd, gd = pdf.objective_and_gradient([jnp.asarray(x32)])
+    relJ = abs(float(Jd) - J64) / abs(J64)
+    relg = (np.linalg.norm(np.asarray(gd[0], np.float64) - g64)
+            / np.linalg.norm(g64))
+    assert relJ < 3e-7, relJ
+    assert relg < 3e-5, relg
