@@ -338,6 +338,11 @@ class OzakiOp:
     def __init__(self, A: np.ndarray, spec: str, spec_t: str,
                  y_axis: int = -2, n_bits: int = 48,
                  slice_dtype=np.float32):
+        # slice_dtype=bfloat16 is exact (slices carry <= 8 significand
+        # bits) and halves the stored bytes, but measured at 1.00x speed
+        # with bit-identical output on the mixing 256x128 solve
+        # (BASELINE.md r4) — the apply is not slice-stream-bound. Keep
+        # f32 unless HBM CAPACITY forces the half-size stacks.
         A = np.asarray(A, np.float64)
         k = A.shape[-1]
         self._apply, b, p = make_ozaki_apply(spec, spec_t, k, y_axis,
