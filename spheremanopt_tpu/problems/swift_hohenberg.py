@@ -51,7 +51,8 @@ from spheremanopt_tpu.ops.fourier import (
 from spheremanopt_tpu.problems.base import (check_choice, check_x64,
                                              riesz_gradient)
 from spheremanopt_tpu.solvers.scan_utils import (kahan_add, kahan_zero,
-                                                  strided_energy_scan)
+                                                  strided_energy_scan,
+                                                  strided_steps)
 
 
 @dataclass(frozen=True)
@@ -75,8 +76,10 @@ class SH23Config:
                                  # Adjoint_type="Discrete") | "continuous"
                                  # (adjoint-PDE integration, ref :654-656)
     diag_stride: int = 1         # energy-series cadence of the FUSED
-                                 # diagnostics objectives (must divide
-                                 # n_iters). Per-step ys materialisation
+                                 # diagnostics objectives (any >= 1; a
+                                 # short final chunk records its start
+                                 # energy and the final step is always
+                                 # included). Per-step ys materialisation
                                  # measured +159% on the tiny SH23 scan
                                  # body (BASELINE.md r3); the reference
                                  # itself records scalar_data every 20
@@ -92,11 +95,8 @@ class SwiftHohenberg:
         check_choice("method", cfg.method, ("matmul", "fft", "pallas"))
         check_choice("adjoint", cfg.adjoint, ("discrete", "continuous"))
         self.cfg = cfg
-        if cfg.diag_stride < 1 or cfg.n_iters % cfg.diag_stride:
-            raise ValueError(
-                f"diag_stride={cfg.diag_stride} must divide "
-                f"n_iters={cfg.n_iters}"
-            )
+        if cfg.diag_stride < 1:
+            raise ValueError(f"diag_stride={cfg.diag_stride} must be >= 1")
         self.basis = FourierBasis1D(cfg.npts, cfg.length, cfg.pad_factor)
         self.radii = [cfg.e0]
         rdtype = jnp.dtype(cfg.dtype)
@@ -187,7 +187,9 @@ class SwiftHohenberg:
             # obj_pl — the stored energies are the Kahan sum's inputs),
             # so --archive-full costs a (n_steps, 128) store, not a
             # second forward solve (VERDICT r3 item 3)
-            ks = cfg.diag_stride
+            # static subsample indices: chunk starts + final step (same
+            # series semantics as strided_energy_scan for any stride)
+            sidx = strided_steps(cfg.n_iters, cfg.diag_stride)
 
             def obj_diag_pl(xs):
                 u0 = jnp.dot(jnp.asarray(p32), xs[0].astype(jnp.float32),
@@ -199,7 +201,7 @@ class SwiftHohenberg:
                 )
                 # aux outputs carry no adjoint path in the kernel's
                 # backward rule — pin that contract here
-                diag = {"kinetic_energy": jax.lax.stop_gradient(ser[::ks]),
+                diag = {"kinetic_energy": jax.lax.stop_gradient(ser[sidx]),
                         "u_final": jax.lax.stop_gradient(uT)}
                 return J, diag
 
@@ -395,9 +397,8 @@ class SwiftHohenberg:
 
     def _diag_host(self, x_list, diag: dict) -> dict:
         out = dict(diag)
-        k = self.cfg.diag_stride
-        out["sim_time"] = self.cfg.dt * k * np.arange(
-            self.cfg.n_iters // k + 1)
+        out["sim_time"] = self.cfg.dt * strided_steps(
+            self.cfg.n_iters, self.cfg.diag_stride)
         out["x_grid"] = self.basis.grid()
         # LAZY: keep the device array — np.asarray here is a
         # device->host round-trip (~25 ms through the axon tunnel) paid

@@ -42,7 +42,8 @@ import numpy as np
 from spheremanopt_tpu.ops.chebyshev import ChebyshevBasis1D
 from spheremanopt_tpu.problems.base import check_choice, check_x64
 from spheremanopt_tpu.solvers.scan_utils import (kahan_add, kahan_zero,
-                                                  strided_energy_scan)
+                                                  strided_energy_scan,
+                                                  strided_steps)
 
 
 @dataclass(frozen=True)
@@ -66,8 +67,8 @@ class SHB23Config:
                                  # propagator matrices pinned in VMEM for
                                  # the whole forward AND reverse sweep)
     diag_stride: int = 1         # energy-series cadence of the FUSED
-                                 # diagnostics objectives (must divide
-                                 # n_iters); see SH23Config.diag_stride.
+                                 # diagnostics objectives (any >= 1);
+                                 # see SH23Config.diag_stride.
                                  # `diagnostics()` re-runs stay per-step.
 
 
@@ -83,11 +84,8 @@ class SwiftHohenbergBounded:
         check_choice("method", cfg.method, ("matmul", "pallas"))
         check_choice("adjoint", cfg.adjoint, ("discrete", "continuous"))
         self.cfg = cfg
-        if cfg.diag_stride < 1 or cfg.n_iters % cfg.diag_stride:
-            raise ValueError(
-                f"diag_stride={cfg.diag_stride} must divide "
-                f"n_iters={cfg.n_iters}"
-            )
+        if cfg.diag_stride < 1:
+            raise ValueError(f"diag_stride={cfg.diag_stride} must be >= 1")
         self.basis = ChebyshevBasis1D(cfg.npts, cfg.z0, cfg.z1)
         self.radii = [cfg.m0]
         rdtype = jnp.dtype(cfg.dtype)
@@ -173,7 +171,9 @@ class SwiftHohenbergBounded:
             b32k = self._A_nl.astype(np.float32)
             w32k = np.asarray(self._w, np.float32)
             interp_k = jax.devices()[0].platform == "cpu"
-            ks = cfg.diag_stride
+            # static subsample indices: chunk starts + final step (same
+            # series semantics as strided_energy_scan for any stride)
+            sidx = strided_steps(cfg.n_iters, cfg.diag_stride)
 
             def obj_diag_pl(xs):
                 J, ser, uT = fused_objective_diag(
@@ -181,7 +181,7 @@ class SwiftHohenbergBounded:
                     jnp.asarray(w32k), xs[0].astype(jnp.float32),
                     2.0, -1.0, cfg.dt, cfg.n_iters, interp_k, False,
                 )
-                diag = {"kinetic_energy": jax.lax.stop_gradient(ser[::ks]),
+                diag = {"kinetic_energy": jax.lax.stop_gradient(ser[sidx]),
                         "u_final": jax.lax.stop_gradient(uT)}
                 return J, diag
 
@@ -352,9 +352,8 @@ class SwiftHohenbergBounded:
 
     def _diag_host(self, x_list, diag: dict) -> dict:
         out = dict(diag)
-        k = self.cfg.diag_stride
-        out["sim_time"] = self.cfg.dt * k * np.arange(
-            self.cfg.n_iters // k + 1)
+        out["sim_time"] = self.cfg.dt * strided_steps(
+            self.cfg.n_iters, self.cfg.diag_stride)
         out["z_grid"] = self.basis.grid
         # LAZY: no per-call device->host transfer (tunnel round-trip);
         # the archiver converts at write time (see SwiftHohenberg)

@@ -79,8 +79,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "solves), else re-runs diagnostics()")
     ap.add_argument("--diag-stride", type=int, default=None,
                     help="energy-series cadence of the fused archives "
-                         "(sh23/shb23; must divide n_iters; the reference "
-                         "records scalar_data every 20 iters)")
+                         "(sh23/shb23; any >= 1 — a short final chunk is "
+                         "handled; the reference records scalar_data "
+                         "every 20 iters)")
     ap.add_argument("--h5", action="store_true",
                     help="also export the reference ecosystem's h5 "
                          "artifacts (DAL_PROGRESS.h5 + scalar_data_s1.h5 "

@@ -20,6 +20,7 @@ from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 
@@ -132,8 +133,13 @@ def strided_energy_scan(step: Callable, energy: Callable, s0, n_steps: int,
     is identical to the plain no-series integration, so objective values
     match bitwise. Per-step ys materialisation is the measured cost of
     stride=1 (BASELINE r3); stride>1 advances `stride` steps in an inner
-    scan with no ys and records the chunk-start energy.
-    Returns (final_state, dt * integrated_energy, series[n//stride + 1])."""
+    scan with no ys and records the chunk-start energy. `stride` need
+    not divide `n_steps` (the reference's every-N handler cadence,
+    FWD_Solve_SH23.py:499-503, has no such constraint): a short final
+    chunk records its start energy too, so the series steps are
+    `strided_steps(n_steps, stride)` and the final-step energy is
+    always last.
+    Returns (final_state, dt * integrated_energy, series)."""
 
     def body(carry, _):
         s, acc = carry
@@ -161,9 +167,31 @@ def strided_energy_scan(step: Callable, energy: Callable, s0, n_steps: int,
 
         (s, acc), es = lax.scan(outer, (s0, acc0), xs=None,
                                 length=n_steps // stride)
+        rem = n_steps % stride
+        if rem:
+            # short final chunk: record its start energy, then advance
+            # the remaining steps with the same per-step op order
+            s_c, acc_c = (s, acc)
+            e0 = energy(s_c)
+            acc_c = kahan_add(acc_c, e0)
+            (s, acc), _ = lax.scan(lambda c, x: (body(c, x)[0], None),
+                                   (step(s_c), acc_c), xs=None,
+                                   length=rem - 1)
+            es = jnp.concatenate([es, e0[None]])
     eN = energy(s)
     acc = kahan_add(acc, eN)
     return s, dt * acc[0], jnp.concatenate([es, eN[None]])
+
+
+def strided_steps(n_steps: int, stride: int) -> np.ndarray:
+    """Step indices of the `strided_energy_scan` series entries: every
+    chunk start plus the final step (which is also the start index of a
+    short final chunk's energy when stride does not divide n_steps —
+    there the series carries BOTH that chunk start and step n)."""
+    steps = np.arange(0, n_steps + 1, stride)
+    if n_steps % stride:
+        steps = np.append(steps, n_steps)
+    return steps
 
 
 def kahan_add(acc: Tuple[jnp.ndarray, jnp.ndarray], value):

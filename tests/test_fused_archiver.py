@@ -124,12 +124,47 @@ def test_diag_stride_subsamples_series(make):
                                rtol=1e-12, atol=1e-15)
 
 
-def test_diag_stride_must_divide_n_iters():
+@pytest.mark.parametrize("make", [
+    lambda k: SwiftHohenberg(
+        SH23Config(npts=32, n_iters=30, method="matmul", diag_stride=k)),
+    lambda k: SwiftHohenbergBounded(
+        SHB23Config(npts=48, n_iters=30, diag_stride=k)),
+], ids=["sh23", "shb23"])
+def test_diag_stride_non_dividing(make):
+    """diag_stride need not divide n_iters (the reference's every-N
+    handler cadence has no such constraint, FWD_Solve_SH23.py:499-503):
+    a short final chunk records its start energy, the final step is
+    always last, sim_time matches, J unchanged."""
+    from spheremanopt_tpu.solvers.scan_utils import strided_steps
+
+    p1, pk = make(1), make(7)            # 30 % 7 == 2
+    x = p1.generate_ic(seed=3)
+
+    J1, d1 = p1.objective_and_diagnostics(x)
+    Jk, dk = pk.objective_and_diagnostics(x)
+    np.testing.assert_allclose(float(Jk), float(J1), rtol=1e-14)
+
+    steps = strided_steps(30, 7)
+    np.testing.assert_array_equal(steps, [0, 7, 14, 21, 28, 30])
+    np.testing.assert_allclose(np.asarray(dk["kinetic_energy"]),
+                               np.asarray(d1["kinetic_energy"])[steps],
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(dk["sim_time"]),
+                               np.asarray(d1["sim_time"])[steps])
+
+    # gradient path unchanged too
+    _, gk, _ = pk.objective_gradient_and_diagnostics(x)
+    _, g1 = p1.objective_and_gradient(x)
+    np.testing.assert_allclose(np.asarray(gk[0]), np.asarray(g1[0]),
+                               rtol=1e-12, atol=1e-15)
+
+
+def test_diag_stride_validation():
     with pytest.raises(ValueError, match="diag_stride"):
-        SwiftHohenberg(SH23Config(npts=32, n_iters=30, diag_stride=7))
+        SwiftHohenberg(SH23Config(npts=32, n_iters=30, diag_stride=0))
     with pytest.raises(ValueError, match="diag_stride"):
         SwiftHohenbergBounded(SHB23Config(npts=48, n_iters=30,
-                                          diag_stride=4))
+                                          diag_stride=-1))
 
 
 def test_fused_archiver_zero_extra_solves(tmp_path):
@@ -205,6 +240,22 @@ def test_pallas_config_has_fused_diagnostics():
     k = KinematicDynamo(KDynConfig(npts=12, n_iters=8, dt=1e-3,
                                    remat="nested"))
     assert k.has_fused_diagnostics
+
+    # non-dividing stride on the kernel path: the static subsample picks
+    # chunk starts + the final step (strided_steps semantics)
+    from spheremanopt_tpu.solvers.scan_utils import strided_steps
+
+    p3 = SwiftHohenberg(SH23Config(npts=32, n_iters=10, dtype="float32",
+                                   method="pallas", diag_stride=3))
+    J3, d3 = p3.objective_and_diagnostics(x0)
+    assert float(J3) == float(J)
+    steps = strided_steps(10, 3)
+    np.testing.assert_array_equal(steps, [0, 3, 6, 9, 10])
+    np.testing.assert_array_equal(
+        np.asarray(d3["kinetic_energy"]),
+        np.asarray(diag["kinetic_energy"])[steps])
+    np.testing.assert_allclose(np.asarray(d3["sim_time"]),
+                               np.asarray(diag["sim_time"])[steps])
 
 
 def test_pallas_fused_archiver_zero_extra_solves(tmp_path):
