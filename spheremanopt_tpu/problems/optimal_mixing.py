@@ -134,6 +134,51 @@ def _cheb_mult_T(coeffs_of_factor: np.ndarray, n: int) -> np.ndarray:
     return M
 
 
+def _block_solve(A, E, col_a, bc_pairs):
+    """Solve A X = E by exact parity decoupling: two half-size LU solves
+    instead of one (8x fewer factorisation flops — measured 3-4x on the
+    assembly wall at the reference resolutions, BASELINE.md r4).
+
+    Every tau-system ingredient maps Chebyshev parity exactly (I/D2/MU
+    preserve index parity; D1/MUp flip it — their entries are exact
+    dyadic/ integer values, so off-class entries are EXACT zeros), and
+    the boundary rows pair up: rows r1, r2 of each `bc_pairs` entry have
+    ZERO rhs in E, so replacing them by (r1+r2, r1-r2) is an invertible
+    row operation on (A|E) that leaves the solution unchanged while
+    making each BC row pure-parity ((-1)^n +- 1 is exactly 0 or +-2).
+
+    `col_a` is the boolean class-A column mask (u_even, w_odd, rho_odd,
+    p_even — the family-A layout of `_parity_perm`). Row/rhs classes are
+    DERIVED from the recombined matrix and verified; any structure
+    violation returns None and the caller falls back to the full solve,
+    so this is a pure accelerator, never a correctness assumption."""
+    Aw = A.copy()
+    for r1, r2 in bc_pairs:
+        if E[r1].any() or E[r2].any():
+            return None
+        Aw[r1], Aw[r2] = A[r1] + A[r2], A[r1] - A[r2]
+    col_b = ~col_a
+    rows_a = ~Aw[:, col_b].any(axis=1)
+    rows_b = ~Aw[:, col_a].any(axis=1)
+    if not (rows_a ^ rows_b).all():          # every row pure, none zero
+        return None
+    if rows_a.sum() != col_a.sum():
+        return None
+    zero_cols = ~E.any(axis=0)
+    cols_ea = ~E[rows_b].any(axis=0) & ~zero_cols
+    cols_eb = ~E[rows_a].any(axis=0) & ~zero_cols
+    if not (cols_ea | cols_eb | zero_cols).all():
+        return None                          # an rhs column mixes classes
+    X = np.zeros((A.shape[0], E.shape[1]), A.dtype)
+    for rows, cols_v, cols_e in ((rows_a, col_a, cols_ea),
+                                 (rows_b, col_b, cols_eb)):
+        iv, ie = np.where(cols_v)[0], np.where(cols_e)[0]
+        X[np.ix_(iv, ie)] = np.linalg.solve(
+            Aw[np.ix_(np.where(rows)[0], iv)],
+            E[np.ix_(np.where(rows)[0], ie)])
+    return X
+
+
 
 def _cx(pair):
     """Reassemble a complex operator from its (real, imag) device pair."""
@@ -556,11 +601,16 @@ class OptimalMixing:
                     A[nz, :nz] = row_dz_right   # extra eq row for Fpsi dof
                 else:
                     A[nz - 1, :nz] = row_dz_right
-                Ainv = np.linalg.solve(A, np.eye(nz + extra))
                 # rhs rho injects into equation rows 0..nz-3
                 E = np.zeros((nz + extra, nz), complex)
                 E[: nz - 2, : nz - 2] = np.eye(nz - 2)
-                return (Ainv @ E)[:nz]  # psi coefficients
+                X = None
+                if kx != 0.0:
+                    X = _block_solve(A, E, np.arange(nz) % 2 == 0,
+                                     [(nz - 2, nz - 1)])
+                if X is None:
+                    X = np.linalg.solve(A, E)
+                return X[:nz]  # psi coefficients
 
             # variables [u, w, rho, p] (+Fb at kx=0)
             nv = 4 * nz + (1 if kx == 0.0 else 0)
@@ -627,14 +677,26 @@ class OptimalMixing:
                 r += 1
             assert r == nv, (r, nv)
 
-            Ainv = np.linalg.solve(A, np.eye(nv))
             # rhs (u, w, rho) inject into their tau-truncated equation rows
             E = np.zeros((nv, 3 * nz), complex)
             E[: nz - 2, : nz - 2] = np.eye(nz - 2)                      # rhs_u
             E[nz - 2 : nz - 2 + nw, nz : nz + nw] = np.eye(nw)          # rhs_w
             off = nz - 2 + nw
             E[off : off + nz - 2, 2 * nz : 2 * nz + nz - 2] = np.eye(nz - 2)
-            return (Ainv @ E)[: 3 * nz]  # (u, w, rho) out
+            X = None
+            if kx != 0.0:
+                # parity split (u_e, w_o, rho_o, p_e | complements) —
+                # the family-A layout of `_parity_perm`; BC rows pair up
+                # at (4nz-6 .. 4nz-1): u(L/R), w(L/R), rho dz(L/R)
+                ev = np.arange(nz) % 2 == 0
+                col_a = np.concatenate([ev, ~ev, ~ev, ev])
+                b0 = 4 * nz - 6
+                X = _block_solve(A, E, col_a,
+                                 [(b0, b0 + 1), (b0 + 2, b0 + 3),
+                                  (b0 + 4, b0 + 5)])
+            if X is None:
+                X = np.linalg.solve(A, E)
+            return X[: 3 * nz]  # (u, w, rho) out
 
         S = np.stack([solve_block(kx) for kx in self._kx])
         S[~self._xmask.astype(bool)] = 0.0
@@ -1145,5 +1207,5 @@ class OptimalMixing:
 from spheremanopt_tpu.utils.opcache import source_digest as _source_digest  # noqa: E402
 
 _OP_BUILDER_DIGEST = _source_digest(
-    OptimalMixing._build_operators_uncached, _cheb_mult_T,
+    OptimalMixing._build_operators_uncached, _cheb_mult_T, _block_solve,
     ChebyshevBasis1D)

@@ -39,6 +39,10 @@ def _cache_dir() -> Optional[str]:
     env = os.environ.get("SMO_OP_CACHE")
     if env == "0":
         return None
+    if env == "1":
+        # "1" reads as enable-the-default, not as a relative cache dir
+        # named ./1 (a measured operator footgun)
+        return "/tmp/smo_op_cache"
     return env or "/tmp/smo_op_cache"
 
 

@@ -228,6 +228,61 @@ def test_parity_blocked_solve_matches_full(ke_problem):
     np.testing.assert_allclose(out_blk, out_full, rtol=1e-12, atol=1e-13)
 
 
+def test_block_solve_assembly_matches_full():
+    """`_block_solve` (direct-E parity-split assembly, the 3.84x
+    one-time-cost win) produces the SAME operator stacks as the plain
+    full `solve(A, E)` to f64 inversion roundoff, engages on every
+    kx != 0 block, and falls back (returns None) whenever the exactness
+    preconditions are violated."""
+    import spheremanopt_tpu.problems.optimal_mixing as om
+
+    p = om.OptimalMixing(om.MixingConfig(nx=16, nz=32, n_iters=4,
+                                         device_ops=False))
+    calls = {"hit": 0, "fallback": 0}
+    orig = om._block_solve
+
+    def spy(A, E, col_a, pairs):
+        X = orig(A, E, col_a, pairs)
+        calls["hit" if X is not None else "fallback"] += 1
+        return X
+
+    om._block_solve = spy
+    try:
+        S_new, MN_new = p._build_operators_uncached(build_mixnorm=True)
+    finally:
+        om._block_solve = orig
+    # kx=0 is excluded by the caller, so every attempted block splits
+    assert calls["hit"] == 2 * (p.kxn - 1) and calls["fallback"] == 0
+
+    om._block_solve = lambda *a: None      # force the full-solve path
+    try:
+        S_old, MN_old = p._build_operators_uncached(build_mixnorm=True)
+    finally:
+        om._block_solve = orig
+    np.testing.assert_allclose(S_new, S_old, rtol=0,
+                               atol=1e-11 * np.abs(S_old).max())
+    np.testing.assert_allclose(MN_new, MN_old, rtol=0,
+                               atol=1e-12 * np.abs(MN_old).max())
+
+    # precondition guards: nonzero rhs on a BC row / a class-mixing row
+    n = 8
+    rng = np.random.RandomState(0)
+    ev = np.arange(n) % 2 == 0
+    A = np.zeros((n, n), complex)
+    A[np.ix_(ev, ev)] = rng.randn(4, 4)
+    A[np.ix_(~ev, ~ev)] = rng.randn(4, 4)
+    E = np.zeros((n, 2), complex)
+    E[0, 0] = E[1, 1] = 1.0
+    X = orig(A, E, ev, [])
+    np.testing.assert_allclose(X, np.linalg.solve(A, E), atol=1e-13)
+    E_bad = E.copy()
+    E_bad[3, 0] = 1.0                       # rhs on a "BC" pair row
+    assert orig(A, E_bad, ev, [(3, 4)]) is None
+    A_bad = A.copy()
+    A_bad[0, 1] = 1.0                       # row touching both classes
+    assert orig(A_bad, E, ev, []) is None
+
+
 def test_parity_perm_non_applicable_returns_none(ke_problem):
     """A square stack whose width is not 3*nz (e.g. the MN mix-norm
     operator) must signal non-applicability instead of crashing, so
