@@ -7,7 +7,8 @@ measured 8.5e-2 f32 gradient floor — chaotic amplification through the
 (`solve_precision="df64"`, ops/doublefloat + problems/mixing_df) runs
 the full 10-iteration Wolfe+CG study: mix-norm 0.0269 -> 0.01238 in
 493 s on one v5e chip (~40 s per accepted iteration; one-time costs:
-~10 min f64 operator assembly at this resolution, disk-cached, and the
+~3 min f64 operator assembly + Ozaki splits at this resolution — the
+parity-split builder, BASELINE.md r4 — disk-cached, plus the
 first-compile through the tunnel).
 
 Run (TPU):  python examples/mixing512_df64_study.py
