@@ -255,8 +255,19 @@ def _df_slice(yh, yl, b: int, q: int, axis: int):
     return slices
 
 
+def _batch_spec(spec: str) -> str:
+    """Prefix the operator operand and the output of an einsum spec
+    with a fresh batch axis over the slice stack ("kj,jz->kz" ->
+    "skj,jz->skz")."""
+    assert "s" not in spec, spec
+    ab, out = spec.split("->")
+    a, b = ab.split(",")
+    return f"s{a},{b}->s{out}"
+
+
 def make_ozaki_apply(spec: str, spec_t: str, k: int, y_axis: int,
-                     n_bits: int = 48, s_bwd: int = 4):
+                     n_bits: int = 48, s_bwd: int = 4,
+                     batched: bool = False):
     """Build `apply(slices, y_hi, y_lo) -> (hi, lo)`: a df-accurate
     contraction of a constant operator (pre-split via ozaki_split_np
     with the returned (b, p)) against a df operand.
@@ -272,24 +283,57 @@ def make_ozaki_apply(spec: str, spec_t: str, k: int, y_axis: int,
     custom_vjp backward is a compensated 2-pass-per-slice transposed
     apply over s_bwd slices (~f32-quality cotangents — default
     autodiff would round the cotangent to bf16 per slice einsum).
+
+    batched=True issues ONE einsum per y-slice over the (truncated)
+    operator slice stack — q batched dots instead of q(q+1)/2 scalar
+    ones. Every slice-pair product is computed identically (exact f32
+    accumulation of one bf16 pass); only the ORDER partials join a
+    level sum changes (t-major instead of s-major), a reordering of
+    exact-f32-add operands whose rounding sits at 2^-24 relative OF
+    THE LEVEL, i.e. ~2^-(24+l*b) overall — far below the df target.
     """
     b = ozaki_bits(k)
     q = int(np.ceil(n_bits / b))
     p = q
     L = q - 1
+    bspec = _batch_spec(spec)
+
+    def _op_operand(slices):
+        """bf16-stored slices feed the dot directly on TPU (native
+        bf16 x bf16 -> f32 MXU path); other backends lack that dot
+        (CPU DotThunk: UNIMPLEMENTED), so upcast to f32 — BITWISE
+        equivalent, since slice values carry <= 8 significand bits
+        (products exact in both paths) and both accumulate in f32."""
+        if (slices.dtype == jnp.bfloat16
+                and jax.default_backend() != "tpu"):
+            return slices.astype(jnp.float32)
+        return slices
 
     def _fwd_math(slices, yh, yl):
         y_slices = _df_slice(yh, yl, b, q, y_axis)
+        slices = _op_operand(slices)
         sdt = slices.dtype
         levels = [None] * (L + 1)
-        for s in range(p):
+        if batched:
             for t in range(q):
-                l = s + t
-                if l > L:
-                    continue
-                P = jnp.einsum(spec, slices[s], y_slices[t].astype(sdt),
+                smax = L - t + 1
+                P = jnp.einsum(bspec, slices[:smax],
+                               y_slices[t].astype(sdt),
                                preferred_element_type=jnp.float32)
-                levels[l] = P if levels[l] is None else levels[l] + P
+                for s in range(smax):
+                    l = s + t
+                    levels[l] = (P[s] if levels[l] is None
+                                 else levels[l] + P[s])
+        else:
+            for s in range(p):
+                for t in range(q):
+                    l = s + t
+                    if l > L:
+                        continue
+                    P = jnp.einsum(spec, slices[s],
+                                   y_slices[t].astype(sdt),
+                                   preferred_element_type=jnp.float32)
+                    levels[l] = P if levels[l] is None else levels[l] + P
         acc = DF(levels[0], jnp.zeros_like(levels[0]))
         for l in range(1, L + 1):
             acc = df_add(acc, DF(levels[l], jnp.zeros_like(levels[l])))
@@ -313,13 +357,23 @@ def make_ozaki_apply(spec: str, spec_t: str, k: int, y_axis: int,
         c = cot[0]
         ch = lax.reduce_precision(c, exponent_bits=8, mantissa_bits=7)
         cl = c - ch
-        sdt = slices.dtype
+        slices_op = _op_operand(slices)
+        sdt = slices_op.dtype
         out = None
-        for s in range(min(s_bwd, p)):
+        if batched:
+            bspec_t = _batch_spec(spec_t)
+            sl = slices_op[:min(s_bwd, p)]
             for cc in (ch.astype(sdt), cl.astype(sdt)):
-                t = jnp.einsum(spec_t, slices[s], cc,
-                               preferred_element_type=jnp.float32)
+                t = jnp.sum(jnp.einsum(bspec_t, sl, cc,
+                                       preferred_element_type=jnp.float32),
+                            axis=0)
                 out = t if out is None else out + t
+        else:
+            for s in range(min(s_bwd, p)):
+                for cc in (ch.astype(sdt), cl.astype(sdt)):
+                    t = jnp.einsum(spec_t, slices_op[s], cc,
+                                   preferred_element_type=jnp.float32)
+                    out = t if out is None else out + t
         # ops-stack cotangent: structurally required, DCE'd (the
         # objective differentiates w.r.t. the state argument only)
         return jnp.zeros(slices.shape, slices.dtype), out, out
@@ -337,7 +391,7 @@ class OzakiOp:
 
     def __init__(self, A: np.ndarray, spec: str, spec_t: str,
                  y_axis: int = -2, n_bits: int = 48,
-                 slice_dtype=np.float32):
+                 slice_dtype=np.float32, batched: bool = False):
         # slice_dtype=bfloat16 is exact (slices carry <= 8 significand
         # bits) and halves the stored bytes, but measured at 1.00x speed
         # with bit-identical output on the mixing 256x128 solve
@@ -346,7 +400,8 @@ class OzakiOp:
         A = np.asarray(A, np.float64)
         k = A.shape[-1]
         self._apply, b, p = make_ozaki_apply(spec, spec_t, k, y_axis,
-                                             n_bits=n_bits)
+                                             n_bits=n_bits,
+                                             batched=batched)
         self.slices_np = ozaki_split_np(A, b, p).astype(slice_dtype)
         self.bits = b
 
@@ -362,12 +417,12 @@ class OzakiComplexOp:
 
     def __init__(self, A: np.ndarray, spec: str, spec_t: str,
                  y_axis: int = -2, n_bits: int = 48,
-                 slice_dtype=np.float32):
+                 slice_dtype=np.float32, batched: bool = False):
         A = np.asarray(A)
         self.re = OzakiOp(A.real, spec, spec_t, y_axis, n_bits,
-                          slice_dtype)
+                          slice_dtype, batched)
         self.im = OzakiOp(A.imag, spec, spec_t, y_axis, n_bits,
-                          slice_dtype)
+                          slice_dtype, batched)
 
     @property
     def slices_np(self):

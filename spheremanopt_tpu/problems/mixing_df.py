@@ -80,7 +80,8 @@ class MixingDFEngine:
     (the problem device_puts them and passes them back through jit
     arguments); `objective(ops, x_list)` is the jittable df forward."""
 
-    def __init__(self, prob, slice_dtype=np.float32, n_bits: int = 48):
+    def __init__(self, prob, slice_dtype=np.float32, n_bits: int = 48,
+                 batched: bool = False):
         if not df_probe():
             raise RuntimeError(
                 "doublefloat self-probe failed: this compiler elides "
@@ -93,7 +94,8 @@ class MixingDFEngine:
         nz = cfg.nz
         self._nz = nz
 
-        kw = dict(n_bits=n_bits, slice_dtype=slice_dtype)
+        kw = dict(n_bits=n_bits, slice_dtype=slice_dtype,
+                  batched=batched)
         # transforms (constant f64 operators -> exact slice stacks)
         self._oFx = OzakiComplexOp(np.asarray(prob._Fx, np.complex128),
                                    "kj,jz->kz", "kj,kz->jz",

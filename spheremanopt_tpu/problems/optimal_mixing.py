@@ -115,6 +115,37 @@ class MixingConfig:
                                  #                "compensated". Requires
                                  #                adjoint="discrete".
                                  # f64 runs (CPU/tests) are always exact.
+    df_n_bits: int = 48          # df64 only: forward significand bits
+                                 # covered by the Ozaki slice stacks
+                                 # (ops/doublefloat.make_ozaki_apply).
+                                 # Fewer bits -> fewer slice-pair MXU
+                                 # passes (cost ~ q(q+1)/2, q = ceil(
+                                 # n_bits/b)) at more forward rounding;
+                                 # the accuracy/cost frontier is
+                                 # measured in BASELINE.md (r4 n_bits
+                                 # sweep) — 48 is the safe default.
+    df_slice_dtype: str = "float32"
+                                 # df64 only: storage dtype of the Ozaki
+                                 # slice stacks. "bfloat16" is EXACT
+                                 # (slices carry <= 8 significand bits)
+                                 # and halves the operator bytes —
+                                 # measured 1.00x speed at 256x128
+                                 # (BASELINE.md r4 dead end); use it at
+                                 # resolutions where HBM capacity binds
+                                 # (512x256: ~4 GB of f32 slices).
+    df_batched_einsums: bool = False
+                                 # df64 only: issue ONE batched einsum
+                                 # per rhs slice over the operator
+                                 # slice stack (q dots) instead of
+                                 # q(q+1)/2 scalar ones. Same slice-
+                                 # pair products; only the order the
+                                 # exact-f32 partials join a level sum
+                                 # changes (rounding ~2^-24 of the
+                                 # level, far below the df target) —
+                                 # so NOT bitwise vs the default, but
+                                 # df64-accurate. Dial for when the
+                                 # per-einsum dispatch/fusion overhead
+                                 # dominates (small operators).
 
 
 def _cheb_mult_T(coeffs_of_factor: np.ndarray, n: int) -> np.ndarray:
@@ -505,7 +536,13 @@ class OptimalMixing:
         if self._df64 and cfg.device_ops:
             from spheremanopt_tpu.problems.mixing_df import MixingDFEngine
 
-            self._dfe = MixingDFEngine(self)
+            self._dfe = MixingDFEngine(
+                self,
+                slice_dtype=(jnp.bfloat16
+                             if cfg.df_slice_dtype == "bfloat16"
+                             else np.dtype(cfg.df_slice_dtype)),
+                n_bits=int(cfg.df_n_bits),
+                batched=bool(cfg.df_batched_einsums))
             self._ops_df = jax.tree.map(
                 lambda a: jax.device_put(jnp.asarray(a)),
                 self._dfe.ops_np())

@@ -134,6 +134,67 @@ def test_cli_precision_flag_selects_df64():
     assert callable(p.objective_f64)
 
 
+def test_df64_n_bits_and_slice_dtype_knobs(truth, df_prob):
+    """The accuracy/cost dials: df_n_bits=32 drops slice-pair passes
+    (q 6 -> 4) yet must stay orders beyond the f32 floor at this
+    config; df_slice_dtype='bfloat16' is EXACT (slices carry <= 8
+    significand bits) so its output must match the f32-stored default
+    bit-for-bit."""
+    x32, J64, g64 = truth
+    x = [jnp.asarray(x32)]
+
+    p32 = OptimalMixing(MixingConfig(dtype="float32",
+                                     solve_precision="df64",
+                                     df_n_bits=32, **KW))
+    assert p32._dfe._oS.re.slices_np.shape[0] < \
+        df_prob._dfe._oS.re.slices_np.shape[0]
+    J, g = p32.objective_and_gradient(x)
+    relJ = abs(float(J) - J64) / abs(J64)
+    relg = (np.linalg.norm(np.asarray(g[0], np.float64) - g64)
+            / np.linalg.norm(g64))
+    # measured at this config: 32-bit df lands ~1e-7 / ~3e-6 (the
+    # 30-step trajectory amplifies 2^-32 mildly); the floor it must
+    # beat is the compensated 3.5e-5 / 1.1e-4
+    assert relJ < 3e-6, relJ
+    assert relg < 3e-5, relg
+
+    pbf = OptimalMixing(MixingConfig(dtype="float32",
+                                     solve_precision="df64",
+                                     df_slice_dtype="bfloat16", **KW))
+    assert pbf._dfe._oS.re.slices_np.dtype == jnp.bfloat16
+    Jb, gb = pbf.objective_and_gradient(x)
+    Jd, gd = df_prob.objective_and_gradient(x)
+    assert float(Jb) == float(Jd)
+    np.testing.assert_array_equal(np.asarray(gb[0]), np.asarray(gd[0]))
+
+
+def test_df64_batched_einsums_same_accuracy(truth, df_prob):
+    """df_batched_einsums reorders the exact-f32 level partial sums
+    (t-major batched dots instead of s-major scalar ones) — NOT
+    bitwise vs the default, but every slice-pair product is identical
+    and the reorder rounding is ~2^-24 of a level, so the result must
+    sit at the same df64 accuracy class and within ~1e-6 of the
+    default path."""
+    x32, J64, g64 = truth
+    x = [jnp.asarray(x32)]
+
+    pb = OptimalMixing(MixingConfig(dtype="float32",
+                                    solve_precision="df64",
+                                    df_batched_einsums=True, **KW))
+    Jb, gb = pb.objective_and_gradient(x)
+    relJ = abs(float(Jb) - J64) / abs(J64)
+    relg = (np.linalg.norm(np.asarray(gb[0], np.float64) - g64)
+            / np.linalg.norm(g64))
+    assert relJ < 3e-7, relJ
+    assert relg < 3e-5, relg
+
+    Jd, gd = df_prob.objective_and_gradient(x)
+    assert abs(float(Jb) - float(Jd)) <= 1e-6 * abs(float(Jd))
+    num = np.linalg.norm(np.asarray(gb[0], np.float64)
+                         - np.asarray(gd[0], np.float64))
+    assert num <= 1e-5 * np.linalg.norm(np.asarray(gd[0], np.float64))
+
+
 def test_df64_s0_objective_accuracy():
     """The s=0 (time-avg KE) df64 path: J and gradient vs f64 truth at
     a small config (the s=1 coverage above; s=0 exercises the df KE
