@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--small", action="store_true",
                     help="64x32 wiring check instead of the full study")
     ap.add_argument("--max-iters", type=int, default=10)
+    ap.add_argument("--n-bits", type=int, default=48,
+                    help="df64 Ozaki slice coverage; 32 is ~1.73x "
+                         "faster at identical gradient accuracy "
+                         "(BASELINE.md r4 n_bits sweep)")
     ap.add_argument("--out", default="runs/mixing512_df64_study.npz")
     args = ap.parse_args()
 
@@ -48,7 +52,8 @@ def main():
     t0 = time.time()
     p = OptimalMixing(MixingConfig(nx=nx, nz=nz, dt=5e-3, n_iters=1000,
                                    s=1, dtype="float32",
-                                   solve_precision="df64"))
+                                   solve_precision="df64",
+                                   df_n_bits=args.n_bits))
     print(f"problem built: {time.time() - t0:.1f}s", flush=True)
     x0 = p.generate_ic(seed=42)
 

@@ -121,9 +121,13 @@ class MixingConfig:
                                  # Fewer bits -> fewer slice-pair MXU
                                  # passes (cost ~ q(q+1)/2, q = ceil(
                                  # n_bits/b)) at more forward rounding;
-                                 # the accuracy/cost frontier is
-                                 # measured in BASELINE.md (r4 n_bits
-                                 # sweep) — 48 is the safe default.
+                                 # the frontier is measured in
+                                 # BASELINE.md (r4 n_bits sweep):
+                                 # 32 -> 1.73x faster at gradient
+                                 # accuracy IDENTICAL to 48 (rel_J
+                                 # 8.8e-7, still 160x beyond the f32
+                                 # floor) — the recommended wall-time
+                                 # point; 48 is the safe default.
     df_slice_dtype: str = "float32"
                                  # df64 only: storage dtype of the Ozaki
                                  # slice stacks. "bfloat16" is EXACT
@@ -143,9 +147,11 @@ class MixingConfig:
                                  # changes (rounding ~2^-24 of the
                                  # level, far below the df target) —
                                  # so NOT bitwise vs the default, but
-                                 # df64-accurate. Dial for when the
-                                 # per-einsum dispatch/fusion overhead
-                                 # dominates (small operators).
+                                 # df64-accurate. Measured SLOWER on
+                                 # the TPU at 256x128 (3021 vs 2410 ms
+                                 # — BASELINE.md r4 dead end): XLA
+                                 # already fuses the scalar einsums.
+                                 # Kept for other backends.
 
 
 def _cheb_mult_T(coeffs_of_factor: np.ndarray, n: int) -> np.ndarray:

@@ -195,6 +195,39 @@ def test_df64_batched_einsums_same_accuracy(truth, df_prob):
     assert num <= 1e-5 * np.linalg.norm(np.asarray(gd[0], np.float64))
 
 
+def test_df64_device_loop_matches_host_trajectory(df_prob, truth):
+    """The single-jit device loop composes with the df64 aux pair
+    (slice stacks as jit operands). Parity caveat it must respect: the
+    device Wolfe consumes J as an f32 SCALAR while the host search gets
+    pair-resolution J (objective_f64) — fine here because the df64
+    escape hatch exists for GRADIENT accuracy (the r3 Wolfe wall), and
+    at f32-representable decision margins both searches accept the same
+    steps. Trajectories must agree to f32-J resolution."""
+    from spheremanopt_tpu.optim.jit_driver import (
+        jit_optimise_on_multi_sphere)
+    from spheremanopt_tpu.optim.optimiser import optimise_on_multi_sphere
+
+    x32 = truth[0]
+    fg, ops = df_prob.objective_and_gradient_aux
+    opt = jit_optimise_on_multi_sphere(
+        fg, df_prob.inner_product, df_prob.radii,
+        max_iters=3, alpha0=10.0, cg=True, line_search="wolfe")
+    rd = opt([jnp.asarray(x32)], aux=ops)
+    kd = int(rd.iterations)
+
+    rh = optimise_on_multi_sphere(
+        [jnp.asarray(x32)], df_prob.radii, df_prob.objective_f64,
+        df_prob.gradient, df_prob.inner_product, max_iters=3,
+        alpha_k=10.0, line_search="wolfe", cg=True,
+        f_and_g=df_prob.objective_and_gradient, verbose=False)
+
+    assert kd == rh.iterations, (kd, rh.iterations)
+    np.testing.assert_allclose(
+        np.asarray(rd.function_values[:kd], np.float64),
+        np.asarray(rh.function_values, np.float64)[:kd],
+        rtol=2e-6)
+
+
 def test_df64_s0_objective_accuracy():
     """The s=0 (time-avg KE) df64 path: J and gradient vs f64 truth at
     a small config (the s=1 coverage above; s=0 exercises the df KE
