@@ -283,6 +283,13 @@ def make_ozaki_apply(spec: str, spec_t: str, k: int, y_axis: int,
     custom_vjp backward is a compensated 2-pass-per-slice transposed
     apply over s_bwd slices (~f32-quality cotangents — default
     autodiff would round the cotangent to bf16 per slice einsum).
+    s_bwd=4 is MEASURED-saturating (BASELINE.md r4 s_bwd study):
+    rel_g is identical at s_bwd=6 on-chip at the mixing reference
+    config (5.82e-4) and on CPU at 30 steps (2.11e-6), while 3
+    costs 4x and 2 collapses to 2.2e-3 — the residual gradient
+    error is f32 cotangent-CARRY propagation through the reverse
+    sweep, which only a hand-rolled double-float adjoint could
+    beat. Do not raise s_bwd expecting accuracy.
 
     batched=True issues ONE einsum per y-slice over the (truncated)
     operator slice stack — q batched dots instead of q(q+1)/2 scalar
