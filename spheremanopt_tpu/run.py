@@ -122,6 +122,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "solve_precision). 'df64' is the f64-emulated "
                          "accuracy mode: ~144x more accurate gradients "
                          "at ~11x the solve time (BASELINE.md r4)")
+    ap.add_argument("--df-n-bits", type=int, default=None,
+                    help="df64 only: Ozaki slice coverage of the f64 "
+                         "operators. 32 is ~1.73x faster than the "
+                         "48-bit default at identical gradient "
+                         "accuracy (BASELINE.md r4 n_bits sweep)")
     return ap
 
 
@@ -243,7 +248,8 @@ def make_problem(args):
     kw = dict(dtype=dtype, s=args.s, adjoint=args.adjoint)
     for name, val in [("nx", args.nx), ("nz", args.nz), ("dt", args.dt),
                       ("n_iters", args.n_iters),
-                      ("solve_precision", args.precision)]:
+                      ("solve_precision", args.precision),
+                      ("df_n_bits", args.df_n_bits)]:
         if val is not None:
             kw[name] = val
     p = OptimalMixing(MixingConfig(**kw))

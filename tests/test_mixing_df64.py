@@ -127,9 +127,10 @@ def test_cli_precision_flag_selects_df64():
     args = build_parser().parse_args(
         ["mixing", "--platform", "cpu", "--precision", "df64",
          "--dtype", "float32", "--nx", "16", "--nz", "8",
-         "--n-iters", "4"])
+         "--n-iters", "4", "--df-n-bits", "32"])
     p, _x0, _defaults = make_problem(args)
     assert p.cfg.solve_precision == "df64"
+    assert p.cfg.df_n_bits == 32
     assert p._dfe is not None
     assert callable(p.objective_f64)
 
