@@ -191,15 +191,27 @@ class FusedArchiver:
             diag = self.problem.diagnostics(result.x_opt)
         path = os.path.join(self.out_dir, f"{self.prefix}_iter_{k}.npz")
         if self._pool is not None:
-            self._pending.append(self._pool.submit(self._write, path,
-                                                   dict(diag)))
+            # `paths` lists only LANDED files: the append rides INSIDE
+            # the worker task after a successful savez (single worker
+            # -> FIFO order preserved; a done-callback would race
+            # flush(), which can return before callbacks fire). A
+            # consumer reading paths[-1] mid-run never races the async
+            # write, and a failed write (flush() re-raises it) never
+            # leaves a phantom path behind.
+            self._pending.append(
+                self._pool.submit(self._write_and_record, path,
+                                  dict(diag)))
         else:
             self._write(path, diag)
-        self.paths.append(path)
+            self.paths.append(path)
 
     @staticmethod
     def _write(path: str, diag: dict) -> None:
         np.savez(path, **{key: np.asarray(val) for key, val in diag.items()})
+
+    def _write_and_record(self, path: str, diag: dict) -> None:
+        self._write(path, diag)
+        self.paths.append(path)   # only after the file landed
 
     def flush(self) -> None:
         """Wait for pending async archive writes (re-raising the first

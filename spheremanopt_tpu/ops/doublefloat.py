@@ -364,7 +364,14 @@ def make_ozaki_apply(spec: str, spec_t: str, k: int, y_axis: int,
         c = cot[0]
         ch = lax.reduce_precision(c, exponent_bits=8, mantissa_bits=7)
         cl = c - ch
-        slices_op = _op_operand(slices)
+        # backward runs in f32 REGARDLESS of slice storage dtype: with
+        # bf16-stored slices, cc.astype(bf16) would round cl (the ~16
+        # residual cotangent bits after ch's 8) to 8 bits — degrading
+        # every reverse apply. Upcasting the (<= 8 significand bit,
+        # hence value-exact) slices keeps the backward BITWISE equal to
+        # f32 storage; only the forward takes the native bf16 MXU path.
+        slices_op = slices.astype(jnp.float32) \
+            if slices.dtype == jnp.bfloat16 else slices
         sdt = slices_op.dtype
         out = None
         if batched:
@@ -381,8 +388,14 @@ def make_ozaki_apply(spec: str, spec_t: str, k: int, y_axis: int,
                     t = jnp.einsum(spec_t, slices_op[s], cc,
                                    preferred_element_type=jnp.float32)
                     out = t if out is None else out + t
-        # ops-stack cotangent: structurally required, DCE'd (the
-        # objective differentiates w.r.t. the state argument only)
+        # ops-stack cotangent: HARD ZERO by contract. The Ozaki stacks
+        # are frozen problem constants (operators are assembled in f64
+        # numpy at init and never optimised over); jax.grad w.r.t. ops
+        # therefore returns zeros, NOT the true operator sensitivity —
+        # pinned by tests/test_doublefloat.py::
+        # test_ops_cotangent_is_documented_zero so it can't regress to
+        # silent. If operator sensitivities are ever needed, apply the
+        # stack outside this custom_vjp.
         return jnp.zeros(slices.shape, slices.dtype), out, out
 
     apply.defvjp(fwd, bwd)
@@ -464,6 +477,13 @@ def _ch(x: DF, c: int) -> DF:
 def _pack2(a: DF, b: DF) -> DF:
     return DF(jnp.stack([a.hi, b.hi], axis=-1),
               jnp.stack([a.lo, b.lo], axis=-1))
+
+
+# the packed-channel DF layout is defined HERE (apply_packed and its
+# consumers must agree on it) — engines import these rather than
+# re-implementing them (drift risk)
+df_channel = _ch
+df_pack2 = _pack2
 
 
 def df_probe() -> bool:

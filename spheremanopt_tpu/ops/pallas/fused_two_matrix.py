@@ -414,15 +414,27 @@ fused_objective_shared.defvjp(_vjp_fwd_shared, _vjp_bwd_shared)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _fused_objective_diag_vjp(a, b, w, u0, c2: float, c3: float, dt: float,
+                              n_steps: int, interpret: bool = False,
+                              op_grads: bool = True):
+    uT, Jsum, ser = _run_fwd(a, b, w, u0, c2, c3, n_steps, interpret,
+                             store_traj=False, store_series=True)
+    return -dt * Jsum, ser[:, 0], uT[0, :]
+
+
 def fused_objective_diag(a, b, w, u0, c2: float, c3: float, dt: float,
                          n_steps: int, interpret: bool = False,
                          op_grads: bool = True):
     """`fused_objective` that also returns (energies, uT): the per-step
     weighted energies sum_j w_j u_n,j^2 for n = 0..n_steps and the final
-    state row. Differentiable in u0 (and A/B/w) through J ONLY."""
-    uT, Jsum, ser = _run_fwd(a, b, w, u0, c2, c3, n_steps, interpret,
-                             store_traj=False, store_series=True)
-    return -dt * Jsum, ser[:, 0], uT[0, :]
+    state row. Differentiable in u0 (and A/B/w) through J ONLY — the
+    aux outputs are stop_gradient'd HERE (structurally), matching the
+    custom bwd rule that consumes only J's cotangent; differentiating
+    through energies/uT yields a true zero instead of a silently-wrong
+    gradient."""
+    J, ser, uT = _fused_objective_diag_vjp(a, b, w, u0, c2, c3, dt,
+                                           n_steps, interpret, op_grads)
+    return J, jax.lax.stop_gradient(ser), jax.lax.stop_gradient(uT)
 
 
 def _vjp_fwd_diag(a, b, w, u0, c2, c3, dt, n_steps, interpret, op_grads):
@@ -432,7 +444,8 @@ def _vjp_fwd_diag(a, b, w, u0, c2, c3, dt, n_steps, interpret, op_grads):
 
 
 def _vjp_bwd_diag(c2, c3, dt, n_steps, interpret, op_grads, res, gbars):
-    gbar = gbars[0]   # aux outputs are stop_gradient'd by callers
+    gbar = gbars[0]   # aux cotangents are structurally zero (the
+    #                   public wrapper stop_gradients energies/uT)
     a, b, w, uT, traj = res
     lam, da, db = _run_bwd(a, b, w, uT, traj, c2, c3,
                            jnp.float32(-2.0 * dt) * gbar, n_steps, interpret,
@@ -441,20 +454,29 @@ def _vjp_bwd_diag(c2, c3, dt, n_steps, interpret, op_grads, res, gbars):
     return (da, db, dw, lam)
 
 
-fused_objective_diag.defvjp(_vjp_fwd_diag, _vjp_bwd_diag)
+_fused_objective_diag_vjp.defvjp(_vjp_fwd_diag, _vjp_bwd_diag)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
-def fused_objective_shared_diag(b, w, u0, c2: float, c3: float, lin: float,
-                                dt: float, n_steps: int,
-                                interpret: bool = False,
-                                op_grads: bool = True):
-    """`fused_objective_shared` that also returns (energies, uT); see
-    `fused_objective_diag`."""
+def _fused_objective_shared_diag_vjp(b, w, u0, c2: float, c3: float,
+                                     lin: float, dt: float, n_steps: int,
+                                     interpret: bool = False,
+                                     op_grads: bool = True):
     uT, Jsum, ser = _run_fwd_shared(b, w, u0, c2, c3, lin, n_steps,
                                     interpret, store_traj=False,
                                     store_series=True)
     return -dt * Jsum, ser[:, 0], uT[0, :]
+
+
+def fused_objective_shared_diag(b, w, u0, c2: float, c3: float, lin: float,
+                                dt: float, n_steps: int,
+                                interpret: bool = False,
+                                op_grads: bool = True):
+    """`fused_objective_shared` that also returns (energies, uT); aux
+    outputs stop_gradient'd structurally — see `fused_objective_diag`."""
+    J, ser, uT = _fused_objective_shared_diag_vjp(
+        b, w, u0, c2, c3, lin, dt, n_steps, interpret, op_grads)
+    return J, jax.lax.stop_gradient(ser), jax.lax.stop_gradient(uT)
 
 
 def _vjp_fwd_shared_diag(b, w, u0, c2, c3, lin, dt, n_steps, interpret,
@@ -467,7 +489,8 @@ def _vjp_fwd_shared_diag(b, w, u0, c2, c3, lin, dt, n_steps, interpret,
 
 def _vjp_bwd_shared_diag(c2, c3, lin, dt, n_steps, interpret, op_grads,
                          res, gbars):
-    gbar = gbars[0]   # aux outputs are stop_gradient'd by callers
+    gbar = gbars[0]   # aux cotangents are structurally zero (the
+    #                   public wrapper stop_gradients energies/uT)
     b, w, uT, traj = res
     lam, db = _run_bwd_shared(b, w, uT, traj, c2, c3, lin,
                               jnp.float32(-2.0 * dt) * gbar, n_steps,
@@ -476,5 +499,5 @@ def _vjp_bwd_shared_diag(c2, c3, lin, dt, n_steps, interpret, op_grads,
     return (db, dw, lam)
 
 
-fused_objective_shared_diag.defvjp(_vjp_fwd_shared_diag,
-                                   _vjp_bwd_shared_diag)
+_fused_objective_shared_diag_vjp.defvjp(_vjp_fwd_shared_diag,
+                                        _vjp_bwd_shared_diag)

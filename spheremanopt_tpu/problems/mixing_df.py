@@ -44,6 +44,7 @@ import numpy as np
 from spheremanopt_tpu.ops.doublefloat import (
     DF, OzakiComplexOp, OzakiOp, df_add, df_from_f, df_from_np, df_mul,
     df_mul_f, df_neg, df_probe, df_sum,
+    df_channel as _ch, df_pack2 as _pack2,
 )
 
 
@@ -52,15 +53,6 @@ def _dfc(pair):
     only (masks, kx, weights, rho0): numpy closures compile to HLO
     constants (axon rule 1 allows this; device arrays would re-ship)."""
     return DF(jnp.asarray(pair[0]), jnp.asarray(pair[1]))
-
-
-def _ch(x: DF, c: int) -> DF:
-    return DF(x.hi[..., c], x.lo[..., c])
-
-
-def _pack2(a: DF, b: DF) -> DF:
-    return DF(jnp.stack([a.hi, b.hi], axis=-1),
-              jnp.stack([a.lo, b.lo], axis=-1))
 
 
 def _dfmap(fn, x: DF) -> DF:
@@ -97,16 +89,16 @@ class MixingDFEngine:
         kw = dict(n_bits=n_bits, slice_dtype=slice_dtype,
                   batched=batched)
         # transforms (constant f64 operators -> exact slice stacks)
-        self._oFx = OzakiComplexOp(np.asarray(prob._Fx, np.complex128),
+        self._oFx = OzakiComplexOp(np.asarray(prob._Fx64, np.complex128),
                                    "kj,jz->kz", "kj,kz->jz",
                                    y_axis=-2, **kw)
-        self._oBx = OzakiComplexOp(np.asarray(prob._Bx, np.complex128),
+        self._oBx = OzakiComplexOp(np.asarray(prob._Bx64, np.complex128),
                                    "jk,kzc->jzc", "jk,jzc->kzc",
                                    y_axis=-3, **kw)
-        self._oAz = OzakiOp(np.asarray(prob._Az, np.float64),
+        self._oAz = OzakiOp(np.asarray(prob._Az64, np.float64),
                             "nz,kzc->knc", "nz,knc->kzc",
                             y_axis=-2, **kw)
-        self._oVz = OzakiOp(np.asarray(prob._Vz, np.float64),
+        self._oVz = OzakiOp(np.asarray(prob._Vz64, np.float64),
                             "zn,knc->kzc", "zn,kzc->knc",
                             y_axis=-2, **kw)
         self._oDz = OzakiOp(prob._Dz_np, "mn,knc->kmc", "mn,kmc->knc",
@@ -139,8 +131,8 @@ class MixingDFEngine:
 
         # small df closure constants (numpy pairs -> HLO constants)
         self._kx_df = df_from_np(np.asarray(prob._kx)[:, None])   # (kxn,1)
-        self._w_df = df_from_np(np.asarray(prob._w, np.float64))  # grid
-        rho0 = np.stack([prob._rho0_c.real, prob._rho0_c.imag], -1)
+        self._w_df = df_from_np(np.asarray(prob._w64, np.float64))  # grid
+        rho0 = np.stack([prob._rho0_c64.real, prob._rho0_c64.imag], -1)
         self._rho0_df = df_from_np(rho0)                          # (kxn,nz,2)
         self._xmask = np.asarray(prob._xmask, np.float32)[:, None, None]
         self._a0_df = df_from_np(np.float64(1.0) / np.float64(cfg.dt))

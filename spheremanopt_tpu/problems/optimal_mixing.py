@@ -376,16 +376,25 @@ class OptimalMixing:
         j = np.arange(self.mgx)
         kxi = np.arange(self.kxn)
         cnp = np.complex128 if rdtype == jnp.float64 else np.complex64
-        self._Fx = (np.exp(-2j * np.pi * np.outer(kxi, j) / self.mgx) / self.mgx).astype(cnp)
+        # exact f64 forms kept alongside the working-dtype copies: the
+        # df64 engine must Ozaki-split the EXACT operators (splitting
+        # the f32-rounded copies would bake a 2^-24 discretization
+        # perturbation under the emulated forward — measured r4: the
+        # pre-fix rel_J plateau at 8e-8 was exactly this)
+        self._Fx64 = np.exp(-2j * np.pi * np.outer(kxi, j) / self.mgx) / self.mgx
+        self._Fx = self._Fx64.astype(cnp)
         wx = np.full(self.kxn, 2.0)
         wx[0] = 1.0
         self._xmask = np.ones(self.kxn)
         if nx % 2 == 0:
             self._xmask[-1] = 0.0  # Nyquist of the nx-band
-        self._Bx = (np.exp(2j * np.pi * np.outer(j, kxi) / self.mgx) * wx[None, :]).astype(cnp)
+        self._Bx64 = np.exp(2j * np.pi * np.outer(j, kxi) / self.mgx) * wx[None, :]
+        self._Bx = self._Bx64.astype(cnp)
         # z: analysis on the oversampled grid, truncated to nz; synthesis padded
-        self._Az = zfull.analysis[:nz].astype(np.float64).astype(rdtype)        # (nz, mgz)
-        self._Vz = zfull.synthesis[:, :nz].astype(rdtype)                       # (mgz, nz)
+        self._Az64 = zfull.analysis[:nz].astype(np.float64)                     # (nz, mgz)
+        self._Az = self._Az64.astype(rdtype)
+        self._Vz64 = np.asarray(zfull.synthesis[:, :nz], np.float64)            # (mgz, nz)
+        self._Vz = self._Vz64.astype(rdtype)
         self._Dz_np = self.zbasis.diff_matrix                                   # (nz, nz)
         self._Dz = self._Dz_np.astype(rdtype)
         self._kx = (2.0 * np.pi * kxi / cfg.lx).astype(np.float64)
@@ -489,13 +498,22 @@ class OptimalMixing:
             wz = np.empty(self.mgz)
             wz[0] = z[1] - z[0]
             wz[1:] = z[1:] - z[:-1]
-        self._w = (np.broadcast_to(wz[None, :], (self.mgx, self.mgz)) * dx / vol).astype(rdtype)
+        self._w64 = np.broadcast_to(wz[None, :],
+                                    (self.mgx, self.mgz)) * dx / vol
+        self._w = self._w64.astype(rdtype)
 
         # rho(0) = -erf(z/delta)/2, truncated to the nz band (ref :920-925)
         rho0_grid = np.broadcast_to(
             -0.5 * erf(z / cfg.delta)[None, :], (self.mgx, self.mgz)
         )
-        self._rho0_c = self._to_coeff_np(rho0_grid).astype(cnp)
+        # exact f64 coefficients via the exact transforms (the df64
+        # engine's IC constant; _to_coeff_np would route through the
+        # f32-rounded Fx/Az in f32 configs)
+        self._rho0_c64 = np.einsum(
+            "nz,kz->kn", self._Az64,
+            np.einsum("kj,jz->kz", self._Fx64, rho0_grid),
+        ) * self._xmask[:, None]
+        self._rho0_c = self._rho0_c64.astype(cnp)
 
         self._objective = jax.jit(self._objective_impl)
 
@@ -565,8 +583,25 @@ class OptimalMixing:
                     self._dfe.objective, argnums=1)(ops, list(xs))
                 return J, [raw[0] / jnp.asarray(wdiv)[None]]
 
+            def _obj_and_grad_df_pair(ops, xs):
+                # fused form for HOST consumers: J as the full (hi, lo)
+                # pair next to the gradient, from ONE solve. The host
+                # Wolfe's fused phi compares float(J) — handing it the
+                # f32 scalar would round every trial to ~ulp(J) ~ 4e-9
+                # absolute, the exact resolution objective_f64 exists
+                # to avoid. Gradient definition is IDENTICAL to
+                # _obj_and_grad_df (grad of hi + lo).
+                def f(ops_, xs_):
+                    Jdf = self._dfe._objective_df(ops_, list(xs_))
+                    return Jdf.hi + Jdf.lo, jnp.stack([Jdf.hi, Jdf.lo])
+
+                (_, pair), raw = jax.value_and_grad(
+                    f, argnums=1, has_aux=True)(ops, list(xs))
+                return pair, [raw[0] / jnp.asarray(wdiv)[None]]
+
             self._gradient_df = jax.jit(_grad_df)
             self._obj_and_grad_df = jax.jit(_obj_and_grad_df)
+            self._obj_and_grad_df_pair = jax.jit(_obj_and_grad_df_pair)
             self._objective_df_pair = jax.jit(self._dfe.objective_pair)
 
     # ------------------------------------------------------------------
@@ -754,11 +789,6 @@ class OptimalMixing:
     # ------------------------------------------------------------------
     # transforms: grid (.., mgx, mgz) <-> coeff (.., kxn, nz)
     # ------------------------------------------------------------------
-
-    def _to_coeff_np(self, g: np.ndarray) -> np.ndarray:
-        c = np.einsum("kj,...jz->...kz", self._Fx.astype(np.complex128), g)
-        c = np.einsum("nz,...kz->...kn", self._Az.astype(np.float64), c)
-        return c * self._xmask[:, None]
 
     def to_coeff(self, g: jnp.ndarray) -> jnp.ndarray:
         c = jnp.einsum("kj,...jz->...kz", self._Fx, g.astype(self._cdtype))
@@ -1023,7 +1053,15 @@ class OptimalMixing:
         (Wolfe fused phi, the device loop) must not mix the two gradient
         definitions (or their paired inner products) in one search."""
         if self._dfe is not None:
-            return self._obj_and_grad_df(self._ops_df, list(x_list))
+            # host consumers (the Wolfe fused phi compares float(J) per
+            # trial): reconstruct J at pair resolution — the f32 scalar
+            # would silently bypass objective_f64's purpose. The
+            # device-loop keeps the f32-scalar form via
+            # objective_and_gradient_aux (its search state is f32).
+            pair, g = self._obj_and_grad_df_pair(self._ops_df,
+                                                 list(x_list))
+            pair = np.asarray(pair, np.float64)
+            return float(pair[0]) + float(pair[1]), g
         if self.cfg.adjoint == "continuous":
             return (self._objective(self._solve_ops(), list(x_list)),
                     self._grad_cnts(self._solve_ops(), list(x_list)))

@@ -400,6 +400,32 @@ def main(argv=None) -> int:
             list(np.asarray(r.function_values[:k])),
             save_path=os.path.join(args.out_dir, "convergence.pdf"),
         )
+        if args.h5:
+            # the h5 shim consumes the host OptimiseResult shape; adapt
+            # the device-loop record (histories are padded past k). The
+            # device loop doesn't count line-search trials, so
+            # Function/Gradient_Evals record the accepted-iterate count
+            # (a lower bound) — use the host driver when exact trial
+            # counts matter.
+            import types
+
+            from spheremanopt_tpu.io.h5compat import export_run_h5
+
+            xs = [np.asarray(x) for x in r.x_opt]
+            adapted = types.SimpleNamespace(
+                iterations=k, x_opt=xs, n_components=len(xs),
+                function_evals=k, gradient_evals=k,
+                residuals=[np.asarray(r.residuals[:k, i])
+                           for i in range(len(radii))],
+                step_sizes=np.asarray(r.step_sizes[:k]),
+                function_values=np.asarray(r.function_values[:k]),
+            )
+            diag_h5 = (problem.diagnostics(r.x_opt)
+                       if hasattr(problem, "diagnostics") else {})
+            paths = export_run_h5(args.out_dir, args.problem, adapted,
+                                  diag_h5)
+            if not args.quiet:
+                print("h5 exports:", json.dumps(paths))
         return 0
 
     callback = None

@@ -123,9 +123,12 @@ class OptimisationService:
         from spheremanopt_tpu.optim.jit_driver import jit_optimise_on_multi_sphere
 
         key = self._key("optimise", name, config, driver)
-        if key in self._cache:
-            self._hits += 1
-            return (*self._cache[key], True)
+        with self._state_lock:
+            hit = self._cache.get(key)
+            if hit is not None:
+                self._hits += 1
+        if hit is not None:
+            return (*hit, True)
         p = _make_problem(name, config)
         if hasattr(p, "objective_and_gradient_aux"):
             fg, aux = p.objective_and_gradient_aux  # mixing: operand stacks
@@ -136,7 +139,8 @@ class OptimisationService:
         radii = getattr(p, "radii", [1.0])  # pca: unit sphere (run.py:214)
         opt = jit_optimise_on_multi_sphere(
             fg, p.inner_product, radii, **(driver or {}))
-        self._cache[key] = (p, opt, aux)
+        with self._state_lock:
+            self._cache[key] = (p, opt, aux)
         return p, opt, aux, False
 
     # -- handlers ----------------------------------------------------------
@@ -147,14 +151,20 @@ class OptimisationService:
         try:
             cmd = req.get("cmd")
             if cmd == "status":
+                # snapshot EVERYTHING under the lock: a compute thread
+                # may be inserting a cache entry right now, and
+                # sorted() over a resizing dict raises RuntimeError
                 with self._state_lock:
                     busy = dict(self._busy) if self._busy else None
                     queued = self._queued
+                    requests = self._requests
+                    hits = self._hits
+                    executables = sorted(self._cache)
                 return {"ok": True, "uptime_s": round(time.time() - self._t0, 3),
-                        "requests": self._requests,
-                        "cache_hits": self._hits,
+                        "requests": requests,
+                        "cache_hits": hits,
                         "busy": busy, "queued": queued,
-                        "executables": sorted(self._cache)}
+                        "executables": executables}
             if cmd == "shutdown":
                 return {"ok": True, "shutdown": True}
             if cmd in ("optimise", "sweep"):
@@ -271,7 +281,8 @@ class OptimisationService:
         # wrapper per request would retrace on every warm sweep
         skey = self._key("sweep", name, req.get("config"),
                          req.get("driver"), batch=B)
-        sweep_fn = self._cache.get(skey)
+        with self._state_lock:
+            sweep_fn = self._cache.get(skey)
         if sweep_fn is None:
             def one(x_row, r_row, aux_op):
                 kw = {"radii_dyn": [r_row[j] for j in range(len(base_radii))]}
@@ -288,9 +299,11 @@ class OptimisationService:
             def sweep_fn(xs_, radii_, _j=jitted, _a=aux):
                 return _j(xs_, radii_, _a)
 
-            self._cache[skey] = sweep_fn
+            with self._state_lock:
+                self._cache[skey] = sweep_fn
         else:
-            self._hits += 1
+            with self._state_lock:
+                self._hits += 1
 
         t0 = time.perf_counter()
         res = sweep_fn(xs, radii)

@@ -200,6 +200,33 @@ def test_ozaki_linearity_of_vjp():
     assert abs(fd - np.sum(g * d)) < 1e-4 * max(abs(fd), 1.0)
 
 
+def test_ops_cotangent_is_documented_zero():
+    """The Ozaki custom_vjp returns a HARD-ZERO cotangent for the
+    operator slice stacks (CLAUDE.md sanctioned exception (2)): the
+    stacks are frozen init-time constants, never optimised over. This
+    test pins the zero so it stays documented behavior — if operator
+    sensitivities are ever needed the stack must be applied OUTSIDE
+    the custom_vjp — and pins that the state cotangent through the
+    same call is simultaneously correct (the zero doesn't leak)."""
+    r = _rng(11)
+    k = 32
+    A = r.standard_normal((k, k))
+    op = OzakiOp(A, "ij,jc->ic", "ij,ic->jc")
+    sl = jnp.asarray(op.slices_np)
+    y = r.standard_normal((k, 2)).astype(np.float32)
+
+    def f(slices, yh):
+        out = op.apply(slices, DF(yh, jnp.zeros_like(yh)))
+        return jnp.sum(out.hi + out.lo)
+
+    g_ops, g_y = jax.grad(f, argnums=(0, 1))(sl, jnp.asarray(y))
+    assert not np.any(np.asarray(g_ops)), "ops cotangent must be zero"
+    exact = np.einsum("ij,ic->jc", A, np.ones((k, 2)))
+    rel = (np.linalg.norm(np.asarray(g_y, np.float64) - exact)
+           / np.linalg.norm(exact))
+    assert rel < 1e-5, rel
+
+
 def test_df_mul_f_exact_mask():
     mask = jnp.asarray(np.array([0.0, 1.0, 1.0, 0.0], np.float32))
     x = DF(jnp.asarray(np.full(4, 1.1, np.float32)),

@@ -185,12 +185,14 @@ def test_fused_archiver_zero_extra_solves(tmp_path):
         verbose=False,
     )
     assert res.iterations >= 2
+    # paths lists only LANDED files (async writes append from the
+    # done-callback) — flush() before counting
+    arch.flush()
     assert len(arch.paths) == res.iterations
     assert calls["diagnostics"] == 0
     assert arch.fallback_recomputes == 0
 
     # the archived payload at the final iterate matches a fresh re-run
-    arch.flush()
     with np.load(arch.paths[-1]) as data:
         archived = data["kinetic_energy"]
     fresh = orig(res.x_opt)
@@ -211,7 +213,9 @@ def test_fused_archiver_fallback_on_cache_miss(tmp_path):
 
     arch(1, R())
     assert arch.fallback_recomputes == 1
+    arch.flush()   # paths appends only when the async write lands
     assert len(arch.paths) == 1
+    assert os.path.exists(arch.paths[0])
 
 
 def test_pallas_config_has_fused_diagnostics():

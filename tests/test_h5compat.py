@@ -99,3 +99,28 @@ def test_cli_h5_flag(tmp_path):
         assert "Function_Value" in f and "X_opt" in f
     with h5py.File(sca, "r") as f:
         assert f["tasks/Kinetic energy"].shape[1] == 1
+
+
+def test_cli_h5_flag_device_loop(tmp_path):
+    """--h5 must also export from the single-jit device loop (the flag
+    used to be silently ignored on that branch): the adapted
+    JitOptResult writes the reference dataset names with histories
+    truncated to the iterations taken."""
+    env = dict(os.environ, PYTHONPATH="/root/repo", JAX_PLATFORM_NAME="cpu")
+    out = subprocess.run(
+        [sys.executable, "-m", "spheremanopt_tpu.run", "sh23", "--platform",
+         "cpu", "--npts", "32", "--n-iters", "20", "--max-iters", "2",
+         "--device-loop", "--h5", "--quiet",
+         "--out-dir", str(tmp_path / "run")],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    dal = tmp_path / "run" / "DAL_PROGRESS.h5"
+    assert dal.exists()
+    with h5py.File(dal, "r") as f:
+        k = int(f["Iterations"][()])
+        assert k >= 1
+        assert f["Function_Value"].shape == (k,)
+        assert f["Step_Size"].shape == (k,)
+        assert f["Residual"].shape[1] == k
