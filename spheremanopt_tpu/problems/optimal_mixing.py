@@ -123,11 +123,12 @@ class MixingConfig:
                                  # n_bits/b)) at more forward rounding;
                                  # the frontier is measured in
                                  # BASELINE.md (r4 n_bits sweep):
-                                 # 32 -> 1.73x faster at gradient
+                                 # 32 -> 1.72x faster at gradient
                                  # accuracy IDENTICAL to 48 (rel_J
-                                 # 8.8e-7, still 160x beyond the f32
+                                 # 1.0e-6, still 140x beyond the f32
                                  # floor) — the recommended wall-time
-                                 # point; 48 is the safe default.
+                                 # point; 48 (rel_J ~1e-11, the df
+                                 # carry floor) is the safe default.
     df_slice_dtype: str = "float32"
                                  # df64 only: storage dtype of the Ozaki
                                  # slice stacks. "bfloat16" is EXACT
