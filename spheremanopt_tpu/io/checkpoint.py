@@ -72,6 +72,59 @@ def load_pde_state(path: str):
     return state, step, meta
 
 
+def load_progress_any(path: str):
+    """Load optimiser progress from the native .npz OR a reference-format
+    `DAL_PROGRESS.h5`.
+
+    The reference dumps every `vars(R)` item as an h5 dataset
+    (`Sphere_Grad_Descent.py:821-826`: N, X_opt, Iterations,
+    Function_Evals, Gradient_Evals, Residual, Step_Size, Function_Value)
+    and its sketched resume reads `X_opt[0]` back
+    (`FWD_Solve_SH23.py:787-794`). Accepting that file here means a
+    reference user can point `--resume` at an EXISTING reference study
+    and warm-start this framework from it — the import half of the
+    io/h5compat export shim.
+    """
+    if path.endswith(".h5") or _is_hdf5(path):
+        return _load_progress_h5(path)
+    return load_progress(path)
+
+
+def _is_hdf5(path: str) -> bool:
+    try:
+        with open(path, "rb") as f:
+            return f.read(8) == b"\x89HDF\r\n\x1a\n"
+    except OSError:
+        return False
+
+
+def _load_progress_h5(path: str):
+    from spheremanopt_tpu.io.h5compat import load_dal_progress_h5
+    from spheremanopt_tpu.optim.optimiser import OptimiseResult
+
+    data = load_dal_progress_h5(path)
+    if "X_opt" in data:
+        x_opt = [np.asarray(x) for x in np.atleast_2d(np.asarray(data["X_opt"]))]
+    else:  # ragged-component export (save_dal_progress_h5 writes X_opt_{i})
+        idx = sorted(int(k[6:]) for k in data if k.startswith("X_opt_"))
+        x_opt = [np.asarray(data[f"X_opt_{i}"]) for i in idx]
+    n = int(data.get("N", len(x_opt)))
+    R = OptimiseResult(n_components=n)
+    R.x_opt = x_opt
+    R.iterations = int(data.get("Iterations", 0))
+    R.function_evals = int(data.get("Function_Evals", 0))
+    R.gradient_evals = int(data.get("Gradient_Evals", 0))
+    res = np.atleast_2d(np.asarray(data.get("Residual", np.zeros((n, 0)))))
+    R.residuals = [list(np.asarray(r, dtype=np.float64)) for r in res]
+    R.step_sizes = list(np.atleast_1d(np.asarray(
+        data.get("Step_Size", []), dtype=np.float64)))
+    R.function_values = list(np.atleast_1d(np.asarray(
+        data.get("Function_Value", []), dtype=np.float64)))
+    R.wall_times = []
+    R.converged = False
+    return R
+
+
 def load_progress(path: str):
     """Load a progress checkpoint back into an OptimiseResult."""
     from spheremanopt_tpu.optim.optimiser import OptimiseResult

@@ -63,7 +63,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--adjoint", choices=["discrete", "continuous"], default="discrete")
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("--resume", default=None,
-                    help="warm-start from a DAL_PROGRESS.npz checkpoint")
+                    help="warm-start from a DAL_PROGRESS checkpoint "
+                         "(.npz, or a reference-format DAL_PROGRESS.h5)")
     ap.add_argument("--profile-dir", default=None,
                     help="write a jax.profiler trace of the run here")
     ap.add_argument("--archive-every", type=int, default=0,
@@ -270,9 +271,11 @@ def main(argv=None) -> int:
     t0 = time.time()
     problem, x0, defaults = make_problem(args)
     if args.resume:
-        from spheremanopt_tpu.io.checkpoint import load_progress
+        # accepts the native .npz OR a reference-format DAL_PROGRESS.h5
+        # (warm-start directly from an existing reference study's output)
+        from spheremanopt_tpu.io.checkpoint import load_progress_any
 
-        loaded = load_progress(args.resume)
+        loaded = load_progress_any(args.resume)
         x0 = [x for x in loaded.x_opt]
         print(f"[resume] warm-starting from iteration {loaded.iterations}")
     elif x0 is None:

@@ -124,3 +124,70 @@ def test_cli_h5_flag_device_loop(tmp_path):
         assert f["Function_Value"].shape == (k,)
         assert f["Step_Size"].shape == (k,)
         assert f["Residual"].shape[1] == k
+
+
+def test_resume_from_reference_dal_progress(tmp_path):
+    """load_progress_any must read a DAL_PROGRESS.h5 written the way the
+    REFERENCE writes it — one dataset per vars(R) item
+    (`Sphere_Grad_Descent.py:823-826`) with X_opt as the stacked
+    component list its resume indexes as `X_opt[0]`
+    (`FWD_Solve_SH23.py:789-794`)."""
+    from spheremanopt_tpu.io.checkpoint import load_progress_any
+
+    rng = np.random.RandomState(7)
+    x = [rng.rand(32), rng.rand(32)]
+    ref_vars = {
+        "N": 2,
+        "X_opt": np.stack(x),
+        "Iterations": 5,
+        "Function_Evals": 11,
+        "Gradient_Evals": 6,
+        "Residual": np.asarray([[0.5, 0.4, 0.3, 0.2, 0.1]] * 2),
+        "Step_Size": np.asarray([1.0, 0.5, 0.5, 0.25, 0.25]),
+        "Function_Value": np.asarray([1.0, 0.9, 0.8, 0.7, 0.6]),
+    }
+    path = str(tmp_path / "DAL_PROGRESS.h5")
+    with h5py.File(path, "w") as f:  # the reference's exact write loop
+        for k, v in ref_vars.items():
+            f.create_dataset(k, data=v)
+    R = load_progress_any(path)
+    assert R.n_components == 2 and R.iterations == 5
+    assert R.function_evals == 11 and R.gradient_evals == 6
+    np.testing.assert_array_equal(R.x_opt[0], x[0])
+    np.testing.assert_array_equal(R.x_opt[1], x[1])
+    assert R.residuals[1][-1] == pytest.approx(0.1)
+    assert R.function_values[-1] == pytest.approx(0.6)
+
+
+def test_resume_roundtrip_own_h5(run, tmp_path):
+    """Our own --h5 export resumes through the same loader."""
+    from spheremanopt_tpu.io.checkpoint import load_progress_any
+
+    _, res = run
+    path = save_dal_progress_h5(str(tmp_path / "DAL_PROGRESS.h5"), res)
+    R = load_progress_any(path)
+    assert R.iterations == res.iterations
+    for a, b in zip(R.x_opt, res.x_opt):
+        np.testing.assert_allclose(a, np.asarray(b))
+
+
+def test_cli_resume_from_h5(tmp_path):
+    """End-to-end: --resume pointed at a reference-format h5 warm-starts
+    the run (the import half of the h5 migration shim)."""
+    p = SwiftHohenberg(SH23Config(npts=32, n_iters=20, dt=0.05, e0=0.0725))
+    x0 = np.asarray(p.generate_ic(seed=3)[0])
+    path = str(tmp_path / "DAL_PROGRESS.h5")
+    with h5py.File(path, "w") as f:
+        f.create_dataset("N", data=1)
+        f.create_dataset("X_opt", data=x0[None])
+        f.create_dataset("Iterations", data=4)
+    env = dict(os.environ, PYTHONPATH="/root/repo", JAX_PLATFORM_NAME="cpu")
+    out = subprocess.run(
+        [sys.executable, "-m", "spheremanopt_tpu.run", "sh23", "--platform",
+         "cpu", "--npts", "32", "--n-iters", "20", "--max-iters", "1",
+         "--resume", path, "--out-dir", str(tmp_path / "run")],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "warm-starting from iteration 4" in out.stdout
