@@ -146,6 +146,15 @@ def make_problem(args):
                 f"--method {args.method} not supported for {args.problem}"
                 + (f" (choose from {', '.join(allowed)})" if allowed
                    else " (no method variants)"))
+        if args.problem == "kdyn" and args.method == "pallas":
+            # validated capability, NOT a production path: Mosaic compile
+            # of the whole CNAB1 induction kernel is infeasible at
+            # production n_steps (measured 958 s / OOM — PARITY dead-end
+            # ledger). Kept for small-n kernel validation only.
+            print("[kdyn] WARNING: method=pallas is experimental — "
+                  "compile-infeasible at production n_steps (use the "
+                  "default xla method; see PARITY.md dead-end ledger)",
+                  flush=True)
 
     # shared in-process platform force (CLAUDE.md rule 5); x64 is
     # resolved below from the dtype decision, not blanket-enabled
