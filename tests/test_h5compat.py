@@ -191,3 +191,26 @@ def test_cli_resume_from_h5(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "warm-starting from iteration 4" in out.stdout
+
+
+def test_resume_ragged_components_h5(tmp_path):
+    """Unequal-size spheres export as X_opt_{i} datasets (the reference's
+    stacked write would fail there); the loader must reassemble them in
+    order."""
+    from spheremanopt_tpu.io.checkpoint import load_progress_any
+    from spheremanopt_tpu.optim.optimiser import OptimiseResult
+
+    R = OptimiseResult(n_components=2)
+    R.iterations = 2
+    rng = np.random.RandomState(11)
+    R.x_opt = [rng.rand(16), rng.rand(24)]
+    R.residuals = [[0.3, 0.2], [0.4, 0.1]]
+    R.step_sizes = [1.0, 0.5]
+    R.function_values = [0.8, 0.9]
+    path = save_dal_progress_h5(str(tmp_path / "ragged.h5"), R)
+    with h5py.File(path, "r") as f:
+        assert "X_opt_0" in f and "X_opt_1" in f and "X_opt" not in f
+    L = load_progress_any(path)
+    assert [x.shape for x in L.x_opt] == [(16,), (24,)]
+    np.testing.assert_array_equal(L.x_opt[1], R.x_opt[1])
+    assert L.iterations == 2
