@@ -514,6 +514,22 @@ def bench_kdyn48(repeats=3, n_iters=500):
 PRE_PATH = "/tmp/smo_bench_pre.npz"
 
 
+def _runner_order(on_tpu: bool):
+    """Secondary-bench order, budget- and wedge-aware: mixing first (the
+    longest-compiling and most informative secondary), then the cheap
+    SHB23, then the near-free pallas kernel paths (headline candidates)
+    and the four cheap end-to-end workload rows, and LAST the 48^3 scale
+    row — it is the most wedge-prone (biggest compile + longest run),
+    and a mid-run wedge there must not starve the required rows after it
+    (measured: one r4 run lost all four workload rows waiting out a
+    wedge the kdyn48 row hit)."""
+    runners = ["mixing_256x128", "shb23_512"]
+    if on_tpu:
+        runners += ["sh23_pallas", "shb23_pallas", "sh23_workload",
+                    "kdyn_workload", "shb23_workload", "mixing_workload"]
+    return runners + ["kdyn48_scale"]
+
+
 def _secondary(name, pre):
     """One secondary bench. The SAME code object serves the in-process
     happy path and the subprocess fallback (no duplicated code strings
@@ -757,14 +773,7 @@ def main():
 
     extra = {}
     on_tpu = __import__("jax").devices()[0].platform != "cpu"
-    # budget order: mixing first (the longest-compiling and most
-    # informative secondary), then the cheap SHB23, the 48^3 scale, and
-    # last the pallas kernel paths (headline candidates; near-free when
-    # the persistent cache holds their Mosaic compiles)
-    runners = ["mixing_256x128", "shb23_512", "kdyn48_scale"]
-    if on_tpu:
-        runners += ["sh23_pallas", "shb23_pallas", "sh23_workload",
-                    "kdyn_workload", "shb23_workload", "mixing_workload"]
+    runners = _runner_order(on_tpu)
 
     def _record(name, r):
         r = dict(r)

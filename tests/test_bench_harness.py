@@ -95,3 +95,18 @@ def test_secondary_subprocess_child_string_matches_inprocess(tmp_path,
 
     monkeypatch.setattr(bench, "bench_shb23_pallas", lambda: (1.25, -0.5))
     assert child_result == bench._secondary(name, {})
+
+
+def test_runner_order_puts_fragile_scale_row_last():
+    """Every VERDICT-required workload row must run BEFORE the 48^3
+    scale row: a wedge there previously starved all four (r4 degraded
+    run). Each name must also resolve in _secondary's dispatch."""
+    import bench
+
+    order = bench._runner_order(on_tpu=True)
+    assert order[-1] == "kdyn48_scale"
+    for row in ("sh23_workload", "kdyn_workload", "shb23_workload",
+                "mixing_workload", "sh23_pallas", "shb23_pallas"):
+        assert order.index(row) < order.index("kdyn48_scale")
+    cpu_order = bench._runner_order(on_tpu=False)
+    assert cpu_order == ["mixing_256x128", "shb23_512", "kdyn48_scale"]
