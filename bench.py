@@ -292,8 +292,9 @@ def bench_kdyn(repeats_tpu=5, repeats_cpu=1):
     g_b = np.asarray(truth["gb"], np.float64)
 
 
-    def one(pp):
-        tpu_s = chained_value_ms(pp.objective_and_gradient, x0, n=repeats_tpu) / 1e3
+    def one(pp, repeats=None):
+        tpu_s = chained_value_ms(pp.objective_and_gradient, x0,
+                                 n=repeats or repeats_tpu) / 1e3
         J, g = pp.objective_and_gradient(x0)
         rel_J = abs(float(J) - J_cpu) / abs(J_cpu)
         rel_g = float(
@@ -316,6 +317,19 @@ def bench_kdyn(repeats_tpu=5, repeats_cpu=1):
         )
         t_f, rj_f, rg_f = one(p_fast)
         fast = {"fast_s": t_f, "fast_rel_J": rj_f, "fast_rel_g": rg_f}
+        # df64 accuracy row: the f64-emulated forward (problems/kdyn_df,
+        # the mixing escape hatch generalised) vs the same pinned f64
+        # truth — expected to break the f32 "high" ~1e-4 class on J and
+        # to land the gradient at the f32-reverse-sweep floor
+        del p_fast
+        p_df = KinematicDynamo(
+            KDynConfig(npts=24, n_iters=2000, dt=5e-4, dtype=dtype,
+                       project_gradients=False, solve_precision="df64")
+        )
+        t_d, rj_d, rg_d = one(p_df, repeats=2)
+        fast["df64_s"] = t_d
+        fast["df64_rel_J"] = rj_d
+        fast["df64_rel_g"] = rg_d
     # NOTE: KDyn method="pallas" is deliberately NOT benched: Mosaic
     # compile of the 22-einsum unaligned step body measures ~16 min per
     # program through the compile helper (OOM-SIGKILL at 2000 steps) —
@@ -743,8 +757,8 @@ def main():
                 "kdyn24_precision_mode": kd_mode,
                 "sh23_roofline": sh23_rl,
                 "kdyn24_roofline": kd_rl,
-                **{f"kdyn24_{k.replace('_s', '_ms') if k == 'fast_s' else k}":
-                   (round(v * 1e3, 3) if k == "fast_s" else f"{v:.2e}")
+                **{f"kdyn24_{k[:-2] + '_ms' if k.endswith('_s') else k}":
+                   (round(v * 1e3, 3) if k.endswith("_s") else f"{v:.2e}")
                    for k, v in kd_fast.items()},
                 **extra,
             },

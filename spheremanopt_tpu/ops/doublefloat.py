@@ -244,6 +244,16 @@ def _df_slice(yh, yl, b: int, q: int, axis: int):
     rest telescope to zero — see module docstring)."""
     m = jnp.max(jnp.abs(yh), axis=axis, keepdims=True)
     _, e = jnp.frexp(m)  # m < 2^e
+    # Clamp the frame so every slice scale stays a NORMAL f32: an
+    # all-tiny contraction column (|y| ~ 1e-34 happens in decaying
+    # high-k spectral tails) gives e ~ -110 and sig = 2^(e - q*b)
+    # UNDERFLOWS to 0 -> rh/sig = inf/NaN poisoning the solve
+    # (measured: KDyn df64 Taylor probe NaN'd at step 2). With the
+    # clamp, values below 2^(q*b - 127 - b) round to slice 0 exactly —
+    # complete-underflow class, orders below every df target — and
+    # frames above the clamp (all previously-working paths) are
+    # BITWISE unchanged.
+    e = jnp.maximum(e, q * b - 126)
     rh, rl = yh, yl
     slices = []
     for t in range(q):

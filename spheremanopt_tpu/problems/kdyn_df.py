@@ -1,0 +1,245 @@
+"""df64 (f64-emulated) forward engine for the kinematic-dynamo problem.
+
+WHY: the f32 KDyn gradient sits at the ~1e-4 rel-err class at the
+reference 24^3 x 2000 config ("high" 3-pass einsums; BASELINE.md r3
+precision table) — comfortably inside the Wolfe bracket tolerance for
+the reference workload, but with no headroom for longer horizons or
+larger Rm, where the induction trajectory's error amplification grows
+exponentially exactly as the mixing problem's did (the r3 Wolfe-wall
+failure mode). This engine is the same precision escape hatch
+`problems/mixing_df.py` gave mixing, generalised to the 3-D two-sphere
+problem: the f64-emulated FORWARD removes the dominant
+eps_fwd * e^{2 lam T} term of the gradient error model while jax.grad's
+f32 reverse sweep supplies the adjoint.
+
+HOW: the discrete forward — the per-axis DFT matmul transforms, the
+grid-space U x B cross product, the spectral curl, the Leray
+projection, and the CNAB1 diagonal solve — is re-expressed in
+double-float (ops/doublefloat): the scan carry is a DF (hi, lo) f32
+pair of channel-packed coefficients, every constant-operator
+contraction is an Ozaki exact-split matmul against the UNROUNDED f64
+transform matrices (`KinematicDynamo._Ff64/...` — splitting the
+c64-rounded operators would bake a 2^-24 discretisation perturbation,
+the r4 self-review lesson), and all elementwise dynamics (diagonal
+factors, wavenumber products, cross products, Parseval energy sums)
+run on Dekker/Knuth error-free transforms with f64-exact DF constants.
+The discrete gradient is jax.grad of this forward, exactly as in the
+standard path (the Ozaki ops carry a custom_vjp keeping f32-quality
+cotangents).
+
+Selected via KDynConfig(solve_precision="df64"); the engine covers the
+core triple (objective / gradient / fused) — diagnostics, archiving,
+restart and Rm-sweep paths run on the standard f32 machinery (their
+accuracy does not gate the optimisation).
+
+Unlike the mixing engine, the Ozaki slice stacks here are tiny (four
+(n|nz) x mg transform matrices, ~100 KB total), so they ride as numpy
+closure constants (HLO constants — axon rule 1 allows numpy closures;
+the mixing stacks are hundreds of MB and must be jit operands).
+
+Reference: the f64 MPI CPU solve this emulates is
+`Example_Problems/Periodic_Domain(Fourier)/Kinematic_Dynamo/
+FWD_Solve_KDyn.py` (same CNAB1 discretisation; see
+problems/kinematic_dynamo.py for the projection/curl derivation).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spheremanopt_tpu.ops.doublefloat import (
+    DF, OzakiComplexOp, df_add, df_from_f, df_from_np, df_mul, df_mul_f,
+    df_neg, df_probe, df_sub, df_sum,
+    df_channel as _ch, df_pack2 as _pack2,
+)
+
+
+def _dfc(pair):
+    """Closure-constant DF from a numpy (hi, lo) pair (HLO constants)."""
+    return DF(jnp.asarray(pair[0]), jnp.asarray(pair[1]))
+
+
+def _dfmap(fn, x: DF) -> DF:
+    """Apply an exact structural op (slice/index/stack lambda) to both
+    components."""
+    return DF(fn(x.hi), fn(x.lo))
+
+
+def _comp(x: DF, i: int) -> DF:
+    """Select one vector component along the leading axis."""
+    return DF(x.hi[i], x.lo[i])
+
+
+def _dfstack(parts) -> DF:
+    return DF(jnp.stack([p.hi for p in parts]),
+              jnp.stack([p.lo for p in parts]))
+
+
+def _cross(a, b) -> DF:
+    """DF vector cross product over the leading component axis."""
+    def t(i, j):
+        return df_sub(df_mul(_comp(a, i), _comp(b, j)),
+                      df_mul(_comp(a, j), _comp(b, i)))
+
+    return _dfstack([t(1, 2), t(2, 0), t(0, 1)])
+
+
+class KDynDFEngine:
+    """df64 forward for one KinematicDynamo instance (matmul transform
+    layout: coefficients are channel-packed (3, n, n, n//2+1, 2) DF
+    pairs). `objective(x_list)` is the jittable df forward returning the
+    f32 scalar -J; jax.grad of it is the discrete gradient."""
+
+    def __init__(self, prob, n_bits: int = 48, slice_dtype=np.float32,
+                 batched: bool = False):
+        if not df_probe():
+            raise RuntimeError(
+                "doublefloat self-probe failed: this compiler elides "
+                "the compensation structure df64 relies on")
+        cfg = prob.cfg
+        self.cfg = cfg
+        self._n_iters = cfg.n_iters
+        self._remat = cfg.remat
+        self._integrated = cfg.cost == "Integrated"
+
+        kw = dict(n_bits=n_bits, slice_dtype=slice_dtype, batched=batched)
+        # transforms, split from the EXACT f64 operators. Forward
+        # (analysis) contracts the mg-sized grid axes; inverse
+        # (synthesis) contracts the truncated n / n//2+1 mode axes.
+        Ff, Fz = prob._Ff64, prob._Fz64
+        Bf, Bz = prob._Bf64, prob._Bz64
+        self._oFz = OzakiComplexOp(Fz, "Zk,cabk->cabZ", "Zk,cabZ->cabk",
+                                   y_axis=-1, **kw)
+        self._oFy = OzakiComplexOp(Ff, "Yb,cabZe->caYZe",
+                                   "Yb,caYZe->cabZe", y_axis=-3, **kw)
+        self._oFx = OzakiComplexOp(Ff, "Xa,caYZe->cXYZe",
+                                   "Xa,cXYZe->caYZe", y_axis=-4, **kw)
+        self._oBx = OzakiComplexOp(Bf, "aX,cXYZe->caYZe",
+                                   "aX,caYZe->cXYZe", y_axis=-4, **kw)
+        self._oBy = OzakiComplexOp(Bf, "bY,caYZe->cabZe",
+                                   "bY,cabZe->caYZe", y_axis=-3, **kw)
+        self._oBz = OzakiComplexOp(Bz, "kZ,cabZe->cabke",
+                                   "kZ,cabke->cabZe", y_axis=-2, **kw)
+        # oFx/oFy (and oBx/oBy) share a matrix; their slice stacks are
+        # identical numpy arrays, and as closure constants XLA dedups
+        # them — no operand plumbing needed at these sizes.
+
+        # f64-exact DF closure constants (trailing channel axis where
+        # they broadcast against packed coefficients)
+        self._rhs_df = df_from_np(prob._rhs_fac64[..., None])
+        self._lhs_df = df_from_np(prob._lhs_inv64[..., None])
+        self._k_df = df_from_np(prob._k64[..., None])        # (3,n,n,nz,1)
+        self._ik2_df = df_from_np(prob._inv_k264[..., None])
+        self._pw_df = df_from_np(prob._pw64)                 # (n,n,nz)
+        self._dt_df = df_from_np(np.float64(cfg.dt))
+        self._keep = np.asarray(prob._keep, np.float32)[..., None]
+
+    # --- df transforms ---------------------------------------------------
+
+    @staticmethod
+    def _sl(op: OzakiComplexOp):
+        return (jnp.asarray(op.re.slices_np), jnp.asarray(op.im.slices_np))
+
+    def to_coeff(self, g: DF) -> DF:
+        """(3, mg, mg, mg) real grid -> packed (3, n, n, nz, 2) coeffs
+        (the standard path's z-y-x einsum order, in df)."""
+        c = self._oFz.apply_real_in(self._sl(self._oFz), g)
+        c = self._oFy.apply_packed(self._sl(self._oFy), c)
+        c = self._oFx.apply_packed(self._sl(self._oFx), c)
+        return df_mul_f(c, jnp.asarray(self._keep))
+
+    def to_grid(self, c: DF) -> DF:
+        """Packed coeffs -> (3, mg, mg, mg) real grid (x-y-z order; the
+        z synthesis carries the Hermitian doubling weights and discards
+        the imaginary output, as the standard path's .real does)."""
+        y = self._oBx.apply_packed(self._sl(self._oBx), c)
+        y = self._oBy.apply_packed(self._sl(self._oBy), y)
+        return self._oBz.apply_real_out(self._sl(self._oBz), y)
+
+    # --- dynamics ----------------------------------------------------------
+
+    def _energy(self, c: DF) -> DF:
+        """(1/V) int |B|^2 via Parseval (rfft Hermitian double-count
+        weights), summed over the 3 components — `KinematicDynamo.
+        _energy` in df."""
+        re, im = _ch(c, 0), _ch(c, 1)
+        e = df_add(df_mul(re, re), df_mul(im, im))
+        return df_sum(df_mul(e, _dfc(self._pw_df)))
+
+    def _leray(self, c: DF) -> DF:
+        """Mode-wise divergence-free projection P = I - k k^T / k^2 on
+        packed coefficients (k real: acts identically per channel)."""
+        k = _dfc(self._k_df)
+        parts = [df_mul(_comp(k, i), _comp(c, i)) for i in range(3)]
+        div = df_add(df_add(parts[0], parts[1]), parts[2])
+        corr = df_mul(k, df_mul(div, _dfc(self._ik2_df)))
+        return df_sub(c, corr)
+
+    def _induction(self, b_c: DF, u_g: DF) -> DF:
+        """F-hat = i k x (U x B)-hat: padded-grid cross product + spectral
+        curl. i * v on packed coeffs: re' = -v_im, im' = v_re."""
+        b = self.to_grid(b_c)
+        e_c = self.to_coeff(_cross(u_g, b))
+        k = _dfc(self._k_df)
+        kr = DF(k.hi[..., 0], k.lo[..., 0])          # (3, n, n, nz)
+        ce_re, ce_im = _ch(e_c, 0), _ch(e_c, 1)
+        curl_re = _cross(kr, ce_re)                  # k x Re(e)
+        curl_im = _cross(kr, ce_im)                  # k x Im(e)
+        # i * (k x e): re = -(k x e)_im, im = (k x e)_re
+        return _pack2(df_neg(curl_im), curl_re)
+
+    def _step(self, b_c: DF, u_g: DF) -> DF:
+        """CNAB1: B' = lhs_inv * P(rhs_fac * B + F), mean mode pinned."""
+        rhs = df_add(df_mul(b_c, _dfc(self._rhs_df)),
+                     self._induction(b_c, u_g))
+        out = df_mul(self._leray(rhs), _dfc(self._lhs_df))
+        return _dfmap(lambda a: a.at[:, 0, 0, 0, :].set(0.0), out)
+
+    # --- objective ---------------------------------------------------------
+
+    def _objective_df(self, x_list) -> DF:
+        """-J as a DF pair (the reference's FWD solvers return -J to turn
+        maximisation into minimisation, `FWD_Solve_KDyn.py:689`)."""
+        b0 = df_from_f(x_list[0].astype(jnp.float32))
+        u = df_from_f(x_list[1].astype(jnp.float32))
+        b0_c = self.to_coeff(b0)
+        # band-limit U the way Vec_to_Field + Dedalus products do
+        u_bl = self.to_grid(self.to_coeff(u))
+
+        step = self._step
+        if self._remat in (True, "step"):
+            step = jax.checkpoint(step)
+
+        integrated = self._integrated
+
+        def body(carry, _):
+            b, acc = carry
+            if integrated:
+                acc = df_add(acc, self._energy(b))
+            b = step(b, u_bl)
+            return (b, acc), None
+
+        z = jnp.zeros((), jnp.float32)
+        (b, acc), _ = jax.lax.scan(body, (b0_c, DF(z, z)), xs=None,
+                                   length=self._n_iters)
+        if integrated:
+            acc = df_add(acc, self._energy(b))
+            return df_neg(df_mul(acc, _dfc(self._dt_df)))
+        return df_neg(self._energy(b))
+
+    def objective(self, x_list) -> jnp.ndarray:
+        """df64 discrete objective as an f32 scalar; jax.grad of this is
+        the discrete gradient (Riesz-scale by the IP weights as the
+        standard path's `_riesz` does)."""
+        J = self._objective_df(list(x_list))
+        return J.hi + J.lo
+
+    def objective_pair(self, x_list) -> jnp.ndarray:
+        """-J at full df resolution as a stacked (hi, lo) f32 pair —
+        hosts reconstruct float64(hi) + float64(lo) (the f32 scalar
+        rounds to ~ulp(J), swamping Taylor increments and fine
+        line-search comparisons)."""
+        J = self._objective_df(list(x_list))
+        return jnp.stack([J.hi, J.lo])

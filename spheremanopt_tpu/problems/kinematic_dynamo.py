@@ -157,6 +157,27 @@ class KDynConfig:
     # stays on the div-free manifold; raw autodiff gradients carry a
     # compressible component (exact for unconstrained perturbations).
     # Taylor tests with solenoidal perturbations pass either way.
+    solve_precision: str = "native"
+    # "native": the f32 matmul_precision path above (exact f64 under
+    # dtype='float64') | "df64": f64-EMULATED forward (double-float
+    # carries + Ozaki exact-split transform matmuls, problems/kdyn_df)
+    # — the same precision escape hatch MixingConfig(solve_precision=
+    # "df64") provides, for horizons/Rm where the f32 ~1e-4 gradient
+    # class is no longer enough. Discrete adjoint + transform='matmul'
+    # + method='xla' only; a no-op under dtype='float64'.
+    df_n_bits: int = 48          # df64 only: forward significand bits
+                                 # covered by the Ozaki slices (48 = df
+                                 # carry floor; 32 is faster at the
+                                 # same GRADIENT class — see the mixing
+                                 # n_bits frontier, BASELINE.md r4)
+    df_slice_dtype: str = "float32"
+                                 # df64 only: storage dtype of the
+                                 # Ozaki slice stacks ("bfloat16" is
+                                 # exact and halves the bytes)
+    df_batched_einsums: bool = False
+                                 # df64 only: one batched einsum per
+                                 # rhs slice (measured TPU dead end on
+                                 # mixing; knob kept for other backends)
 
 
 class KinematicDynamo:
@@ -169,6 +190,34 @@ class KinematicDynamo:
                      ("matmul", "fft", "distributed"))
         check_choice("adjoint", cfg.adjoint, ("discrete", "continuous"))
         check_choice("cost", cfg.cost, ("Final", "Integrated"))
+        check_choice("solve_precision", cfg.solve_precision,
+                     ("native", "df64"))
+        # df64 is an f32 TPU emulation mode; under dtype='float64' the
+        # standard path is already exact and the engine is a no-op
+        self._df64 = (cfg.solve_precision == "df64"
+                      and jnp.dtype(cfg.dtype) == jnp.float32)
+        if self._df64:
+            if cfg.adjoint != "discrete":
+                raise ValueError(
+                    "solve_precision='df64' pairs with adjoint="
+                    "'discrete' only (its gradient is jax.grad of the "
+                    "df forward; the continuous adjoint integrates its "
+                    "own f32 PDE and would discard the df accuracy)")
+            if cfg.transform != "matmul":
+                raise ValueError(
+                    "solve_precision='df64' requires transform='matmul' "
+                    "(the engine's Ozaki splits cover the per-axis DFT "
+                    "matrices; fft/distributed transforms have no "
+                    "constant-operator form to split)")
+            if cfg.method != "xla":
+                raise ValueError(
+                    "solve_precision='df64' requires method='xla' (the "
+                    "Pallas kernel is a closed f32 integrator)")
+            if cfg.remat not in (True, "step", False):
+                raise ValueError(
+                    "solve_precision='df64' supports remat=True|'step'|"
+                    f"False (got {cfg.remat!r}); nested/offload apply "
+                    "to the standard path's scan utilities only")
         self.cfg = cfg
         n = cfg.npts
         self.mg = int(round(n * cfg.pad_factor))
@@ -189,11 +238,13 @@ class KinematicDynamo:
         kx = kfull[:, None, None]
         ky = kfull[None, :, None]
         kz = kr[None, None, :]
-        self._k = np.stack(
+        k64 = np.stack(
             [np.broadcast_to(kx, (M, M, Mr)),
              np.broadcast_to(ky, (M, M, Mr)),
              np.broadcast_to(kz, (M, M, Mr))]
-        ).astype(rdtype)
+        )
+        self._k64 = k64  # exact f64 form (df64 engine splits from it)
+        self._k = k64.astype(rdtype)
         k2 = (self._k ** 2).sum(axis=0)
         self._k2 = k2.astype(rdtype)
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -216,13 +267,25 @@ class KinematicDynamo:
         wz[0] = 1.0
         if M % 2 == 0:
             wz[-1] = 1.0
-        self._pw = np.broadcast_to(wz[None, None, :], (M, M, Mr)).astype(rdtype)
+        pw64 = np.broadcast_to(wz[None, None, :], (M, M, Mr))
+        self._pw64 = pw64
+        self._pw = pw64.astype(rdtype)
 
         # CNAB1 diagonal factors: (1/dt -+ k^2/(2Rm))
         a = 1.0 / cfg.dt
         nu = 1.0 / (2.0 * cfg.rm)
         self._lhs_inv = (1.0 / (a + nu * k2)).astype(rdtype)
         self._rhs_fac = (a - nu * k2).astype(rdtype)
+
+        # exact f64 dynamics constants for the df64 engine: derived from
+        # the UNROUNDED k (the standard-path k2 above is built from the
+        # rdtype-cast k — splitting from rounded values would bake a
+        # 2^-24 discretisation perturbation, the r4 self-review lesson)
+        k2_64 = (k64 ** 2).sum(axis=0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            self._inv_k264 = np.where(k2_64 > 0, 1.0 / k2_64, 0.0)
+        self._lhs_inv64 = 1.0 / (a + nu * k2_64)
+        self._rhs_fac64 = a - nu * k2_64
 
         if cfg.carry not in ("natural", "packed"):
             raise ValueError(f"carry must be 'natural'|'packed', got {cfg.carry!r}")
@@ -252,9 +315,14 @@ class KinematicDynamo:
         mg = self.mg
         freqs = np.concatenate([np.arange(0, n // 2 + 1), np.arange(-(n - n // 2 - 1), 0)])
         j = np.arange(mg)
-        # forward: grid (mg) -> truncated modes, 1/mg per axis
-        self._Ff = (np.exp(-2j * np.pi * np.outer(freqs, j) / mg) / mg).astype(cdt)
-        self._Fz = (np.exp(-2j * np.pi * np.outer(np.arange(n // 2 + 1), j) / mg) / mg).astype(cdt)
+        # forward: grid (mg) -> truncated modes, 1/mg per axis (f64
+        # forms stashed pre-cast for the df64 engine's exact splits)
+        self._Ff64 = np.exp(-2j * np.pi * np.outer(freqs, j) / mg) / mg
+        self._Fz64 = (np.exp(-2j * np.pi
+                             * np.outer(np.arange(n // 2 + 1), j) / mg)
+                      / mg)
+        self._Ff = self._Ff64.astype(cdt)
+        self._Fz = self._Fz64.astype(cdt)
         # inverse: modes -> grid; z-axis carries the Hermitian doubling
         # (wz_n: doubling weights of the TRUNCATED n-band layout — the
         # module-level wz above is sized for the coefficient layout,
@@ -263,8 +331,12 @@ class KinematicDynamo:
         wz_n[0] = 1.0
         if n % 2 == 0:
             wz_n[-1] = 1.0
-        self._Bf = np.exp(2j * np.pi * np.outer(j, freqs) / mg).astype(cdt)
-        self._Bz = (np.exp(2j * np.pi * np.outer(j, np.arange(n // 2 + 1)) / mg) * wz_n[None, :]).astype(cdt)
+        self._Bf64 = np.exp(2j * np.pi * np.outer(j, freqs) / mg)
+        self._Bz64 = (np.exp(2j * np.pi
+                             * np.outer(j, np.arange(n // 2 + 1)) / mg)
+                      * wz_n[None, :])
+        self._Bf = self._Bf64.astype(cdt)
+        self._Bz = self._Bz64.astype(cdt)
 
         if cfg.matmul_precision == "compensated":
             from spheremanopt_tpu.ops.compensated import split_complex_matrix
@@ -349,6 +421,49 @@ class KinematicDynamo:
         self._inner = jax.jit(
             lambda x, y: jnp.sum(jnp.mean(x * y, axis=(-3, -2, -1)))
         )
+
+        # --- df64 engine: f64-emulated core triple (see kdyn_df) ---
+        self._dfe = None
+        if self._df64:
+            from spheremanopt_tpu.problems.kdyn_df import KDynDFEngine
+
+            self._dfe = KDynDFEngine(
+                self,
+                n_bits=int(cfg.df_n_bits),
+                slice_dtype=(jnp.bfloat16
+                             if cfg.df_slice_dtype == "bfloat16"
+                             else np.dtype(cfg.df_slice_dtype)),
+                batched=bool(cfg.df_batched_einsums))
+            self._objective_df = jax.jit(
+                lambda xs: self._dfe.objective(list(xs)))
+            self._objective_df_pair = jax.jit(
+                lambda xs: self._dfe.objective_pair(list(xs)))
+
+            def _grad_df(xs):
+                return _riesz(jax.grad(self._dfe.objective)(list(xs)))
+
+            def _obj_and_grad_df(xs):
+                J, raw = jax.value_and_grad(self._dfe.objective)(list(xs))
+                return J, _riesz(raw)
+
+            def _obj_and_grad_df_pair(xs):
+                # fused form for HOST consumers: J as the full (hi, lo)
+                # pair next to the gradient, from ONE solve (the host
+                # Wolfe's fused phi compares float(J) per trial — the
+                # f32 scalar would round every trial to ~ulp(J)).
+                # Gradient definition is IDENTICAL to _obj_and_grad_df
+                # (grad of hi + lo).
+                def f(xs_):
+                    Jdf = self._dfe._objective_df(list(xs_))
+                    return Jdf.hi + Jdf.lo, jnp.stack([Jdf.hi, Jdf.lo])
+
+                (_, pair), raw = jax.value_and_grad(
+                    f, has_aux=True)(list(xs))
+                return pair, _riesz(raw)
+
+            self._gradient_df = jax.jit(_grad_df)
+            self._obj_and_grad_df = jax.jit(_obj_and_grad_df)
+            self._obj_and_grad_df_pair = jax.jit(_obj_and_grad_df_pair)
 
     # ------------------------------------------------------------------
     # transforms (batched over the leading component axis)
@@ -780,9 +895,25 @@ class KinematicDynamo:
     # ------------------------------------------------------------------
 
     def objective(self, x_list):
+        if self._dfe is not None:
+            return self._objective_df(list(x_list))
         return self._objective(list(x_list))
 
+    def objective_f64(self, x_list) -> float:
+        """df64 mode only: -J reconstructed to double-float resolution
+        on the host (the f32 scalar `objective` rounds to ~ulp(J),
+        which swamps Taylor-remainder increments and fine line-search
+        comparisons)."""
+        if self._dfe is None:
+            raise RuntimeError("objective_f64 requires "
+                               "solve_precision='df64'")
+        pair = np.asarray(self._objective_df_pair(list(x_list)),
+                          np.float64)
+        return float(pair[0] + pair[1])
+
     def gradient(self, x_list):
+        if self._dfe is not None:
+            return self._gradient_df(list(x_list))
         if self.cfg.adjoint == "continuous":
             return self._grad_cnts(list(x_list))
         return self._gradient(list(x_list))
@@ -820,9 +951,34 @@ class KinematicDynamo:
         integration, not the VJP of the discrete forward), so the mode's
         gradient is paired with a separate forward — f_and_g consumers
         (Wolfe fused phi) must not mix gradient definitions."""
+        if self._dfe is not None:
+            # host consumers get pair-resolution J (see objective_f64)
+            pair, g = self._obj_and_grad_df_pair(list(x_list))
+            pair = np.asarray(pair, np.float64)
+            return float(pair[0]) + float(pair[1]), g
         if self.cfg.adjoint == "continuous":
             return self._objective(list(x_list)), self._grad_cnts(list(x_list))
         return self._obj_and_grad(list(x_list))
+
+    @property
+    def objective_and_gradient_aux(self):
+        """(fg(ops, xs), ops) for outer-jit drivers (optim/jit_driver).
+        The standard KDyn path closes over small numpy constants (no
+        operand stacks), so ops is None and drivers trace
+        `objective_and_gradient` directly. Under df64 that fused host
+        form reconstructs J on the host (float() of the pair), which
+        cannot trace — this traceable f32-scalar form serves the device
+        loop instead (its search state is f32; same gradient
+        definition)."""
+        if self._dfe is None:
+            return None, None
+
+        def fg(ops, xs):
+            del ops  # no operand stacks: slices are HLO constants
+            J, raw = jax.value_and_grad(self._dfe.objective)(list(xs))
+            return J, self._riesz(raw)
+
+        return fg, {}
 
     def _objective_rm_impl(self, ops, x_list) -> jnp.ndarray:
         b0 = x_list[0].astype(self._rdtype)

@@ -118,11 +118,14 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--s", type=int, choices=[0, 1], default=1, help="mixing objective")
     ap.add_argument("--precision", default=None,
                     choices=["bfloat16", "compensated", "compensated2",
-                             "high", "highest", "df64"],
-                    help="mixing f32 solve precision (MixingConfig."
-                         "solve_precision). 'df64' is the f64-emulated "
-                         "accuracy mode: ~144x more accurate gradients "
-                         "at ~11x the solve time (BASELINE.md r4)")
+                             "default", "high", "highest", "df64"],
+                    help="f32 solve precision: mixing -> MixingConfig."
+                         "solve_precision; kdyn -> matmul_precision "
+                         "(default|high|compensated|highest) or the "
+                         "df64 engine. 'df64' is the f64-emulated "
+                         "accuracy mode (problems/mixing_df, kdyn_df): "
+                         "~144x more accurate mixing gradients at ~11x "
+                         "the solve time (BASELINE.md r4)")
     ap.add_argument("--df-n-bits", type=int, default=None,
                     help="df64 only: Ozaki slice coverage of the f64 "
                          "operators. 32 is ~1.73x faster than the "
@@ -241,6 +244,22 @@ def make_problem(args):
                           ("n_iters", args.n_iters), ("method", args.method)]:
             if val is not None:
                 kw[name] = val
+        if args.precision is not None:
+            # same flag as mixing: 'df64' selects the f64-emulated
+            # engine (problems/kdyn_df); the f32 pass-count names map
+            # onto KDynConfig.matmul_precision
+            if args.precision == "df64":
+                kw["solve_precision"] = "df64"
+                if args.df_n_bits is not None:
+                    kw["df_n_bits"] = args.df_n_bits
+            elif args.precision in ("default", "high", "compensated",
+                                    "highest"):
+                kw["matmul_precision"] = args.precision
+            else:
+                raise SystemExit(
+                    f"--precision {args.precision!r} has no kdyn "
+                    "mapping (use default|high|compensated|highest|"
+                    "df64)")
         if args.remat is not None:
             kw["remat"] = False if args.remat == "none" else args.remat
         if args.mesh_shape is not None:

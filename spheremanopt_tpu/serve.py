@@ -130,8 +130,9 @@ class OptimisationService:
         if hit is not None:
             return (*hit, True)
         p = _make_problem(name, config)
-        if hasattr(p, "objective_and_gradient_aux"):
-            fg, aux = p.objective_and_gradient_aux  # mixing: operand stacks
+        pair = getattr(p, "objective_and_gradient_aux", None)
+        if pair is not None and pair[0] is not None:
+            fg, aux = pair  # mixing: operand stacks; kdyn df64: traceable fg
         elif hasattr(p, "objective_and_gradient"):
             fg, aux = p.objective_and_gradient, None
         else:  # objective/gradient-only problems (pca)
