@@ -112,6 +112,37 @@ def test_df64_device_loop_aux_form(truth, df_prob):
     assert p32.objective_and_gradient_aux == (None, None)
 
 
+def test_df64_device_loop_matches_host_trajectory(df_prob, truth):
+    """The single-jit device loop composes with the kdyn df64 aux form
+    (empty operand dict; slice stacks are HLO constants). The device
+    Wolfe consumes J as an f32 SCALAR while the host search gets
+    pair-resolution J (objective_f64) — at f32-representable decision
+    margins both searches accept the same steps."""
+    from spheremanopt_tpu.optim.jit_driver import (
+        jit_optimise_on_multi_sphere)
+    from spheremanopt_tpu.optim.optimiser import optimise_on_multi_sphere
+
+    x = [jnp.asarray(a) for a in truth[0]]
+    fg, ops = df_prob.objective_and_gradient_aux
+    opt = jit_optimise_on_multi_sphere(
+        fg, df_prob.inner_product, df_prob.radii,
+        max_iters=3, alpha0=10.0, cg=True, line_search="wolfe")
+    rd = opt(x, aux=ops)
+    kd = int(rd.iterations)
+
+    rh = optimise_on_multi_sphere(
+        x, df_prob.radii, df_prob.objective_f64,
+        df_prob.gradient, df_prob.inner_product, max_iters=3,
+        alpha_k=10.0, line_search="wolfe", cg=True,
+        f_and_g=df_prob.objective_and_gradient, verbose=False)
+
+    assert kd == rh.iterations, (kd, rh.iterations)
+    np.testing.assert_allclose(
+        np.asarray(rd.function_values[:kd], np.float64),
+        np.asarray(rh.function_values, np.float64)[:kd],
+        rtol=2e-6)
+
+
 def test_df64_taylor_second_order(truth, df_prob):
     """Taylor-remainder check of the df64 gradient against the df64
     objective at pair resolution (architecture invariant: every
