@@ -65,6 +65,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--resume", default=None,
                     help="warm-start from a DAL_PROGRESS checkpoint "
                          "(.npz, or a reference-format DAL_PROGRESS.h5)")
+    ap.add_argument("--regrid", action="store_true",
+                    help="with --resume: spectrally re-express the "
+                         "saved state on THIS config's grid (coarse->"
+                         "fine study continuation, utils/regrid)")
     ap.add_argument("--profile-dir", default=None,
                     help="write a jax.profiler trace of the run here")
     ap.add_argument("--archive-every", type=int, default=0,
@@ -306,6 +310,18 @@ def main(argv=None) -> int:
         loaded = load_progress_any(args.resume)
         x0 = [x for x in loaded.x_opt]
         print(f"[resume] warm-starting from iteration {loaded.iterations}")
+        if args.regrid:
+            # coarse->fine continuation: re-express the saved state on
+            # THIS config's grid (utils/regrid; the reference restart
+            # requires matching resolution, FWD_Solve_SH23.py:787-800)
+            from spheremanopt_tpu.utils.regrid import regrid_state
+
+            shapes_in = [tuple(getattr(x, "shape", ())) for x in x0]
+            x0 = regrid_state(problem, x0)
+            print(f"[resume] regridded {shapes_in} -> "
+                  f"{[tuple(x.shape) for x in x0]}")
+    elif args.regrid:
+        raise SystemExit("--regrid requires --resume <state file>")
     elif x0 is None:
         if args.problem == "pca":
             import numpy as np
