@@ -531,16 +531,17 @@ PRE_PATH = "/tmp/smo_bench_pre.npz"
 def _runner_order(on_tpu: bool):
     """Secondary-bench order, budget- and wedge-aware: mixing first (the
     longest-compiling and most informative secondary), then the cheap
-    SHB23, then the near-free pallas kernel paths (headline candidates)
-    and the four cheap end-to-end workload rows, and LAST the 48^3 scale
-    row — it is the most wedge-prone (biggest compile + longest run),
-    and a mid-run wedge there must not starve the required rows after it
-    (measured: one r4 run lost all four workload rows waiting out a
-    wedge the kdyn48 row hit)."""
+    SHB23, then the four end-to-end workload rows (the VERDICT-priority
+    artifacts — ahead of the pallas kernel rows since a mid-secondaries
+    wedge starves everything after it; measured twice in r4: one run
+    lost the workload rows waiting out a wedge at kdyn48, a second lost
+    them to a wedge at sh23_pallas), then the near-free pallas headline
+    candidates, and LAST the 48^3 scale row — the most wedge-prone
+    (biggest compile + longest run)."""
     runners = ["mixing_256x128", "shb23_512"]
     if on_tpu:
-        runners += ["sh23_pallas", "shb23_pallas", "sh23_workload",
-                    "kdyn_workload", "shb23_workload", "mixing_workload"]
+        runners += ["sh23_workload", "kdyn_workload", "shb23_workload",
+                    "mixing_workload", "sh23_pallas", "shb23_pallas"]
     return runners + ["kdyn48_scale"]
 
 

@@ -108,5 +108,10 @@ def test_runner_order_puts_fragile_scale_row_last():
     for row in ("sh23_workload", "kdyn_workload", "shb23_workload",
                 "mixing_workload", "sh23_pallas", "shb23_pallas"):
         assert order.index(row) < order.index("kdyn48_scale")
+    # workload rows ahead of the pallas rows too (a second degraded r4
+    # run lost all four to a wedge that struck at sh23_pallas)
+    for wl in ("sh23_workload", "kdyn_workload", "shb23_workload",
+               "mixing_workload"):
+        assert order.index(wl) < order.index("sh23_pallas")
     cpu_order = bench._runner_order(on_tpu=False)
     assert cpu_order == ["mixing_256x128", "shb23_512", "kdyn48_scale"]
