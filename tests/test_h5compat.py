@@ -214,3 +214,31 @@ def test_resume_ragged_components_h5(tmp_path):
     assert [x.shape for x in L.x_opt] == [(16,), (24,)]
     np.testing.assert_array_equal(L.x_opt[1], R.x_opt[1])
     assert L.iterations == 2
+
+
+def test_cli_resume_from_h5_with_regrid(tmp_path):
+    """The full migration + continuation story: an EXISTING reference
+    study (reference-format DAL_PROGRESS.h5 at the coarse resolution)
+    continues here at DOUBLE the resolution via --resume <h5> --regrid
+    (h5 import shim + utils/regrid in one CLI flow)."""
+    p = SwiftHohenberg(SH23Config(npts=32, n_iters=20, dt=0.05, e0=0.0725))
+    x0 = np.asarray(p.generate_ic(seed=3)[0])
+    path = str(tmp_path / "DAL_PROGRESS.h5")
+    with h5py.File(path, "w") as f:
+        f.create_dataset("N", data=1)
+        f.create_dataset("X_opt", data=x0[None])
+        f.create_dataset("Iterations", data=4)
+    env = dict(os.environ, PYTHONPATH="/root/repo", JAX_PLATFORM_NAME="cpu")
+    out = subprocess.run(
+        [sys.executable, "-m", "spheremanopt_tpu.run", "sh23", "--platform",
+         "cpu", "--dtype", "float64", "--npts", "64", "--n-iters", "20",
+         "--max-iters", "1", "--resume", path, "--regrid",
+         "--out-dir", str(tmp_path / "run")],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "warm-starting from iteration 4" in out.stdout
+    assert "[resume] regridded" in out.stdout
+    # x0 was saved at npts=32 (grid 64); the fine run's grid is 128
+    assert "(64,)] -> [(128,)]" in out.stdout, out.stdout[-2000:]
