@@ -109,10 +109,9 @@ def regrid_state(problem, x_list, renormalise: bool = True):
         xs = [_fourier_resample(np.asarray(x_list[0]), (mg_d,))]
 
     elif kind == "KinematicDynamo":
-        if cfg.transform == "distributed":
-            raise ValueError(
-                "regrid_state targets the replicated-grid state layout; "
-                "regrid first with transform='matmul', then shard")
+        # distributed targets included: the state layout is the same
+        # replicated (c, mg, mg, mg) grid (np.asarray gathers a sharded
+        # source); the optimiser re-shards at entry via shard_fields
         mg_d = problem.mg
         xs = [_fourier_resample(np.asarray(x), (mg_d,) * 3)
               for x in x_list]

@@ -16,7 +16,6 @@ import subprocess
 import sys
 
 import numpy as np
-import pytest
 
 from spheremanopt_tpu.utils.regrid import regrid_state
 
@@ -118,18 +117,31 @@ def test_mixing_roundtrip_and_sphere():
     assert np.linalg.norm(xd[0] - xn) < 1e-10 * np.linalg.norm(xn)
 
 
-def test_kdyn_distributed_layout_rejected():
+def test_kdyn_distributed_target():
+    """Regrid a replicated fft-config state onto a DISTRIBUTED target:
+    the output is the same replicated (c, mg, mg, mg) grid layout
+    (shard_fields re-shards at optimiser entry), and the distributed
+    objective at the regridded state matches the matmul objective at
+    the equivalently-regridded state."""
     from spheremanopt_tpu.problems.kinematic_dynamo import (
         KDynConfig, KinematicDynamo)
 
     p = KinematicDynamo(KDynConfig(npts=8, n_iters=4, dtype="float64",
                                    transform="fft"))
     x = p.generate_ic(seed=3)
-    pytest.importorskip("jax")
     pd = KinematicDynamo(KDynConfig(npts=16, n_iters=4, dtype="float64",
-                                    transform="distributed", n_shards=1))
-    with pytest.raises(ValueError, match="regrid"):
-        regrid_state(pd, x)
+                                    transform="distributed", n_shards=2))
+    pm = KinematicDynamo(KDynConfig(npts=16, n_iters=4, dtype="float64",
+                                    transform="fft"))
+    xd = regrid_state(pd, x)
+    xm = regrid_state(pm, x)
+    assert pd.mg == pm.mg
+    for a, b in zip(xd, xm):
+        assert a.shape == (3, pd.mg, pd.mg, pd.mg)
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-14)
+    Jd = float(pd.objective(xd))
+    Jm = float(pm.objective(xm))
+    assert np.isclose(Jd, Jm, rtol=1e-10), (Jd, Jm)
 
 
 def test_cli_resume_regrid_end_to_end(tmp_path):
