@@ -293,8 +293,8 @@ def bench_kdyn(repeats_tpu=5, repeats_cpu=1):
 
 
     def one(pp, repeats=None):
-        tpu_s = chained_value_ms(pp.objective_and_gradient, x0,
-                                 n=repeats or repeats_tpu) / 1e3
+        n = repeats if repeats is not None else repeats_tpu
+        tpu_s = chained_value_ms(pp.objective_and_gradient, x0, n=n) / 1e3
         J, g = pp.objective_and_gradient(x0)
         rel_J = abs(float(J) - J_cpu) / abs(J_cpu)
         rel_g = float(

@@ -496,6 +496,25 @@ df_channel = _ch
 df_pack2 = _pack2
 
 
+def df_const(pair) -> DF:
+    """Closure-constant DF from a numpy (hi, lo) pair — small constants
+    only (masks, wavenumbers, weights): numpy closures compile to HLO
+    constants (axon rule 1 allows this; device arrays would re-ship)."""
+    return DF(jnp.asarray(pair[0]), jnp.asarray(pair[1]))
+
+
+def df_map(fn, x: DF) -> DF:
+    """Apply an exact structural op (slice/index/reshape/stack lambda)
+    to both components."""
+    return DF(fn(x.hi), fn(x.lo))
+
+
+def df_concat(parts, axis) -> DF:
+    """Concatenate DFs along `axis` (exact: pure data movement)."""
+    return DF(jnp.concatenate([p.hi for p in parts], axis=axis),
+              jnp.concatenate([p.lo for p in parts], axis=axis))
+
+
 def df_probe() -> bool:
     """Jitted self-check that the compiler preserved the error-free
     transforms (this platform's XLA has a measured history of eliding

@@ -53,18 +53,8 @@ from spheremanopt_tpu.ops.doublefloat import (
     DF, OzakiComplexOp, df_add, df_from_f, df_from_np, df_mul, df_mul_f,
     df_neg, df_probe, df_sub, df_sum,
     df_channel as _ch, df_pack2 as _pack2,
+    df_const as _dfc, df_map as _dfmap,
 )
-
-
-def _dfc(pair):
-    """Closure-constant DF from a numpy (hi, lo) pair (HLO constants)."""
-    return DF(jnp.asarray(pair[0]), jnp.asarray(pair[1]))
-
-
-def _dfmap(fn, x: DF) -> DF:
-    """Apply an exact structural op (slice/index/stack lambda) to both
-    components."""
-    return DF(fn(x.hi), fn(x.lo))
 
 
 def _comp(x: DF, i: int) -> DF:

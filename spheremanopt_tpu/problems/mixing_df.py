@@ -45,25 +45,8 @@ from spheremanopt_tpu.ops.doublefloat import (
     DF, OzakiComplexOp, OzakiOp, df_add, df_from_f, df_from_np, df_mul,
     df_mul_f, df_neg, df_probe, df_sum,
     df_channel as _ch, df_pack2 as _pack2,
+    df_const as _dfc, df_map as _dfmap, df_concat as _dfconcat,
 )
-
-
-def _dfc(pair):
-    """Closure-constant DF from a numpy (hi, lo) pair — small constants
-    only (masks, kx, weights, rho0): numpy closures compile to HLO
-    constants (axon rule 1 allows this; device arrays would re-ship)."""
-    return DF(jnp.asarray(pair[0]), jnp.asarray(pair[1]))
-
-
-def _dfmap(fn, x: DF) -> DF:
-    """Apply an exact structural op (slice/reshape/concat lambda) to
-    both components."""
-    return DF(fn(x.hi), fn(x.lo))
-
-
-def _dfconcat(parts, axis) -> DF:
-    return DF(jnp.concatenate([p.hi for p in parts], axis=axis),
-              jnp.concatenate([p.lo for p in parts], axis=axis))
 
 
 class MixingDFEngine:

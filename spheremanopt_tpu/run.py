@@ -279,6 +279,12 @@ def make_problem(args):
     from spheremanopt_tpu.problems.optimal_mixing import MixingConfig, OptimalMixing
 
     kw = dict(dtype=dtype, s=args.s, adjoint=args.adjoint)
+    if args.precision == "default":
+        # 'default' is a kdyn matmul_precision name only; reject it here
+        # like the kdyn branch rejects its unsupported names
+        raise SystemExit("--precision default has no mixing mapping "
+                         "(use bfloat16|compensated|compensated2|high|"
+                         "highest|df64)")
     for name, val in [("nx", args.nx), ("nz", args.nz), ("dt", args.dt),
                       ("n_iters", args.n_iters),
                       ("solve_precision", args.precision),
@@ -308,7 +314,14 @@ def main(argv=None) -> int:
         from spheremanopt_tpu.io.checkpoint import load_progress_any
 
         loaded = load_progress_any(args.resume)
-        x0 = [x for x in loaded.x_opt]
+        # reference DAL_PROGRESS.h5 states are FLAT Dedalus vectors
+        # (Field_to_Vec); reshape to this problem's layout, loudly
+        from spheremanopt_tpu.utils.regrid import reshape_flat_state
+
+        try:
+            x0 = reshape_flat_state(problem, loaded.x_opt)
+        except ValueError as e:
+            raise SystemExit(f"--resume {args.resume}: {e}")
         print(f"[resume] warm-starting from iteration {loaded.iterations}")
         if args.regrid:
             # coarse->fine continuation: re-express the saved state on
@@ -367,8 +380,14 @@ def main(argv=None) -> int:
             dx0 = [np.random.RandomState(args.seed + 1).rand(args.dim)]
         else:
             dx0 = problem.generate_ic(seed=args.seed + 1)
+        # df64 engines: the f32 scalar `objective` rounds to ~ulp(J),
+        # which swamps Taylor increments — test against the
+        # pair-resolution objective (same routing as the optimise path)
+        obj_fn = (problem.objective_f64
+                  if getattr(problem, "_dfe", None) is not None
+                  else problem.objective)
         r = adjoint_gradient_test(
-            x0, dx0, problem.objective, problem.gradient, problem.inner_product,
+            x0, dx0, obj_fn, problem.gradient, problem.inner_product,
             save_path=os.path.join(args.out_dir, "eps_TestR_TestR2_h_h2.npy"),
         )
         if args.adjoint == "continuous":

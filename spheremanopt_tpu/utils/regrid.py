@@ -92,6 +92,64 @@ def _renormalise(problem, xs):
     return out
 
 
+def expected_state_shapes(problem):
+    """Canonical state-component shapes for `problem` (the layout
+    `generate_ic` produces and the solvers consume), or None for
+    problems with no fixed grid layout (PCA)."""
+    kind = type(problem).__name__
+    if kind == "SwiftHohenberg":
+        return [(problem.basis.n_grid,)]
+    if kind == "SwiftHohenbergBounded":
+        return [(problem.cfg.npts,)]
+    if kind == "KinematicDynamo":
+        return [(3, problem.mg, problem.mg, problem.mg)] * 2
+    if kind == "OptimalMixing":
+        return [(2, problem.mgx, problem.mgz)]
+    return None
+
+
+def reshape_flat_state(problem, x_list):
+    """Coerce loaded optimisation states to `problem`'s canonical
+    layout. A reference-format `DAL_PROGRESS.h5` stores each component
+    as a FLAT Dedalus vector (`Field_to_Vec` flattens every field
+    C-order and concatenates them — the same byte order as this
+    framework's channel-major states), so a flat component whose size
+    matches is reshaped in place. Shaped components pass through
+    (different-resolution shapes are `--regrid` sources). Flat
+    components at a DIFFERENT resolution are reshaped where the grid is
+    unambiguous (KDyn's 3*mg^3 cube); anything else fails loudly here
+    instead of deep inside a solver einsum."""
+    exp = expected_state_shapes(problem)
+    if exp is None:
+        return list(x_list)
+    if len(x_list) != len(exp):
+        raise ValueError(
+            f"state has {len(x_list)} components; "
+            f"{type(problem).__name__} expects {len(exp)}")
+    kind = type(problem).__name__
+    out = []
+    for i, (x, shp) in enumerate(zip(x_list, exp)):
+        x = np.asarray(x)
+        if x.shape == shp or x.ndim == len(shp):
+            out.append(x)
+            continue
+        if x.ndim == 1 and x.size == int(np.prod(shp)):
+            out.append(x.reshape(shp))
+            continue
+        if x.ndim == 1 and kind == "KinematicDynamo" and x.size % 3 == 0:
+            mg = int(round((x.size / 3) ** (1.0 / 3.0)))
+            if 3 * mg ** 3 == x.size:   # coarse/fine flat cube: shape
+                out.append(x.reshape(3, mg, mg, mg))  # it for --regrid
+                continue
+        raise ValueError(
+            f"component {i}: loaded array of shape {x.shape} "
+            f"({x.size} elements) does not match the expected state "
+            f"shape {shp} ({int(np.prod(shp))} elements); for "
+            "cross-resolution continuation save in the native .npz "
+            "format (shapes preserved) and use --regrid")
+    return out
+
+
 def regrid_state(problem, x_list, renormalise: bool = True):
     """Re-express `x_list` (a state saved by a different-resolution
     study of the SAME problem family) on `problem`'s grid. Source
