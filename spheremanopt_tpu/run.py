@@ -60,6 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "remat | sqrt(N) nested | pinned-host offload "
                          "| store-all (default: step)")
     ap.add_argument("--test-grad", action="store_true", help="Taylor test, then exit")
+    ap.add_argument("--test-grad-eps", type=float, default=1e-4,
+                    help="largest Taylor-test epsilon (halved n_tests-1 "
+                         "times; the reference's TestGrad epsilon knob — "
+                         "raise it when toy configs put |J(x+eps d)-J(x)| "
+                         "at roundoff)")
     ap.add_argument("--adjoint", choices=["discrete", "continuous"], default="discrete")
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("--resume", default=None,
@@ -388,6 +393,7 @@ def main(argv=None) -> int:
                   else problem.objective)
         r = adjoint_gradient_test(
             x0, dx0, obj_fn, problem.gradient, problem.inner_product,
+            epsilon=args.test_grad_eps,
             save_path=os.path.join(args.out_dir, "eps_TestR_TestR2_h_h2.npy"),
         )
         if args.adjoint == "continuous":
@@ -401,6 +407,18 @@ def main(argv=None) -> int:
                   and r.remainder2[0] < 0.1 * r.remainder1[0])
         else:
             ok = abs(r.gamma1 - 1.0) < 0.1 and abs(r.gamma2 - 2.0) < 0.1
+            if not ok and abs(r.gamma2 - 2.0) < 0.05:
+                # order-2 remainder convergence IS the gradient check;
+                # gamma1 only tests that eps*<dX,dJ> dominates the first
+                # difference. A near-flat direction (tiny slope, toy
+                # configs) makes |J(X+eps dX)-J(X)| curvature-dominated
+                # and gamma1 drifts toward 2 with the gradient still
+                # exact — point the user at the eps dial instead of
+                # reporting a false negative.
+                print("note: remainder order is exactly 2 (gradient "
+                      "verified); gamma1 is off because the first "
+                      "difference is curvature-dominated at these eps "
+                      "— raise --test-grad-eps to rescale")
         print(f"gradient test {'PASSED' if ok else 'FAILED'}")
         return 0 if ok else 1
 
