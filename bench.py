@@ -114,6 +114,49 @@ SH23_CPU_FULL_MS = 93.6
 SHB23_CPU_FULL_MS = 807.8
 
 
+LAST_GOOD_PATH = "/root/repo/runs/bench_last_good.json"
+
+
+def _save_last_good(rec: dict) -> None:
+    """Persist a fully-clean bench record (no _error/_skipped rows) so a
+    later run that lands in a tunnel-wedge window can degrade to
+    stale-but-real numbers with provenance instead of nulls."""
+    try:
+        import datetime
+        import subprocess
+        rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                             capture_output=True, text=True,
+                             cwd="/root/repo").stdout.strip()
+        out = {"measured_at": datetime.datetime.now().isoformat(
+                   timespec="seconds"),
+               "git_rev": rev, "record": rec}
+        os_mod = __import__("os")
+        os_mod.makedirs(os_mod.path.dirname(LAST_GOOD_PATH), exist_ok=True)
+        with open(LAST_GOOD_PATH, "w") as fh:
+            json.dump(out, fh)
+    except Exception:
+        pass  # persistence is best-effort; never fail a clean run over it
+
+
+def _load_last_good() -> dict:
+    """detail-fragment carrying the most recent complete run, labelled
+    as such — empty if none exists."""
+    try:
+        with open(LAST_GOOD_PATH) as fh:
+            lg = json.load(fh)
+        return {"last_known_good": {
+            "note": "most recent COMPLETE bench run on this machine; "
+                    "current run degraded by a tunnel wedge",
+            "measured_at": lg.get("measured_at"),
+            "git_rev": lg.get("git_rev"),
+            "value_ms": lg.get("record", {}).get("value"),
+            "vs_baseline": lg.get("record", {}).get("vs_baseline"),
+            "detail": lg.get("record", {}).get("detail"),
+        }}
+    except Exception:
+        return {}
+
+
 def _guard_probe(probe_ms: float, pinned_ms: float, name: str) -> float:
     if not (pinned_ms / 10 < probe_ms < pinned_ms * 10):
         raise RuntimeError(
@@ -715,12 +758,16 @@ def main():
     # wait it out rather than compiling into it (budget-capped)
     if not _wait_for_tpu(t_start, budget_s, reserve_s=300.0):
         # budget exhausted waiting: emit a degraded-but-valid line
-        # rather than hanging into the driver's kill
+        # rather than hanging into the driver's kill — carrying the most
+        # recent COMPLETE run (clearly labelled with its provenance) so
+        # a wedge at bench time degrades to stale-but-real numbers, not
+        # to nulls
         print(json.dumps({
             "metric": "SH23 N=256 T=50 fwd+grad wall-clock (1 opt-iter unit)",
             "value": None, "unit": "ms", "vs_baseline": None,
             "detail": {"error": "tunnel wedged; budget exhausted waiting",
-                       "sh23_cpu_baseline_ms": round(cpu_s * 1e3, 3)},
+                       "sh23_cpu_baseline_ms": round(cpu_s * 1e3, 3),
+                       **_load_last_good()},
         }))
         return
     tpu_s, J_tpu, g_tpu = bench_tpu(u0)
@@ -738,8 +785,8 @@ def main():
     headline = {"ms": tpu_s * 1e3, "vs": cpu_s / tpu_s,
                 "method": "matmul (XLA scan)"}
 
-    def emit(extra):
-        print(json.dumps({
+    def emit(extra, final=False):
+        rec = {
             "metric": "SH23 N=256 T=50 fwd+grad wall-clock (1 opt-iter unit)",
             "value": round(headline["ms"], 3),
             "unit": "ms",
@@ -763,7 +810,10 @@ def main():
                    for k, v in kd_fast.items()},
                 **extra,
             },
-        }), flush=True)
+        }
+        print(json.dumps(rec), flush=True)
+        if final:
+            _save_last_good(rec)
 
     # provisional line: if a wedge or the driver's timeout kills this
     # process mid-secondaries, the headline work is not lost (the
@@ -882,7 +932,9 @@ def main():
         extra["shb23_pallas_vs_baseline"] = round(
             shb_cpu / float(extra["shb23_pallas_ms"]), 2)
 
-    emit(extra)
+    # a run counts as last-known-good only when no row degraded
+    clean = not any(k.endswith(("_error", "_skipped")) for k in extra)
+    emit(extra, final=clean)
 
 
 def _main_with_retry():
@@ -933,7 +985,8 @@ def _main_with_retry():
     print(json.dumps({
         "metric": "SH23 N=256 T=50 fwd+grad wall-clock (1 opt-iter unit)",
         "value": None, "unit": "ms", "vs_baseline": None,
-        "detail": {"error": f"both attempts failed: {last_err}"},
+        "detail": {"error": f"both attempts failed: {last_err}",
+                   **_load_last_good()},
     }))
 
 

@@ -115,3 +115,25 @@ def test_runner_order_puts_fragile_scale_row_last():
         assert order.index(wl) < order.index("sh23_pallas")
     cpu_order = bench._runner_order(on_tpu=False)
     assert cpu_order == ["mixing_256x128", "shb23_512", "kdyn48_scale"]
+
+
+def test_last_good_roundtrip_and_degraded_label(monkeypatch, tmp_path):
+    """A clean run's record persists; the wedge-degraded emission carries
+    it under last_known_good with provenance — stale-but-real numbers
+    instead of nulls when the tunnel wedges at bench time."""
+    monkeypatch.setattr(bench, "LAST_GOOD_PATH",
+                        str(tmp_path / "last_good.json"))
+    rec = {"metric": "m", "value": 4.34, "unit": "ms",
+           "vs_baseline": 21.6, "detail": {"sh23_method": "pallas"}}
+    bench._save_last_good(rec)
+    frag = bench._load_last_good()
+    lg = frag["last_known_good"]
+    assert lg["value_ms"] == 4.34 and lg["vs_baseline"] == 21.6
+    assert lg["detail"] == {"sh23_method": "pallas"}
+    assert lg["measured_at"] and "COMPLETE" in lg["note"]
+
+
+def test_load_last_good_empty_when_absent(monkeypatch, tmp_path):
+    monkeypatch.setattr(bench, "LAST_GOOD_PATH",
+                        str(tmp_path / "nope.json"))
+    assert bench._load_last_good() == {}
