@@ -515,6 +515,12 @@ def df_concat(parts, axis) -> DF:
               jnp.concatenate([p.lo for p in parts], axis=axis))
 
 
+def df_stack(parts) -> DF:
+    """Stack DFs along a new leading axis (exact: pure data movement)."""
+    return DF(jnp.stack([p.hi for p in parts]),
+              jnp.stack([p.lo for p in parts]))
+
+
 def df_probe() -> bool:
     """Jitted self-check that the compiler preserved the error-free
     transforms (this platform's XLA has a measured history of eliding

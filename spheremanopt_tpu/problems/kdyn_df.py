@@ -53,18 +53,13 @@ from spheremanopt_tpu.ops.doublefloat import (
     DF, OzakiComplexOp, df_add, df_from_f, df_from_np, df_mul, df_mul_f,
     df_neg, df_probe, df_sub, df_sum,
     df_channel as _ch, df_pack2 as _pack2,
-    df_const as _dfc, df_map as _dfmap,
+    df_const as _dfc, df_map as _dfmap, df_stack as _dfstack,
 )
 
 
 def _comp(x: DF, i: int) -> DF:
     """Select one vector component along the leading axis."""
     return DF(x.hi[i], x.lo[i])
-
-
-def _dfstack(parts) -> DF:
-    return DF(jnp.stack([p.hi for p in parts]),
-              jnp.stack([p.lo for p in parts]))
 
 
 def _cross(a, b) -> DF:
