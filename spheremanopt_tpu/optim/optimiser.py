@@ -59,6 +59,8 @@ class OptimiseResult:
     iterations: int = 0
     function_evals: int = 0
     gradient_evals: int = 0
+    # Hessian-vector products (RTR only; SD/CG/L-BFGS never form any)
+    hvp_evals: int = 0
     residuals: List[List[float]] = field(default_factory=list)
     step_sizes: List[float] = field(default_factory=list)
     function_values: List[float] = field(default_factory=list)

@@ -43,11 +43,20 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--alpha", type=float, default=None)
     ap.add_argument("--ls", choices=["wolfe", "armijo"], default="wolfe")
     ap.add_argument("--sd", action="store_true", help="steepest descent (no CG)")
-    ap.add_argument("--direction", choices=["sd", "cg", "lbfgs"], default=None,
+    ap.add_argument("--direction", choices=["sd", "cg", "lbfgs", "rtr"],
+                    default=None,
                     help="search direction (default: cg, or sd with --sd; "
-                         "lbfgs = Riemannian L-BFGS, beyond the reference)")
+                         "lbfgs = Riemannian L-BFGS and rtr = trust-region "
+                         "Newton with autodiff Hessian-vector products, "
+                         "both beyond the reference)")
     ap.add_argument("--lbfgs-memory", type=int, default=8,
                     help="curvature-pair history length for --direction lbfgs")
+    ap.add_argument("--tr-delta0", type=float, default=None,
+                    help="rtr: initial trust radius (default: sphere "
+                         "scale / 4)")
+    ap.add_argument("--tr-max-cg", type=int, default=50,
+                    help="rtr: cap on truncated-CG iterations per "
+                         "subproblem")
     ap.add_argument("--shards", type=int, default=0,
                     help="kdyn: 1-D slab distributed-FFT over this many "
                          "devices (transform='distributed')")
@@ -158,6 +167,28 @@ def make_problem(args):
                 f"--method {args.method} not supported for {args.problem}"
                 + (f" (choose from {', '.join(allowed)})" if allowed
                    else " (no method variants)"))
+    if getattr(args, "direction", None) == "rtr":
+        # RTR's Hessian-vector products linearize the gradient in
+        # forward mode; paths whose primitives carry no JVP rule cannot
+        # provide that (optim/rtr.py module docstring)
+        if args.method == "pallas":
+            raise SystemExit(
+                "--direction rtr needs a forward-linearizable gradient; "
+                "the Pallas kernels define reverse (custom_vjp) rules "
+                "only — drop --method pallas (the XLA method supports "
+                "rtr)")
+        if getattr(args, "precision", None) == "df64":
+            raise SystemExit(
+                "--direction rtr is not supported with --precision df64 "
+                "(the Ozaki ops are custom_vjp; their forward "
+                "linearization is undefined) — use rtr on the standard "
+                "precision modes")
+        if getattr(args, "device_loop", False):
+            raise SystemExit(
+                "--direction rtr runs through the host driver (its tCG "
+                "subproblem is already a single fused device dispatch "
+                "per iteration) — drop --device-loop")
+    if args.method is not None:
         if args.problem == "kdyn" and args.method == "pallas":
             # validated capability, NOT a production path: Mosaic compile
             # of the whole CNAB1 induction kernel is infeasible at
@@ -195,7 +226,8 @@ def make_problem(args):
     # on BOTH methods: the kernels carry diag variants that store the
     # energy series from the same VMEM pass, J bitwise-unchanged.)
     if on_tpu and args.method is None and args.dtype in (None, "float32") \
-            and args.problem in ("sh23", "shb23"):
+            and args.problem in ("sh23", "shb23") \
+            and getattr(args, "direction", None) != "rtr":
         args.method = "pallas"
         if not args.quiet:
             print(f"[{args.problem}] method=pallas (TPU default; "
@@ -528,6 +560,13 @@ def main(argv=None) -> int:
             # instead and keep the df64 triple in the optimiser
             archiver = IterationArchiver("diag", problem.diagnostics,
                                          args.out_dir)
+        elif args.archive_full and args.direction == "rtr" \
+                and hasattr(problem, "diagnostics"):
+            # the fused archiver rides obj_fn/fg_fn, which the RTR
+            # driver never calls (its solves live inside the fused
+            # step kernel) — re-run diagnostics per archive instead
+            archiver = IterationArchiver("diag", problem.diagnostics,
+                                         args.out_dir)
         elif args.archive_full and getattr(problem, "has_fused_diagnostics",
                                            False):
             # full diagnostics captured from the optimisation's own
@@ -547,25 +586,49 @@ def main(argv=None) -> int:
 
     # CLI value wins when the user passed one; else the problem default
     err_tol = args.err_tol if args.err_tol is not None else defaults.get("err_tol", 1e-6)
-    res = optimise_on_multi_sphere(
-        x0,
-        radii,
-        obj_fn,
-        problem.gradient,
-        problem.inner_product,
-        err_tol=err_tol,
-        max_iters=args.max_iters if args.max_iters is not None else defaults["max_iters"],
-        alpha_k=args.alpha if args.alpha is not None else defaults["alpha"],
-        line_search=args.ls,
-        cg=not args.sd,
-        method=args.direction,
-        lbfgs_memory=args.lbfgs_memory,
-        verbose=not args.quiet,
-        callback=callback,
-        checkpoint_path=os.path.join(args.out_dir, "DAL_PROGRESS.npz"),
-        log_path=os.path.join(args.out_dir, "optimize_result.txt"),
-        f_and_g=fg_fn,
-    )
+    if args.direction == "rtr":
+        from spheremanopt_tpu.optim.rtr import optimise_rtr
+
+        # trust-region Newton: no line search (--ls/--alpha unused);
+        # the problem's pure-autodiff triple feeds the HVP linearization
+        res = optimise_rtr(
+            x0,
+            radii,
+            problem.objective,
+            problem.gradient,
+            problem.inner_product,
+            err_tol=err_tol,
+            max_iters=args.max_iters if args.max_iters is not None
+            else defaults["max_iters"],
+            delta0=args.tr_delta0,
+            max_cg=args.tr_max_cg,
+            verbose=not args.quiet,
+            callback=callback,
+            checkpoint_path=os.path.join(args.out_dir, "DAL_PROGRESS.npz"),
+            log_path=os.path.join(args.out_dir, "optimize_result.txt"),
+        )
+    else:
+        res = optimise_on_multi_sphere(
+            x0,
+            radii,
+            obj_fn,
+            problem.gradient,
+            problem.inner_product,
+            err_tol=err_tol,
+            max_iters=args.max_iters if args.max_iters is not None
+            else defaults["max_iters"],
+            alpha_k=args.alpha if args.alpha is not None
+            else defaults["alpha"],
+            line_search=args.ls,
+            cg=not args.sd,
+            method=args.direction,
+            lbfgs_memory=args.lbfgs_memory,
+            verbose=not args.quiet,
+            callback=callback,
+            checkpoint_path=os.path.join(args.out_dir, "DAL_PROGRESS.npz"),
+            log_path=os.path.join(args.out_dir, "optimize_result.txt"),
+            f_and_g=fg_fn,
+        )
 
     if callback is not None and hasattr(archiver, "flush"):
         archiver.flush()   # drain async archive writes before reading
