@@ -584,7 +584,8 @@ def _runner_order(on_tpu: bool):
     runners = ["mixing_256x128", "shb23_512"]
     if on_tpu:
         runners += ["sh23_workload", "kdyn_workload", "shb23_workload",
-                    "mixing_workload", "sh23_pallas", "shb23_pallas"]
+                    "mixing_workload", "sh23_rtr_workload",
+                    "sh23_pallas", "shb23_pallas"]
     return runners + ["kdyn48_scale"]
 
 
@@ -614,6 +615,8 @@ def _secondary(name, pre):
         return {"ms": t}
     if name == "sh23_workload":
         return bench_sh23_workload()
+    if name == "sh23_rtr_workload":
+        return bench_sh23_rtr_workload()
     if name == "kdyn_workload":
         return bench_kdyn_workload()
     if name == "shb23_workload":
@@ -654,6 +657,40 @@ def bench_sh23_workload(repeats=3):
     k = int(r.iterations)
     return {"total_s": best, "iterations": k,
             "J_final": float(jf[max(k - 1, 0)])}
+
+
+def bench_sh23_rtr_workload(repeats=2):
+    """Trust-region Newton at the same full SH23 reference config (host
+    driver, XLA matmul method, f32): the second-order workload row.
+    Measured to reach a BETTER optimum than the reference's own
+    Wolfe+CG on this workload — CG stalls via its line-search
+    early-return (in f64 too), RTR converges to the J floor
+    (BASELINE.md r4-late; optim/rtr.py)."""
+    import jax.numpy as jnp
+
+    from spheremanopt_tpu.optim.rtr import optimise_rtr
+    from spheremanopt_tpu.problems.swift_hohenberg import (
+        SH23Config, SwiftHohenberg)
+
+    p = SwiftHohenberg(SH23Config(npts=NPTS, n_iters=N_ITERS, dt=DT, e0=E0,
+                                  dtype="float32", method="matmul"))
+    x0 = [jnp.asarray(np.asarray(p.generate_ic(seed=42)[0]), jnp.float32)]
+
+    def run():
+        return optimise_rtr(x0, p.radii, p.objective, p.gradient,
+                            p.inner_product, err_tol=1e-6, max_iters=50,
+                            verbose=False)
+
+    r = run()   # compile (persistent cache absorbs the XLA programs)
+    best = None
+    for _i in range(repeats):
+        t0 = time.perf_counter()
+        r = run()
+        dt_s = time.perf_counter() - t0
+        best = dt_s if best is None else min(best, dt_s)
+    return {"total_s": best, "iterations": r.iterations,
+            "J_final": float(r.function_values[-1]),
+            "hvp_evals": r.hvp_evals}
 
 
 def _time_device_loop(opt, x0, aux=None, repeats=2):

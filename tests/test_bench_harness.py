@@ -106,7 +106,8 @@ def test_runner_order_puts_fragile_scale_row_last():
     order = bench._runner_order(on_tpu=True)
     assert order[-1] == "kdyn48_scale"
     for row in ("sh23_workload", "kdyn_workload", "shb23_workload",
-                "mixing_workload", "sh23_pallas", "shb23_pallas"):
+                "mixing_workload", "sh23_rtr_workload", "sh23_pallas",
+                "shb23_pallas"):
         assert order.index(row) < order.index("kdyn48_scale")
     # workload rows ahead of the pallas rows too (a second degraded r4
     # run lost all four to a wedge that struck at sh23_pallas)
