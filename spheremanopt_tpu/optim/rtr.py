@@ -77,6 +77,99 @@ def riemannian_hvp(xs, vs, grad_f, inner_prod):
     return out
 
 
+def build_full_step(radii, inner_prod, f: Callable, grad_f: Callable,
+                    theta: float, kappa: float, max_cg: int,
+                    err_tol: float) -> Callable:
+    """Build the fused RTR step: gradient/residuals -> Steihaug-Toint
+    tCG -> trial point + J, as one traceable function
+    `full_step(xs, delta) -> (err, eta_norm, pred, hit, n_hvp, x_trial,
+    J_trial)`. Shared by the host driver (`optimise_rtr`, which jits it
+    per outer iteration) and the device-resident loop
+    (`optim/jit_rtr.py`, which traces it into a while_loop body).
+    `radii` entries may be traced scalars (dynamic-radius sweeps)."""
+    n = len(radii)
+    ips = geom._as_list(inner_prod, n)
+
+    def _slope(a, b):
+        return sum(ip(x, y) for x, y, ip in zip(a, b, ips))
+
+    def _tangent(xs, vs):
+        return [geom.tangent_project(x, v, ip)
+                for x, v, ip in zip(xs, vs, ips)]
+
+    def _full_step(xs, delta):
+        nab, dgrad = jax.linearize(grad_f, list(xs))
+        g = _tangent(xs, list(nab))
+        err = jnp.stack([jnp.sqrt(ip(gi, gi))
+                         for gi, ip in zip(g, ips)])
+        coeff = [ip(x, nb) / ip(x, x)
+                 for x, nb, ip in zip(xs, nab, ips)]
+
+        def hvp(vs):
+            pdn = _tangent(xs, list(dgrad(list(vs))))
+            return [pd - c * v for pd, c, v in zip(pdn, coeff, vs)]
+
+        # --- Steihaug-Toint tCG:
+        # min_eta <g,eta> + 0.5 <eta, H eta>  s.t. ||eta|| <= delta
+        rr0 = _slope(g, g)
+        norm_r0 = jnp.sqrt(rr0)
+        # superlinear stopping (theta=1 -> local Q-quadratic)
+        stop = norm_r0 * jnp.minimum(norm_r0 ** theta, kappa)
+        zeros = [jnp.zeros_like(gi) for gi in g]
+
+        def cond(st):
+            _eta, _r, _p, _rr, _m, j, done, _hit = st
+            return jnp.logical_and(~done, j < max_cg)
+
+        def body(st):
+            eta, r, p, rr, mval, j, _done, hit = st
+            hp = hvp(p)
+            php = _slope(p, hp)
+            pp = _slope(p, p)
+            ep = _slope(eta, p)
+            ee = _slope(eta, eta)
+            pr = _slope(p, r)
+            # step to the trust boundary along p (positive root)
+            disc = jnp.maximum(ep * ep + pp * (delta * delta - ee), 0.0)
+            tau = (-ep + jnp.sqrt(disc)) / pp
+            alpha = rr / php
+            ee_after = ee + 2.0 * alpha * ep + alpha * alpha * pp
+            boundary = jnp.logical_or(php <= 0.0,
+                                      ee_after >= delta * delta)
+            step = jnp.where(boundary, tau, alpha)
+            eta2 = [e + step * pi for e, pi in zip(eta, p)]
+            # model change along p, computed directly (robust to CG
+            # orthogonality drift): step*<p,r> + 0.5 step^2 <p,Hp>
+            mval2 = mval + step * pr + 0.5 * step * step * php
+            r2 = [ri + step * hi for ri, hi in zip(r, hp)]
+            rr2 = _slope(r2, r2)
+            small = jnp.sqrt(rr2) <= stop
+            done2 = jnp.logical_or(boundary, small)
+            beta = rr2 / rr
+            p2 = [-r2i + beta * pi for r2i, pi in zip(r2, p)]
+            return (eta2, r2, p2, rr2, mval2, j + 1, done2,
+                    jnp.logical_or(hit, boundary))
+
+        # skip the subproblem entirely when the outer loop is about
+        # to declare convergence (same predicate the host checks) —
+        # a near-zero gradient would otherwise send tCG on a long
+        # pointless residual-squaring run
+        already_done = jnp.logical_or(norm_r0 == 0.0,
+                                      jnp.max(err) <= err_tol)
+        init = (zeros, list(g), [-gi for gi in g], rr0,
+                jnp.zeros_like(rr0), jnp.asarray(0, jnp.int32),
+                already_done, jnp.asarray(False))
+        eta, _r, _p, _rr, mval, j, _done, hit = lax.while_loop(
+            cond, body, init)
+        eta_norm = jnp.sqrt(_slope(eta, eta))
+
+        xn = [geom.retract(x, 1.0, e, r, ip)
+              for x, e, r, ip in zip(xs, eta, radii, ips)]
+        return err, eta_norm, -mval, hit, j, xn, f(xn)
+
+    return _full_step
+
+
 class _RTRKernels:
     """Jitted device kernels: `full_step` fuses gradient + residuals +
     the whole Steihaug-Toint tCG subproblem + trial evaluation into ONE
@@ -92,97 +185,16 @@ class _RTRKernels:
                  f: Callable, grad_f: Callable,
                  theta: float, kappa: float, max_cg: int,
                  err_tol: float):
-        n = len(radii)
         radii = tuple(float(r) for r in radii)
-        ips = geom._as_list(inner_prod, n)
-
-        def _slope(a, b):
-            return sum(ip(x, y) for x, y, ip in zip(a, b, ips))
-
-        def _tangent(xs, vs):
-            return [geom.tangent_project(x, v, ip)
-                    for x, v, ip in zip(xs, vs, ips)]
+        ips = geom._as_list(inner_prod, len(radii))
 
         def _normalise(xs):
             return [geom.normalise_sphere(x, r, ip)
                     for x, r, ip in zip(xs, radii, ips)]
 
-        def _full_step(xs, delta):
-            """gradient/residuals -> tCG(eta) -> trial point + J, fused.
-
-            Returns (err, eta_norm, predicted model decrease, hit-
-            boundary flag, #HVP tangent sweeps, x_trial, J_trial)."""
-            nab, dgrad = jax.linearize(grad_f, list(xs))
-            g = _tangent(xs, list(nab))
-            err = jnp.stack([jnp.sqrt(ip(gi, gi))
-                             for gi, ip in zip(g, ips)])
-            coeff = [ip(x, nb) / ip(x, x)
-                     for x, nb, ip in zip(xs, nab, ips)]
-
-            def hvp(vs):
-                pdn = _tangent(xs, list(dgrad(list(vs))))
-                return [pd - c * v for pd, c, v in zip(pdn, coeff, vs)]
-
-            # --- Steihaug-Toint tCG:
-            # min_eta <g,eta> + 0.5 <eta, H eta>  s.t. ||eta|| <= delta
-            rr0 = _slope(g, g)
-            norm_r0 = jnp.sqrt(rr0)
-            # superlinear stopping (theta=1 -> local Q-quadratic)
-            stop = norm_r0 * jnp.minimum(norm_r0 ** theta, kappa)
-            zeros = [jnp.zeros_like(gi) for gi in g]
-
-            def cond(st):
-                _eta, _r, _p, _rr, _m, j, done, _hit = st
-                return jnp.logical_and(~done, j < max_cg)
-
-            def body(st):
-                eta, r, p, rr, mval, j, _done, hit = st
-                hp = hvp(p)
-                php = _slope(p, hp)
-                pp = _slope(p, p)
-                ep = _slope(eta, p)
-                ee = _slope(eta, eta)
-                pr = _slope(p, r)
-                # step to the trust boundary along p (positive root)
-                disc = jnp.maximum(ep * ep + pp * (delta * delta - ee), 0.0)
-                tau = (-ep + jnp.sqrt(disc)) / pp
-                alpha = rr / php
-                ee_after = ee + 2.0 * alpha * ep + alpha * alpha * pp
-                boundary = jnp.logical_or(php <= 0.0,
-                                          ee_after >= delta * delta)
-                step = jnp.where(boundary, tau, alpha)
-                eta2 = [e + step * pi for e, pi in zip(eta, p)]
-                # model change along p, computed directly (robust to CG
-                # orthogonality drift): step*<p,r> + 0.5 step^2 <p,Hp>
-                mval2 = mval + step * pr + 0.5 * step * step * php
-                r2 = [ri + step * hi for ri, hi in zip(r, hp)]
-                rr2 = _slope(r2, r2)
-                small = jnp.sqrt(rr2) <= stop
-                done2 = jnp.logical_or(boundary, small)
-                beta = rr2 / rr
-                p2 = [-r2i + beta * pi for r2i, pi in zip(r2, p)]
-                return (eta2, r2, p2, rr2, mval2, j + 1, done2,
-                        jnp.logical_or(hit, boundary))
-
-            # skip the subproblem entirely when the outer loop is about
-            # to declare convergence (same predicate the host checks) —
-            # a near-zero gradient would otherwise send tCG on a long
-            # pointless residual-squaring run
-            already_done = jnp.logical_or(norm_r0 == 0.0,
-                                          jnp.max(err) <= err_tol)
-            init = (zeros, list(g), [-gi for gi in g], rr0,
-                    jnp.zeros_like(rr0), jnp.asarray(0, jnp.int32),
-                    already_done, jnp.asarray(False))
-            eta, _r, _p, _rr, mval, j, _done, hit = lax.while_loop(
-                cond, body, init)
-            eta_norm = jnp.sqrt(_slope(eta, eta))
-
-            xn = [geom.retract(x, 1.0, e, r, ip)
-                  for x, e, r, ip in zip(xs, eta, radii, ips)]
-            return err, eta_norm, -mval, hit, j, xn, f(xn)
-
         self.normalise = jax.jit(_normalise)
-        self.full_step = jax.jit(_full_step)
+        self.full_step = jax.jit(build_full_step(
+            radii, inner_prod, f, grad_f, theta, kappa, max_cg, err_tol))
 
 
 def optimise_rtr(

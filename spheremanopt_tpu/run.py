@@ -183,11 +183,9 @@ def make_problem(args):
                 "(the Ozaki ops are custom_vjp; their forward "
                 "linearization is undefined) — use rtr on the standard "
                 "precision modes")
-        if getattr(args, "device_loop", False):
-            raise SystemExit(
-                "--direction rtr runs through the host driver (its tCG "
-                "subproblem is already a single fused device dispatch "
-                "per iteration) — drop --device-loop")
+        # --device-loop composes with rtr: optim/jit_rtr.py compiles the
+        # whole trust-region loop (radius updates, rho acceptance, early
+        # exit) into one executable
     if args.method is not None:
         if args.problem == "kdyn" and args.method == "pallas":
             # validated capability, NOT a production path: Mosaic compile
@@ -483,16 +481,37 @@ def main(argv=None) -> int:
         if pair is not None and pair[1] is not None:
             f_and_g, aux = pair
 
-        opt = jit_optimise_on_multi_sphere(
-            f_and_g, problem.inner_product, radii,
-            max_iters=args.max_iters if args.max_iters is not None else defaults["max_iters"],
-            alpha0=float(args.alpha if args.alpha is not None else defaults["alpha"]),
-            err_tol=args.err_tol if args.err_tol is not None else defaults.get("err_tol", 1e-6),
-            cg=not args.sd,
-            line_search=args.ls,
-            direction=args.direction,
-            lbfgs_memory=args.lbfgs_memory,
-        )
+        if args.direction == "rtr":
+            from spheremanopt_tpu.optim.jit_rtr import jit_optimise_rtr
+
+            if aux is None:
+                f_rtr, g_rtr = problem.objective, problem.gradient
+            else:
+                # derive the split callables from the aux-operand fused
+                # pair; XLA dead-code-eliminates the unused output
+                fg_aux = f_and_g
+                f_rtr = lambda a, xs: fg_aux(a, xs)[0]   # noqa: E731
+                g_rtr = lambda a, xs: fg_aux(a, xs)[1]   # noqa: E731
+            opt = jit_optimise_rtr(
+                f_rtr, g_rtr, problem.inner_product, radii,
+                max_iters=args.max_iters if args.max_iters is not None
+                else defaults["max_iters"],
+                err_tol=args.err_tol if args.err_tol is not None
+                else defaults.get("err_tol", 1e-6),
+                delta0=args.tr_delta0,
+                max_cg=args.tr_max_cg,
+            )
+        else:
+            opt = jit_optimise_on_multi_sphere(
+                f_and_g, problem.inner_product, radii,
+                max_iters=args.max_iters if args.max_iters is not None else defaults["max_iters"],
+                alpha0=float(args.alpha if args.alpha is not None else defaults["alpha"]),
+                err_tol=args.err_tol if args.err_tol is not None else defaults.get("err_tol", 1e-6),
+                cg=not args.sd,
+                line_search=args.ls,
+                direction=args.direction,
+                lbfgs_memory=args.lbfgs_memory,
+            )
         t0 = time.time()
         r = opt(x0, aux=aux)
         k = int(r.iterations)
@@ -508,6 +527,10 @@ def main(argv=None) -> int:
                                 if k > 0 else None),
             "wall_time_total_s": round(wall, 3),
         }
+        if hasattr(r, "converged"):   # JitRTRResult extras
+            summary["converged"] = bool(r.converged)
+            summary["trust_region_trials"] = int(r.trials)
+            summary["hvp_evals"] = int(r.hvp_evals)
         with open(os.path.join(args.out_dir, "summary.json"), "w") as f:
             json.dump(summary, f, indent=2)
         print(json.dumps(summary))

@@ -250,8 +250,9 @@ def test_cli_rtr_guards(tmp_path):
     import sys
 
     env = dict(os.environ, PYTHONPATH="/root/repo", JAX_PLATFORM_NAME="cpu")
+    # (--device-loop is no longer a guard: optim/jit_rtr.py compiles the
+    # whole trust-region loop; see tests/test_jit_rtr.py)
     for extra, needle in [
-        (["--device-loop"], "host driver"),
         (["--method", "pallas"], "forward-linearizable"),
     ]:
         out = subprocess.run(
