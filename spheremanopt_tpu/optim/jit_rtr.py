@@ -120,11 +120,22 @@ def jit_optimise_rtr(
             J_hist, r_hist, s_hist = hists
             err, eta_norm, pred, hit, n_hvp, x_trial, J_trial = \
                 full_step(xs, delta)
+            # Host parity at the iteration cap: the host's `while True`
+            # computes one more gradient/residual AFTER the max_iters-th
+            # accept and may declare convergence there before its
+            # max_iters break (optim/rtr.py:279-286). `at_cap` marks
+            # that final check-only pass: the convergence test below
+            # still runs, every state mutation is gated off, and the
+            # loop stops unconditionally at the end of the pass.
+            at_cap = k >= max_iters
             # `live` gates EVERY state mutation: under vmap the batched
             # while_loop keeps running frozen rows until all rows stop,
             # and an ungated body would let them keep stepping
             # (row-exactness vs the unbatched driver would break)
-            nhvp = nhvp + jnp.where(live, n_hvp, 0)
+            # (~at_cap: the host's final check is gradient-only — no tCG
+            # sweeps are spent after the last accepted iterate)
+            nhvp = nhvp + jnp.where(jnp.logical_and(live, ~at_cap),
+                                    n_hvp, 0)
 
             # host decision ladder, in order (see module docstring)
             converged = jnp.max(err) <= err_tol
@@ -143,11 +154,14 @@ def jit_optimise_rtr(
                 rho < 0.25, delta * 0.25,
                 jnp.where(jnp.logical_and(rho > 0.75, hit),
                           jnp.minimum(2.0 * delta, dmax_s), delta))
-            delta = jnp.where(jnp.logical_and(live, ~stop_now),
-                              delta_new, delta)
+            delta = jnp.where(
+                jnp.logical_and(live,
+                                jnp.logical_and(~stop_now, ~at_cap)),
+                delta_new, delta)
 
             accept = jnp.logical_and(
-                live, jnp.logical_and(rho > rho_accept, ~stop_now))
+                jnp.logical_and(live, ~at_cap),
+                jnp.logical_and(rho > rho_accept, ~stop_now))
             xs = [jnp.where(accept, xt, x) for xt, x in zip(x_trial, xs)]
             J = jnp.where(accept, J_trial, J)
             # record the accepted iterate at slot k (pre-update
@@ -167,8 +181,7 @@ def jit_optimise_rtr(
             active = jnp.logical_and(
                 live,
                 ~jnp.logical_or(stop_now,
-                                jnp.logical_or(collapsed,
-                                               k >= max_iters)))
+                                jnp.logical_or(collapsed, at_cap)))
             return (t + jnp.where(live, 1, 0),
                     (xs, J, delta, active, k, conv, nhvp,
                      (J_hist, r_hist, s_hist)))

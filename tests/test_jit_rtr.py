@@ -191,3 +191,38 @@ def test_cli_rtr_device_loop(tmp_path):
     assert summary["iterations"] >= 1
     assert "converged" in summary and "trust_region_trials" in summary
     assert summary["J_final"] is not None
+
+
+def test_device_rtr_matches_host_on_mixing_aux_pde():
+    """PDE problem whose operator stacks enter the driver jit as aux
+    OPERANDS (run.py's --direction rtr --device-loop branch derives the
+    split f/grad callables from `objective_and_gradient_aux`; closing
+    over the stacks would embed them in the program body — CLAUDE.md
+    platform rule 1). The f64 device trajectory must equal the host
+    driver's exactly — this is the path an on-chip mixing RTR workload
+    takes."""
+    from spheremanopt_tpu.problems.optimal_mixing import (
+        MixingConfig,
+        OptimalMixing,
+    )
+
+    p = OptimalMixing(MixingConfig(nx=32, nz=16, n_iters=40, dt=1e-2,
+                                   prep_steps=10, solve_precision="high"))
+    x0 = p.generate_ic(seed=0)
+    rh = optimise_rtr(x0, p.radii, p.objective, p.gradient,
+                      p.inner_product, err_tol=1e-6, max_iters=12,
+                      verbose=False)
+    fg_aux, aux = p.objective_and_gradient_aux
+    assert aux is not None
+    f_rtr = lambda a, xs: fg_aux(a, xs)[0]   # noqa: E731
+    g_rtr = lambda a, xs: fg_aux(a, xs)[1]   # noqa: E731
+    opt = jit_optimise_rtr(f_rtr, g_rtr, p.inner_product, p.radii,
+                           err_tol=1e-6, max_iters=12)
+    rd = opt(x0, aux=aux)
+    k = int(rd.iterations)
+    assert k == rh.iterations
+    assert bool(rd.converged) == rh.converged
+    np.testing.assert_array_equal(np.asarray(rd.function_values[:k]),
+                                  np.asarray(rh.function_values))
+    for xd, xh in zip(rd.x_opt, rh.x_opt):
+        np.testing.assert_array_equal(np.asarray(xd), np.asarray(xh))
