@@ -123,6 +123,7 @@ def _save_last_good(rec: dict) -> None:
     stale-but-real numbers with provenance instead of nulls."""
     try:
         import datetime
+        import os
         import subprocess
         rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
                              capture_output=True, text=True,
@@ -130,8 +131,7 @@ def _save_last_good(rec: dict) -> None:
         out = {"measured_at": datetime.datetime.now().isoformat(
                    timespec="seconds"),
                "git_rev": rev, "record": rec}
-        os_mod = __import__("os")
-        os_mod.makedirs(os_mod.path.dirname(LAST_GOOD_PATH), exist_ok=True)
+        os.makedirs(os.path.dirname(LAST_GOOD_PATH), exist_ok=True)
         with open(LAST_GOOD_PATH, "w") as fh:
             json.dump(out, fh)
     except Exception:
@@ -656,7 +656,7 @@ def bench_sh23_workload(repeats=3):
         best = dt_s if best is None else min(best, dt_s)
     k = int(r.iterations)
     return {"total_s": best, "iterations": k,
-            "J_final": float(jf[max(k - 1, 0)])}
+            "J_final": float(jf[k - 1]) if k > 0 else None}
 
 
 def bench_sh23_rtr_workload(repeats=2):
@@ -689,7 +689,9 @@ def bench_sh23_rtr_workload(repeats=2):
         dt_s = time.perf_counter() - t0
         best = dt_s if best is None else min(best, dt_s)
     out = {"total_s": best, "iterations": r.iterations,
-           "J_final": float(r.function_values[-1]),
+           # None (not a fabricated 0.0) when no iterate was accepted
+           "J_final": (float(r.function_values[-1])
+                       if r.function_values else None),
            "hvp_evals": r.hvp_evals}
 
     # device-resident RTR: the WHOLE trust-region loop as one executable
@@ -712,7 +714,9 @@ def bench_sh23_rtr_workload(repeats=2):
     kd = int(rd.iterations)
     out["device_total_s"] = dbest
     out["device_iterations"] = kd
-    out["device_J_final"] = float(jf[max(kd - 1, 0)])
+    # history slots past the last accepted iterate are zero padding —
+    # report None rather than the pad value when kd == 0
+    out["device_J_final"] = float(jf[kd - 1]) if kd > 0 else None
     return out
 
 
@@ -733,7 +737,7 @@ def _time_device_loop(opt, x0, aux=None, repeats=2):
         best = dt_s if best is None else min(best, dt_s)
     k = int(r.iterations)
     return {"total_s": best, "iterations": k,
-            "J_final": float(jf[max(k - 1, 0)])}
+            "J_final": float(jf[k - 1]) if k > 0 else None}
 
 
 def bench_kdyn_workload():

@@ -118,24 +118,23 @@ def jit_optimise_rtr(
         def body(state):
             t, (xs, J, delta, live, k, conv, nhvp, hists) = state
             J_hist, r_hist, s_hist = hists
-            err, eta_norm, pred, hit, n_hvp, x_trial, J_trial = \
-                full_step(xs, delta)
             # Host parity at the iteration cap: the host's `while True`
             # computes one more gradient/residual AFTER the max_iters-th
             # accept and may declare convergence there before its
-            # max_iters break (optim/rtr.py:279-286). `at_cap` marks
-            # that final check-only pass: the convergence test below
-            # still runs, every state mutation is gated off, and the
-            # loop stops unconditionally at the end of the pass.
+            # max_iters break (optim/rtr.py). `at_cap` marks that final
+            # check-only pass: full_step skips the tCG subproblem and
+            # the trial solve (check_only — gradient/residuals only,
+            # n_hvp = 0, J_trial = +inf and never consumed), the
+            # convergence test below still runs, every state mutation
+            # is gated off, and the loop stops at the end of the pass.
             at_cap = k >= max_iters
+            err, eta_norm, pred, hit, n_hvp, x_trial, J_trial = \
+                full_step(xs, delta, at_cap)
             # `live` gates EVERY state mutation: under vmap the batched
             # while_loop keeps running frozen rows until all rows stop,
             # and an ungated body would let them keep stepping
             # (row-exactness vs the unbatched driver would break)
-            # (~at_cap: the host's final check is gradient-only — no tCG
-            # sweeps are spent after the last accepted iterate)
-            nhvp = nhvp + jnp.where(jnp.logical_and(live, ~at_cap),
-                                    n_hvp, 0)
+            nhvp = nhvp + jnp.where(live, n_hvp, 0)
 
             # host decision ladder, in order (see module docstring)
             converged = jnp.max(err) <= err_tol

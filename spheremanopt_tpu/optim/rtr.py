@@ -82,11 +82,22 @@ def build_full_step(radii, inner_prod, f: Callable, grad_f: Callable,
                     err_tol: float) -> Callable:
     """Build the fused RTR step: gradient/residuals -> Steihaug-Toint
     tCG -> trial point + J, as one traceable function
-    `full_step(xs, delta) -> (err, eta_norm, pred, hit, n_hvp, x_trial,
-    J_trial)`. Shared by the host driver (`optimise_rtr`, which jits it
-    per outer iteration) and the device-resident loop
-    (`optim/jit_rtr.py`, which traces it into a while_loop body).
-    `radii` entries may be traced scalars (dynamic-radius sweeps)."""
+    `full_step(xs, delta, check_only=False) -> (err, eta_norm, pred,
+    hit, n_hvp, x_trial, J_trial)`. Shared by the host driver
+    (`optimise_rtr`, which jits it per outer iteration) and the
+    device-resident loop (`optim/jit_rtr.py`, which traces it into a
+    while_loop body). `radii` entries may be traced scalars
+    (dynamic-radius sweeps).
+
+    `check_only` (static bool on the host path, traced scalar in the
+    device loop) marks the FINAL pass at the max_iters cap: only the
+    gradient/residuals are needed for the last convergence check, so
+    the tCG subproblem is skipped (done at init) and the trial
+    objective — a full PDE solve — is not evaluated (J_trial returns
+    +inf, never consumed: the drivers' ladders break on converged/
+    max_iters before touching it). Without this, a cap-terminated run
+    would spend up to max_cg discarded HVP sweeps plus one discarded
+    trial solve on its last dispatch."""
     n = len(radii)
     ips = geom._as_list(inner_prod, n)
 
@@ -97,7 +108,7 @@ def build_full_step(radii, inner_prod, f: Callable, grad_f: Callable,
         return [geom.tangent_project(x, v, ip)
                 for x, v, ip in zip(xs, vs, ips)]
 
-    def _full_step(xs, delta):
+    def _full_step(xs, delta, check_only=False):
         nab, dgrad = jax.linearize(grad_f, list(xs))
         g = _tangent(xs, list(nab))
         err = jnp.stack([jnp.sqrt(ip(gi, gi))
@@ -153,9 +164,12 @@ def build_full_step(radii, inner_prod, f: Callable, grad_f: Callable,
         # skip the subproblem entirely when the outer loop is about
         # to declare convergence (same predicate the host checks) —
         # a near-zero gradient would otherwise send tCG on a long
-        # pointless residual-squaring run
+        # pointless residual-squaring run — or when this is the
+        # check-only final pass at the iteration cap
         already_done = jnp.logical_or(norm_r0 == 0.0,
                                       jnp.max(err) <= err_tol)
+        if not (isinstance(check_only, bool) and not check_only):
+            already_done = jnp.logical_or(already_done, check_only)
         init = (zeros, list(g), [-gi for gi in g], rr0,
                 jnp.zeros_like(rr0), jnp.asarray(0, jnp.int32),
                 already_done, jnp.asarray(False))
@@ -165,7 +179,20 @@ def build_full_step(radii, inner_prod, f: Callable, grad_f: Callable,
 
         xn = [geom.retract(x, 1.0, e, r, ip)
               for x, e, r, ip in zip(xs, eta, radii, ips)]
-        return err, eta_norm, -mval, hit, j, xn, f(xn)
+        if isinstance(check_only, bool) and check_only:
+            # host cap pass (static flag, separately compiled variant):
+            # the trial objective is never consumed — skip the solve
+            j_aval = jax.eval_shape(f, xn)
+            J_trial = jnp.full(j_aval.shape, jnp.inf, j_aval.dtype)
+        else:
+            # normal pass — and the device loop's traced-flag cap pass:
+            # wrapping f(xn) in lax.cond would change XLA fusion and
+            # break the drivers' BITWISE trajectory parity (measured
+            # 1-ULP drift), so the device cap pass pays this one
+            # discarded forward solve; the tCG skip above (already_done)
+            # is the expensive part and is arithmetic-neutral
+            J_trial = f(xn)
+        return err, eta_norm, -mval, hit, j, xn, J_trial
 
     return _full_step
 
@@ -193,8 +220,12 @@ class _RTRKernels:
                     for x, r, ip in zip(xs, radii, ips)]
 
         self.normalise = jax.jit(_normalise)
-        self.full_step = jax.jit(build_full_step(
-            radii, inner_prod, f, grad_f, theta, kappa, max_cg, err_tol))
+        # check_only static: the gradient-only cap-pass variant compiles
+        # lazily, only for runs that actually reach max_iters
+        self.full_step = jax.jit(
+            build_full_step(radii, inner_prod, f, grad_f, theta, kappa,
+                            max_cg, err_tol),
+            static_argnames=("check_only",))
 
 
 def optimise_rtr(
@@ -252,9 +283,9 @@ def optimise_rtr(
     rejects = 0
     converged = False
 
-    def _step(xs, dlt):
+    def _step(xs, dlt, check_only=False):
         try:
-            out = K.full_step(xs, dlt)
+            out = K.full_step(xs, dlt, check_only=check_only)
         except TypeError as e:
             # surfaces at first-trace time when grad_f hides a
             # custom_vjp (forward-mode jvp is undefined for those)
@@ -265,14 +296,16 @@ def optimise_rtr(
                 "run RTR on the problem's pure-autodiff method "
                 "instead.") from e
         # one primal gradient (linearize), one trial objective, and
-        # n_hvp linearized tangent sweeps per full_step call
+        # n_hvp linearized tangent sweeps per full_step call; the
+        # check-only cap pass spends the gradient alone
         R.gradient_evals += 1
-        R.function_evals += 1
+        if not check_only:
+            R.function_evals += 1
         R.hvp_evals += int(out[4])
         return out
 
     t_iter = time.perf_counter()
-    out = _step(x_k, delta)
+    out = _step(x_k, delta, R.iterations >= max_iters)
     # objective dtype's eps, for the pred-below-roundoff stop (f32 on
     # TPU, f64 in the CPU test harness)
     j_eps = float(np.finfo(np.asarray(out[6]).dtype).eps)
@@ -322,7 +355,12 @@ def optimise_rtr(
                 R.residuals[i].append(float(err[i]))
             R.step_sizes.append(float(eta_norm))
             R.function_values.append(-1.0 * J_k)
+            # wall time since the last ACCEPTED iterate — rejected
+            # trials' dispatches accumulate into the accepting
+            # iteration (same convention as optimise_on_multi_sphere,
+            # whose per-iteration times include all line-search trials)
             R.wall_times.append(time.perf_counter() - t_iter)
+            t_iter = time.perf_counter()
             if callback is not None:
                 callback(R.iterations, R)
             if checkpoint_path is not None:
@@ -340,8 +378,7 @@ def optimise_rtr(
                              "without an acceptable step; terminating "
                              "with best-so-far.")
                 break
-        t_iter = time.perf_counter()
-        out = _step(x_k, delta)
+        out = _step(x_k, delta, R.iterations >= max_iters)
 
     if converged:
         R.converged = True

