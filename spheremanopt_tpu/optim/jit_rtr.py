@@ -113,7 +113,14 @@ def jit_optimise_rtr(
 
         def cond(state):
             t, carry = state
-            return jnp.logical_and(t < hi, carry[3])
+            # the check-only cap pass (k == max_iters) is exempt from
+            # the max_trials bound: a user-supplied tight `hi` that runs
+            # out exactly as k reaches the cap must not skip the final
+            # convergence check the host driver always performs (its
+            # body sets live=False, so it runs at most once)
+            at_cap = carry[4] >= max_iters
+            return jnp.logical_and(jnp.logical_or(t < hi, at_cap),
+                                   carry[3])
 
         def body(state):
             t, (xs, J, delta, live, k, conv, nhvp, hists) = state

@@ -168,7 +168,7 @@ def build_full_step(radii, inner_prod, f: Callable, grad_f: Callable,
         # check-only final pass at the iteration cap
         already_done = jnp.logical_or(norm_r0 == 0.0,
                                       jnp.max(err) <= err_tol)
-        if not (isinstance(check_only, bool) and not check_only):
+        if check_only is not False:   # static True, or a traced scalar
             already_done = jnp.logical_or(already_done, check_only)
         init = (zeros, list(g), [-gi for gi in g], rr0,
                 jnp.zeros_like(rr0), jnp.asarray(0, jnp.int32),

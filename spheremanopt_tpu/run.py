@@ -578,7 +578,7 @@ def main(argv=None) -> int:
         # can swamp fine Wolfe comparisons the accuracy mode exists for)
         obj_fn = problem.objective_f64
     if args.archive_every > 0:
-        if args.archive_full and hasattr(problem, "diagnostics") and (
+        if args.archive_full and (
                 getattr(problem, "_dfe", None) is not None
                 or args.direction == "rtr"):
             # paths the fused archiver cannot ride: it substitutes
@@ -586,7 +586,15 @@ def main(argv=None) -> int:
             # which would silently downgrade a df64 gradient path, and
             # the RTR driver never calls obj_fn/fg_fn at all (its
             # solves live inside the fused step kernel) — re-run
-            # diagnostics per archive instead
+            # diagnostics per archive instead. Checked BEFORE the
+            # fused-archiver branch unconditionally: a df64 problem
+            # without `diagnostics` must fail loudly here, not fall
+            # through to FusedArchiver's silent downgrade.
+            if not hasattr(problem, "diagnostics"):
+                raise SystemExit(
+                    "--archive-full needs problem.diagnostics on the "
+                    "df64/rtr paths (the fused archiver would silently "
+                    "downgrade them)")
             archiver = IterationArchiver("diag", problem.diagnostics,
                                          args.out_dir)
         elif args.archive_full and getattr(problem, "has_fused_diagnostics",

@@ -226,3 +226,31 @@ def test_device_rtr_matches_host_on_mixing_aux_pde():
                                   np.asarray(rh.function_values))
     for xd, xh in zip(rd.x_opt, rh.x_opt):
         np.testing.assert_array_equal(np.asarray(xd), np.asarray(xh))
+
+
+def test_tight_max_trials_still_runs_the_cap_pass(pca):
+    """A user-supplied max_trials that runs out exactly as k reaches
+    max_iters must not skip the final check-only convergence pass the
+    host driver always performs (ADVICE r4: the `t < hi` cond clipped
+    it). The cap pass is exempt from the trial bound — trajectories
+    stay host-parity even under the tightest budget that admits
+    max_iters accepts."""
+    x0 = _x0()
+    mi = 6
+    rh = optimise_rtr(x0, [1.0], pca.objective, pca.gradient,
+                      pca.inner_product, err_tol=1e-6, max_iters=mi,
+                      verbose=False)
+    assert rh.iterations == mi            # cap-terminated run
+    # PCA accepts every trial here: max_trials == max_iters is the
+    # tightest budget that reaches the cap; the check pass is trial
+    # mi + 1 and must still run
+    opt = jit_optimise_rtr(pca.objective, pca.gradient,
+                           pca.inner_product, [1.0],
+                           err_tol=1e-6, max_iters=mi, max_trials=mi)
+    rd = opt(x0)
+    k = int(rd.iterations)
+    assert k == mi
+    assert int(rd.trials) == mi + 1       # the exempt cap pass ran
+    assert bool(rd.converged) == rh.converged
+    np.testing.assert_array_equal(np.asarray(rd.function_values[:k]),
+                                  np.asarray(rh.function_values))
