@@ -138,3 +138,87 @@ def test_load_last_good_empty_when_absent(monkeypatch, tmp_path):
     monkeypatch.setattr(bench, "LAST_GOOD_PATH",
                         str(tmp_path / "nope.json"))
     assert bench._load_last_good() == {}
+
+
+def test_per_row_last_good_store_roundtrip(monkeypatch, tmp_path):
+    """VERDICT r4 item 1: the per-row store refreshes on every clean row
+    measurement and a later degraded run attaches THAT row's values
+    (with provenance) — not just the pre-headline full-record path."""
+    monkeypatch.setattr(bench, "LAST_GOOD_PATH",
+                        str(tmp_path / "lg.json"))
+    bench._lg_update_rows({"mixing_256x128": {
+        "mixing_256x128_fwd_grad_ms": 220.1,
+        "mixing_256x128_vs_baseline": 3302.0}})
+    bench._lg_update_rows({"kdyn_workload": {
+        "kdyn_workload_total_s": 3.04, "kdyn_workload_iterations": 10}})
+    frag = bench._lg_row("mixing_256x128")
+    lg = frag["mixing_256x128_last_good"]
+    assert lg["values"]["mixing_256x128_fwd_grad_ms"] == 220.1
+    assert lg["measured_at"] and "stale-but-real" in lg["note"]
+    # unknown row -> empty (no fabricated values)
+    assert bench._lg_row("nope") == {}
+    # a second update to the same row replaces it
+    bench._lg_update_rows({"mixing_256x128": {
+        "mixing_256x128_fwd_grad_ms": 218.0}})
+    lg2 = bench._lg_row("mixing_256x128")["mixing_256x128_last_good"]
+    assert lg2["values"] == {"mixing_256x128_fwd_grad_ms": 218.0}
+    # the full-record save coexists with rows in the same store file
+    bench._save_last_good({"value": 4.2, "vs_baseline": 22.0,
+                           "detail": {}})
+    out = bench._load_last_good()
+    assert out["last_known_good"]["value_ms"] == 4.2
+    assert "kdyn_workload" in out["last_known_good_rows"]
+
+
+def test_last_good_store_is_committed_at_repo_root():
+    """The store must live in a COMMITTED location: the r4 path sat in
+    gitignored runs/, so the driver's fresh checkout had nothing to
+    degrade to even when the policy fired."""
+    import subprocess
+
+    assert bench.LAST_GOOD_PATH == "/root/repo/BENCH_LAST_GOOD.json"
+    rc = subprocess.run(
+        ["git", "check-ignore", "-q", bench.LAST_GOOD_PATH],
+        cwd="/root/repo").returncode
+    assert rc != 0, "BENCH_LAST_GOOD.json is gitignored"
+
+
+def test_wait_for_tpu_row_cap_and_wedge_state(monkeypatch):
+    """The per-row wait cap stops one wedge from starving later rows,
+    and the shared state makes subsequent probes cheap (short timeout)
+    once a wedge has been seen."""
+    calls = []
+
+    def fake_probe(timeout_s=90):
+        calls.append(timeout_s)
+        return False
+
+    monkeypatch.setattr(bench, "_tpu_healthy", fake_probe)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    state = {"wedged": False}
+    t0 = bench.time.perf_counter()
+    ok = bench._wait_for_tpu(t0, budget_s=10_000.0, reserve_s=0.0,
+                             max_wait_s=0.0, state=state)
+    assert ok is False and state["wedged"] is True
+    assert calls[0] == 90          # first probe: full window
+    calls.clear()
+    ok = bench._wait_for_tpu(t0, budget_s=10_000.0, reserve_s=0.0,
+                             max_wait_s=0.0, state=state)
+    assert ok is False and calls[0] == 30   # known-wedged: cheap probe
+
+    monkeypatch.setattr(bench, "_tpu_healthy", lambda timeout_s=90: True)
+    ok = bench._wait_for_tpu(t0, budget_s=10_000.0, reserve_s=0.0,
+                             max_wait_s=0.0, state=state)
+    assert ok is True and state["wedged"] is False  # recovery clears it
+
+
+def test_rtr_and_df64_workload_rows_in_runner_order():
+    """The VERDICT r5-priority artifacts (RTR workload rows for the
+    problems where the reference's own algorithm stalls + the
+    completing df64 mixing row) must run BEFORE the wedge-prone pallas
+    and 48^3 rows."""
+    order = bench._runner_order(on_tpu=True)
+    for row in ("kdyn_rtr_workload", "mixing_rtr_workload",
+                "mixing_df64_workload"):
+        assert order.index(row) < order.index("sh23_pallas")
+        assert order.index(row) < order.index("kdyn48_scale")
