@@ -538,6 +538,9 @@ class OptimalMixing:
 
         self._obj_grad_and_diag = jax.jit(_obj_grad_diag)
         self._grad_cnts = jax.jit(self._gradient_continuous_impl)
+        self._adj_bc = jax.jit(
+            lambda ops_, xs_: self._gradient_continuous_impl(
+                ops_, xs_, with_bc=True))
         if rdtype == jnp.float32:
             # compensated line-search inner products (VERDICT r3 item 1):
             # the Wolfe directional derivatives ride this reduction, so
@@ -880,6 +883,32 @@ class OptimalMixing:
             return -0.5 * cfg.dt * acc[0]   # maximise time-avg KE (ref :1137)
         return self._mixnorm(ops, r_c)       # minimise mix-norm (ref :1117)
 
+    def _bc_residual(self, u, w, r):
+        """Wall/BC residual monitor of one coefficient state — (2, 3):
+        rows (z=-1, z=+1), cols (dz rho, u, w). The reference logs dz(b)
+        wall residuals along the FWD solve
+        (`FWD_Solve_Poiseuille.py:726-727,747`); the tau solve enforces
+        the BCs EXACTLY per step, so these sit at solve roundoff and
+        pin operator-assembly health. Chebyshev endpoint evaluation
+        T_n(+-1) = (+-1)^n; the x-profile of each wall value is
+        synthesised with Bx and reduced by max|.|. Shared by the
+        forward (fused diagnostics) and continuous-adjoint monitors."""
+        pm = jnp.asarray(((-1.0) ** np.arange(self.cfg.nz)))
+        dz_c = jnp.asarray(self._Dz)
+
+        def _wall_max(c):
+            v_lo = jnp.einsum("kn,n->k", c, pm.astype(c.dtype))
+            v_hi = jnp.sum(c, axis=-1)
+            out = []
+            for v in (v_lo, v_hi):
+                g = jnp.einsum("jk,k->j", jnp.asarray(self._Bx), v)
+                out.append(jnp.max(jnp.abs(g.real)))
+            return jnp.stack(out)
+
+        drho = jnp.einsum("mn,kn->km", dz_c, r)
+        return jnp.stack([_wall_max(drho), _wall_max(u),
+                          _wall_max(w)], axis=-1)
+
     def _objective_aux_impl(self, ops, x_list):
         """(J, diagnostics) captured from one forward solve — the KE and
         buoyancy-variance series plus final vorticity/density fields the
@@ -906,12 +935,12 @@ class OptimalMixing:
             ke = self._ke(u, w)
             if cfg.s == 0:
                 acc = kahan_add(acc, ke)
-            stats = (ke, de(r))
+            stats = (ke, de(r), self._bc_residual(u, w, r))
             u, w, r = step(ops, u, w, r)
             return (u, w, r, acc), stats
 
         acc0 = kahan_zero(self._rdtype)
-        (u_c, w_c, r_c, acc), (ke, dev) = jax.lax.scan(
+        (u_c, w_c, r_c, acc), (ke, dev, bc) = jax.lax.scan(
             body, (u_c, w_c, r_c, acc0), xs=None, length=cfg.n_iters
         )
         keN = self._ke(u_c, w_c)
@@ -924,6 +953,10 @@ class OptimalMixing:
             "buoyancy_energy": jnp.concatenate([dev, de(r_c)[None]]),
             "rho_final": self.to_grid(r_c),
             "vorticity_final": vort,
+            "bc_residuals": jnp.concatenate(
+                [bc, self._bc_residual(u_c, w_c, r_c)[None]]),  # (T+1,2,3)
+            "u_final": self.to_grid(u_c),
+            "w_final": self.to_grid(w_c),
         }
         if cfg.s == 0:
             acc = kahan_add(acc, keN)
@@ -934,7 +967,7 @@ class OptimalMixing:
     # public triple
     # ------------------------------------------------------------------
 
-    def _gradient_continuous_impl(self, ops, x_list):
+    def _gradient_continuous_impl(self, ops, x_list, with_bc: bool = False):
         """Continuous adjoint (ref `ADJ_Solve_Cnts`,
         `FWD_Solve_Poiseuille.py:1161-1319`): integrate the adjoint
         Boussinesq system (sign-flipped advection/pressure, transposed
@@ -996,7 +1029,13 @@ class OptimalMixing:
                 a0 * ba + self.to_coeff(nl_b),
             ], axis=-1)
             sol = self._solve(ops["SA"], rhs)
-            return (sol[:, :nz], sol[:, nz : 2 * nz], sol[:, 2 * nz :]), None
+            new = (sol[:, :nz], sol[:, nz: 2 * nz], sol[:, 2 * nz:])
+            # adjoint wall monitors (with_bc): the adjoint tau system
+            # enforces dz(b_adj)=0 and u_adj=w_adj=0 at z=+-1 exactly,
+            # mirroring the forward monitor (ref ADJ system BCs,
+            # FWD_Solve_Poiseuille.py:1161-1319)
+            stats = self._bc_residual(*new) if with_bc else None
+            return new, stats
 
         ua0 = jnp.zeros_like(u_c)
         wa0 = jnp.zeros_like(w_c)
@@ -1005,10 +1044,16 @@ class OptimalMixing:
             ba0 = -psi
         else:
             ba0 = jnp.zeros_like(r_c)
-        (ua, wa, ba), _ = jax.lax.scan(
+        (ua, wa, ba), bc = jax.lax.scan(
             adj_body, (ua0, wa0, ba0), snaps, reverse=True
         )
-        return [jnp.stack([self.to_grid(ua), self.to_grid(wa)])]
+        grads = [jnp.stack([self.to_grid(ua), self.to_grid(wa)])]
+        if with_bc:
+            # reverse=True stacks ys in FORWARD time order; prepend the
+            # terminal-condition state's residuals (the sweep's first
+            # solve output is the last row)
+            return grads, bc
+        return grads
 
     def _solve_ops(self):
         """Device operator stacks for the solve paths; loud failure for
@@ -1208,6 +1253,23 @@ class OptimalMixing:
         produces both the archiver payloads and this dict, so they
         cannot drift."""
         return self.objective_and_diagnostics(list(x_list))[1]
+
+    def adjoint_bc_residuals(self, x_list) -> np.ndarray:
+        """(T, 2, 3) wall residual series of the CONTINUOUS-ADJOINT
+        sweep — rows (z=-1, z=+1), cols (dz b_adj, u_adj, w_adj), in
+        forward time order. The adjoint tau system enforces the adjoint
+        BCs exactly, so the series pins the transposed operator
+        assembly at solve roundoff (the forward-side monitor is
+        `diagnostics()['bc_residuals']`; ref
+        FWD_Solve_Poiseuille.py:1161-1319). Needs adjoint='continuous'
+        operators (ops['SA']) in the stack."""
+        if self.cfg.adjoint != "continuous":
+            raise ValueError(
+                "adjoint_bc_residuals needs adjoint='continuous' (the "
+                "discrete mode has no adjoint PDE solve to monitor; "
+                "its reverse sweep is jax.grad)")
+        _, bc = self._adj_bc(self._solve_ops(), list(x_list))
+        return np.asarray(bc)
 
     # ------------------------------------------------------------------
     # initial conditions (ref Generate_IC :301-385: filtered-noise
