@@ -594,6 +594,22 @@ def bench_mixing(repeats=3, cpu_ms=None):
         fast["df64_rel_g"] = float(
             np.linalg.norm(np.asarray(g_d[0], np.float64) - g64)
             / np.linalg.norm(g64))
+        # df64 + hand-rolled DF adjoint (df_adjoint=True): the reverse
+        # sweep carries DF cotangent pairs — the VERDICT r4 item 4
+        # done-criterion measurement: grad rel-err vs the pinned f64
+        # truth ON-CHIP must break the 5.9e-4 f32-reverse floor down to
+        # the <=1e-6 class (f32 output rounding)
+        del p_df
+        p_adj = OptimalMixing(MixingConfig(dtype=dtype, s=1,
+                                           solve_precision="df64",
+                                           df_adjoint=True))
+        ms_a = chained_value_ms(p_adj.objective_and_gradient, x0, n=2)
+        J_a, g_a = p_adj.objective_and_gradient(x0)
+        fast["df64adj_ms"] = ms_a
+        fast["df64adj_rel_J"] = abs(float(J_a) - J64) / abs(J64)
+        fast["df64adj_rel_g"] = float(
+            np.linalg.norm(np.asarray(g_a[0], np.float64) - g64)
+            / np.linalg.norm(g64))
     if cpu_ms is None:
         cpu_ms = _mixing_cpu_baseline_ms()
 

@@ -275,9 +275,73 @@ def _batch_spec(spec: str) -> str:
     return f"s{a},{b}->s{out}"
 
 
+def make_ozaki_contraction(spec: str, k: int, y_axis: int,
+                           n_bits: int = 48, b_override: int = None,
+                           batched: bool = False):
+    """Plain (non-custom_vjp) df-accurate Ozaki contraction builder:
+    `apply(slices, yh, yl) -> (hi, lo)`. Used directly by the
+    hand-rolled double-float ADJOINT sweeps (mixing_df df-cotangent
+    mode), where the transposed applies are evaluated inside a
+    custom_vjp backward and are never themselves differentiated.
+
+    `b_override` reuses an existing slice stack's bit width b (the
+    slices' geometry is fixed at split time); exactness of the f32
+    accumulation is asserted for THIS contraction length k:
+    2b + ceil(log2 k) <= 24."""
+    b = ozaki_bits(k) if b_override is None else int(b_override)
+    if 2 * b + _ceil_log2(k) > 24:
+        raise ValueError(
+            f"Ozaki exactness violated: b={b}, K={k} "
+            f"(2b + ceil(log2 K) = {2 * b + _ceil_log2(k)} > 24) — "
+            "split the operator with k_t to bound b over both "
+            "contraction directions")
+    q = int(np.ceil(n_bits / b))
+    p = q
+    L = q - 1
+    bspec = _batch_spec(spec) if batched else None
+
+    def _op_operand(slices):
+        if (slices.dtype == jnp.bfloat16
+                and jax.default_backend() != "tpu"):
+            return slices.astype(jnp.float32)
+        return slices
+
+    def apply(slices, yh, yl):
+        y_slices = _df_slice(yh, yl, b, q, y_axis)
+        slices = _op_operand(slices)
+        sdt = slices.dtype
+        levels = [None] * (L + 1)
+        if batched:
+            for t in range(q):
+                smax = L - t + 1
+                P = jnp.einsum(bspec, slices[:smax],
+                               y_slices[t].astype(sdt),
+                               preferred_element_type=jnp.float32)
+                for s in range(smax):
+                    l = s + t
+                    levels[l] = (P[s] if levels[l] is None
+                                 else levels[l] + P[s])
+        else:
+            for s in range(p):
+                for t in range(q):
+                    l = s + t
+                    if l > L:
+                        continue
+                    P = jnp.einsum(spec, slices[s],
+                                   y_slices[t].astype(sdt),
+                                   preferred_element_type=jnp.float32)
+                    levels[l] = P if levels[l] is None else levels[l] + P
+        acc = DF(levels[0], jnp.zeros_like(levels[0]))
+        for l in range(1, L + 1):
+            acc = df_add(acc, DF(levels[l], jnp.zeros_like(levels[l])))
+        return acc.hi, acc.lo
+
+    return apply, b, p
+
+
 def make_ozaki_apply(spec: str, spec_t: str, k: int, y_axis: int,
                      n_bits: int = 48, s_bwd: int = 4,
-                     batched: bool = False):
+                     batched: bool = False, b_override: int = None):
     """Build `apply(slices, y_hi, y_lo) -> (hi, lo)`: a df-accurate
     contraction of a constant operator (pre-split via ozaki_split_np
     with the returned (b, p)) against a df operand.
@@ -309,52 +373,17 @@ def make_ozaki_apply(spec: str, spec_t: str, k: int, y_axis: int,
     exact-f32-add operands whose rounding sits at 2^-24 relative OF
     THE LEVEL, i.e. ~2^-(24+l*b) overall — far below the df target.
     """
-    b = ozaki_bits(k)
-    q = int(np.ceil(n_bits / b))
-    p = q
-    L = q - 1
-    bspec = _batch_spec(spec)
-
-    def _op_operand(slices):
-        """bf16-stored slices feed the dot directly on TPU (native
-        bf16 x bf16 -> f32 MXU path); other backends lack that dot
-        (CPU DotThunk: UNIMPLEMENTED), so upcast to f32 — BITWISE
-        equivalent, since slice values carry <= 8 significand bits
-        (products exact in both paths) and both accumulate in f32."""
-        if (slices.dtype == jnp.bfloat16
-                and jax.default_backend() != "tpu"):
-            return slices.astype(jnp.float32)
-        return slices
-
-    def _fwd_math(slices, yh, yl):
-        y_slices = _df_slice(yh, yl, b, q, y_axis)
-        slices = _op_operand(slices)
-        sdt = slices.dtype
-        levels = [None] * (L + 1)
-        if batched:
-            for t in range(q):
-                smax = L - t + 1
-                P = jnp.einsum(bspec, slices[:smax],
-                               y_slices[t].astype(sdt),
-                               preferred_element_type=jnp.float32)
-                for s in range(smax):
-                    l = s + t
-                    levels[l] = (P[s] if levels[l] is None
-                                 else levels[l] + P[s])
-        else:
-            for s in range(p):
-                for t in range(q):
-                    l = s + t
-                    if l > L:
-                        continue
-                    P = jnp.einsum(spec, slices[s],
-                                   y_slices[t].astype(sdt),
-                                   preferred_element_type=jnp.float32)
-                    levels[l] = P if levels[l] is None else levels[l] + P
-        acc = DF(levels[0], jnp.zeros_like(levels[0]))
-        for l in range(1, L + 1):
-            acc = df_add(acc, DF(levels[l], jnp.zeros_like(levels[l])))
-        return acc.hi, acc.lo
+    b = ozaki_bits(k) if b_override is None else int(b_override)
+    p = int(np.ceil(n_bits / b))
+    # bf16-stored slices feed the dot directly on TPU (native
+    # bf16 x bf16 -> f32 MXU path); other backends lack that dot
+    # (CPU DotThunk: UNIMPLEMENTED), so make_ozaki_contraction upcasts
+    # to f32 there — BITWISE equivalent, since slice values carry <= 8
+    # significand bits (products exact in both paths) and both
+    # accumulate in f32.
+    _fwd_math, _, _ = make_ozaki_contraction(
+        spec, k, y_axis, n_bits=n_bits, b_override=b_override,
+        batched=batched)
 
     @jax.custom_vjp
     def apply(slices, yh, yl):
@@ -421,22 +450,47 @@ class OzakiOp:
 
     def __init__(self, A: np.ndarray, spec: str, spec_t: str,
                  y_axis: int = -2, n_bits: int = 48,
-                 slice_dtype=np.float32, batched: bool = False):
+                 slice_dtype=np.float32, batched: bool = False,
+                 with_transpose: bool = False):
         # slice_dtype=bfloat16 is exact (slices carry <= 8 significand
         # bits) and halves the stored bytes, but measured at 1.00x speed
         # with bit-identical output on the mixing 256x128 solve
         # (BASELINE.md r4) — the apply is not slice-stream-bound. Keep
         # f32 unless HBM CAPACITY forces the half-size stacks.
+        #
+        # with_transpose=True additionally builds a PLAIN (non-vjp)
+        # df-accurate transposed apply over the SAME slice stack (A and
+        # A^T share the per-matrix split frames) — the hand-rolled df
+        # adjoint sweep's building block. The slice bit width is then
+        # bounded over BOTH contraction lengths so exact f32
+        # accumulation holds in both directions (e.g. Bx at 256x128:
+        # fwd K=129 allows b=8 but the transposed K=384 needs b=7).
         A = np.asarray(A, np.float64)
         k = A.shape[-1]
+        b_ov = None
+        if with_transpose:
+            b_ov = min(ozaki_bits(k), ozaki_bits(A.shape[-2]))
         self._apply, b, p = make_ozaki_apply(spec, spec_t, k, y_axis,
                                              n_bits=n_bits,
-                                             batched=batched)
+                                             batched=batched,
+                                             b_override=b_ov)
+        self._apply_T = None
+        if with_transpose:
+            # in every framework use the transposed contraction axis of
+            # the cotangent operand coincides with the forward y_axis
+            self._apply_T, _, _ = make_ozaki_contraction(
+                spec_t, A.shape[-2], y_axis, n_bits=n_bits,
+                b_override=b_ov, batched=batched)
         self.slices_np = ozaki_split_np(A, b, p).astype(slice_dtype)
         self.bits = b
 
     def apply(self, slices, y: DF) -> DF:
         return DF(*self._apply(slices, y.hi, y.lo))
+
+    def apply_T(self, slices, y: DF) -> DF:
+        """df-accurate A^T @ y over the same slice stack (requires
+        with_transpose=True at construction)."""
+        return DF(*self._apply_T(slices, y.hi, y.lo))
 
 
 class OzakiComplexOp:
@@ -447,12 +501,13 @@ class OzakiComplexOp:
 
     def __init__(self, A: np.ndarray, spec: str, spec_t: str,
                  y_axis: int = -2, n_bits: int = 48,
-                 slice_dtype=np.float32, batched: bool = False):
+                 slice_dtype=np.float32, batched: bool = False,
+                 with_transpose: bool = False):
         A = np.asarray(A)
         self.re = OzakiOp(A.real, spec, spec_t, y_axis, n_bits,
-                          slice_dtype, batched)
+                          slice_dtype, batched, with_transpose)
         self.im = OzakiOp(A.imag, spec, spec_t, y_axis, n_bits,
-                          slice_dtype, batched)
+                          slice_dtype, batched, with_transpose)
 
     @property
     def slices_np(self):
@@ -478,6 +533,44 @@ class OzakiComplexOp:
         p1 = self.re.apply(slices_pair[0], y)
         p2 = self.im.apply(slices_pair[1], y)
         return df_sub(_ch(p1, 0), _ch(p2, 1))
+
+    # --- real-adjoint (A^H) forms over the SAME slice stacks, for the
+    # hand-rolled df cotangent sweeps (with_transpose=True required).
+    # Derivations: with q the incoming packed cotangent, the real-linear
+    # adjoint of multiply-by-A is multiply-by-conj(A)^T = A^H.
+
+    def applyT_packed(self, slices_pair, q: DF) -> DF:
+        """A^H @ q on a packed df cotangent — the adjoint of
+        apply_packed: (Are^T qre + Aim^T qim, Are^T qim - Aim^T qre).
+        Requires a channel-carrying spec (e.g. "kij,kjc->kic" — the
+        S/MN tau-solve layout); for channel-less specs (Fx-style, which
+        consumed a real operand) use applyT_to_real."""
+        p1 = self.re.apply_T(slices_pair[0], q)
+        p2 = self.im.apply_T(slices_pair[1], q)
+        re = df_add(_ch(p1, 0), _ch(p2, 1))
+        im = df_sub(_ch(p1, 1), _ch(p2, 0))
+        return _pack2(re, im)
+
+    def applyT_to_real(self, slices_pair, q: DF) -> DF:
+        """Re(A^H @ q) of a packed cotangent — the adjoint of
+        apply_real_in (real operand in, packed out). The forward spec
+        here carries no channel axis (it consumed a REAL operand), so
+        the packed cotangent's channels are applied separately:
+        Re(A^H q) = Are^T q_re + Aim^T q_im."""
+        t1 = self.re.apply_T(slices_pair[0], _ch(q, 0))
+        t2 = self.im.apply_T(slices_pair[1], _ch(q, 1))
+        return df_add(t1, t2)
+
+    def applyT_from_real(self, slices_pair, q: DF) -> DF:
+        """A^H @ q with a REAL cotangent (no channel axis), packed out —
+        the adjoint of apply_real_out. The forward spec carries a
+        channel axis, so the real cotangent rides a singleton channel
+        through the transposed contraction."""
+        qc = df_map(lambda a: a[..., None], q)
+        re = self.re.apply_T(slices_pair[0], qc)
+        im = df_neg(self.im.apply_T(slices_pair[1], qc))
+        return _pack2(df_map(lambda a: a[..., 0], re),
+                      df_map(lambda a: a[..., 0], im))
 
 
 def _ch(x: DF, c: int) -> DF:

@@ -129,6 +129,20 @@ class MixingConfig:
                                  # floor) — the recommended wall-time
                                  # point; 48 (rel_J ~1e-11, the df
                                  # carry floor) is the safe default.
+    df_adjoint: bool = False     # df64 only: hand-rolled DOUBLE-FLOAT
+                                 # adjoint — the reverse sweep carries
+                                 # DF cotangent pairs through exact
+                                 # transposed Ozaki contractions
+                                 # (mixing_df adjoint section), breaking
+                                 # the measured 5.9e-4 f32-reverse-sweep
+                                 # gradient floor (BASELINE.md r4 s_bwd
+                                 # dead end; the reference comparison is
+                                 # its f64 discrete adjoint,
+                                 # FWD_Solve_Poiseuille.py:1320-1650).
+                                 # Costs ~2x the df64 fused call and
+                                 # stores the full DF trajectory
+                                 # (~0.8 GB at 256x128 x 1000 steps) —
+                                 # the opt-in deepest-accuracy mode.
     df_slice_dtype: str = "float32"
                                  # df64 only: storage dtype of the Ozaki
                                  # slice stacks. "bfloat16" is EXACT
@@ -570,21 +584,30 @@ class OptimalMixing:
                              if cfg.df_slice_dtype == "bfloat16"
                              else np.dtype(cfg.df_slice_dtype)),
                 n_bits=int(cfg.df_n_bits),
-                batched=bool(cfg.df_batched_einsums))
+                batched=bool(cfg.df_batched_einsums),
+                with_adjoint=bool(cfg.df_adjoint))
             self._ops_df = jax.tree.map(
                 lambda a: jax.device_put(jnp.asarray(a)),
                 self._dfe.ops_np())
+            # df_adjoint: differentiate the custom_vjp objective whose
+            # backward IS the hand-rolled DF reverse sweep; otherwise
+            # jax.grad of the df forward (f32 reverse sweep)
+            _obj_adj_aux = None
+            if cfg.df_adjoint:
+                _obj_for_grad, _obj_adj_aux = \
+                    self._dfe._build_adjoint_objective()
+            else:
+                _obj_for_grad = self._dfe.objective
             self._objective_df = jax.jit(self._dfe.objective)
             wdiv = np.asarray(self._w)
 
             def _grad_df(ops, xs):
-                raw = jax.grad(self._dfe.objective, argnums=1)(ops,
-                                                               list(xs))
+                raw = jax.grad(_obj_for_grad, argnums=1)(ops, list(xs))
                 return [raw[0] / jnp.asarray(wdiv)[None]]
 
             def _obj_and_grad_df(ops, xs):
                 J, raw = jax.value_and_grad(
-                    self._dfe.objective, argnums=1)(ops, list(xs))
+                    _obj_for_grad, argnums=1)(ops, list(xs))
                 return J, [raw[0] / jnp.asarray(wdiv)[None]]
 
             def _obj_and_grad_df_pair(ops, xs):
@@ -595,9 +618,13 @@ class OptimalMixing:
                 # absolute, the exact resolution objective_f64 exists
                 # to avoid. Gradient definition is IDENTICAL to
                 # _obj_and_grad_df (grad of hi + lo).
-                def f(ops_, xs_):
-                    Jdf = self._dfe._objective_df(ops_, list(xs_))
-                    return Jdf.hi + Jdf.lo, jnp.stack([Jdf.hi, Jdf.lo])
+                if _obj_adj_aux is not None:
+                    f = _obj_adj_aux   # DF-adjoint reverse sweep
+                else:
+                    def f(ops_, xs_):
+                        Jdf = self._dfe._objective_df(ops_, list(xs_))
+                        return (Jdf.hi + Jdf.lo,
+                                jnp.stack([Jdf.hi, Jdf.lo]))
 
                 (_, pair), raw = jax.value_and_grad(
                     f, argnums=1, has_aux=True)(ops, list(xs))

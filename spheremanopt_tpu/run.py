@@ -149,6 +149,14 @@ def build_parser() -> argparse.ArgumentParser:
                          "operators. 32 is ~1.73x faster than the "
                          "48-bit default at identical gradient "
                          "accuracy (BASELINE.md r4 n_bits sweep)")
+    ap.add_argument("--df-adjoint", action="store_true",
+                    help="mixing df64 only: hand-rolled DOUBLE-FLOAT "
+                         "adjoint — DF cotangent pairs through exact "
+                         "transposed Ozaki contractions, breaking the "
+                         "5.9e-4 f32-reverse-sweep gradient floor down "
+                         "to the f32-output class (~1e-7; the "
+                         "deepest-accuracy mode, ~2x the df64 fused "
+                         "call)")
     return ap
 
 
@@ -309,6 +317,12 @@ def make_problem(args):
                     f"--precision {args.precision!r} has no kdyn "
                     "mapping (use default|high|compensated|highest|"
                     "df64)")
+        if args.df_adjoint:
+            raise SystemExit(
+                "--df-adjoint is a mixing-only mode (the KDyn df64 "
+                "engine's reverse sweep is jax.grad; its measured "
+                "gradient floor is already the 1e-5 class — BENCH_r04 "
+                "kdyn24_df64_rel_g)")
         if args.remat is not None:
             kw["remat"] = False if args.remat == "none" else args.remat
         if args.mesh_shape is not None:
@@ -336,6 +350,12 @@ def make_problem(args):
                       ("df_n_bits", args.df_n_bits)]:
         if val is not None:
             kw[name] = val
+    if args.df_adjoint:
+        if args.precision != "df64":
+            raise SystemExit("--df-adjoint requires --precision df64 "
+                             "(it is the df64 engine's reverse-sweep "
+                             "mode)")
+        kw["df_adjoint"] = True
     p = OptimalMixing(MixingConfig(**kw))
     return p, None, dict(alpha=100.0, max_iters=200)
 
