@@ -926,8 +926,16 @@ def bench_kdyn_rtr_workload(repeats=2):
     p = KinematicDynamo(KDynConfig(npts=24, n_iters=2000, dt=5e-4,
                                    dtype="float32",
                                    project_gradients=False))
+    # rho_max: the FIRST on-chip run of this row (2026-08-20) measured
+    # plain rho-acceptance stepping into the CNAB1 CFL-instability
+    # region — the discrete objective is unbounded below through it
+    # (J -> -3.5e9 "gain"; the reference's Wolfe curvature condition
+    # implicitly regularises against this). The model-breakdown guard
+    # rejects cliff trials (actual decrease orders beyond the quadratic
+    # prediction) and keeps the optimisation on the physical branch.
     opt = jit_optimise_rtr(p.objective, p.gradient, p.inner_product,
-                           p.radii, err_tol=1e-6, max_iters=10)
+                           p.radii, err_tol=1e-6, max_iters=10,
+                           rho_max=100.0)
     x0 = [jnp.asarray(np.asarray(x), jnp.float32)
           for x in p.generate_ic(seed=42)]
     return _time_device_loop(opt, x0, repeats=repeats)
@@ -1266,13 +1274,17 @@ def _main_with_retry():
         main()
         return
     env = dict(os.environ, SMO_BENCH_CHILD="1")
+    # the child's kill timeout must track the soft budget (a raised
+    # SMO_BENCH_BUDGET with a fixed 1650 s cap killed run-1 of the r5
+    # watcher mid-secondaries and silently restarted everything)
+    child_timeout = float(os.environ.get("SMO_BENCH_BUDGET", "1500")) + 150
     last_err = ""
     partial = None
     for attempt in range(2):
         try:
             out = subprocess.run(
                 [sys.executable, __file__], env=env, capture_output=True,
-                text=True, timeout=1650,
+                text=True, timeout=child_timeout,
             )
             lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
             if out.returncode == 0 and lines:

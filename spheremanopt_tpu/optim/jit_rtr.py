@@ -66,6 +66,7 @@ def jit_optimise_rtr(
     delta0: Optional[float] = None,
     delta_max: Optional[float] = None,
     rho_accept: float = 0.1,
+    rho_max: Optional[float] = None,
     theta: float = 1.0,
     kappa: float = 0.1,
     max_cg: int = 50,
@@ -154,6 +155,12 @@ def jit_optimise_rtr(
             rho = jnp.where(jnp.isfinite(J_trial),
                             (J - J_trial) / pred,
                             jnp.asarray(-jnp.inf, dtype))
+            if rho_max is not None:
+                # model-breakdown guard, host-parity (optim/rtr.py):
+                # a cliff inside the trust region (KDyn's CFL
+                # instability) is rejected like a failed trial
+                rho = jnp.where(rho > rho_max,
+                                jnp.asarray(-jnp.inf, dtype), rho)
             # Absil-Baker-Gallivan radius update (host order: before the
             # acceptance test), frozen on a terminating trial
             delta_new = jnp.where(

@@ -240,6 +240,7 @@ def optimise_rtr(
     delta0: Optional[float] = None,
     delta_max: Optional[float] = None,
     rho_accept: float = 0.1,
+    rho_max: Optional[float] = None,
     theta: float = 1.0,
     kappa: float = 0.1,
     max_cg: int = 50,
@@ -338,6 +339,17 @@ def optimise_rtr(
             break
         rho = ((J_k - J_trial) / pred
                if np.isfinite(J_trial) else -np.inf)
+        if rho_max is not None and rho > rho_max:
+            # model-breakdown guard: an actual decrease ORDERS beyond
+            # the quadratic model's prediction means the objective has
+            # a cliff inside the trust region — measured on the KDyn
+            # 24^3 workload, where the discrete objective is unbounded
+            # below through the CNAB1 CFL-instability region and plain
+            # rho-acceptance happily steps into it (J -> -3.5e9; the
+            # reference's Wolfe curvature condition implicitly
+            # regularises against this). Treat like a failed trial:
+            # reject and shrink.
+            rho = -np.inf
 
         # standard radius update (Absil-Baker-Gallivan Alg. 1)
         if rho < 0.25:

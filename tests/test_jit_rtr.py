@@ -254,3 +254,47 @@ def test_tight_max_trials_still_runs_the_cap_pass(pca):
     assert bool(rd.converged) == rh.converged
     np.testing.assert_array_equal(np.asarray(rd.function_values[:k]),
                                   np.asarray(rh.function_values))
+
+
+def test_rho_max_model_breakdown_guard_host_device_parity():
+    """rho_max rejects trials whose ACTUAL decrease is orders beyond
+    the quadratic model's prediction — the cliff case measured on the
+    KDyn 24^3 workload, where plain rho-acceptance steps into the CNAB1
+    CFL-instability region (the discrete objective is unbounded below
+    through it; the reference's Wolfe curvature condition implicitly
+    regularises). Synthetic cliff: a smooth sphere objective with a
+    catastrophic well away from the start. With rho_max the drivers
+    must avoid the cliff value and stay host/device parity; without it
+    the cliff is (correctly, per classic TR) accepted."""
+    import jax
+
+    n = 32
+    rng = np.random.RandomState(5)
+    M = rng.rand(n, n)
+    M = 0.1 * (M + M.T)
+    c = rng.rand(n)
+    c /= np.linalg.norm(c)
+    Mj, cj = jnp.asarray(M), jnp.asarray(c)
+
+    def f(xs):
+        x = xs[0]
+        smooth = x @ Mj @ x
+        # cliff: a deep narrow well around +-c (depth 1e6, width ~0.1)
+        d2 = jnp.sum((x - cj) ** 2)
+        return smooth - 1e6 * jnp.exp(-d2 / 0.01)
+
+    grad_f = lambda xs: [jax.grad(lambda x: f([x]))(xs[0])]      # noqa: E731
+
+    x0 = [jnp.asarray(rng.rand(n))]
+    kw = dict(err_tol=1e-8, max_iters=25)
+    rh = optimise_rtr(x0, [1.0], f, grad_f, lambda a, b: jnp.dot(a, b),
+                      rho_max=100.0, verbose=False, **kw)
+    opt = jit_optimise_rtr(f, grad_f, lambda a, b: jnp.dot(a, b), [1.0],
+                           rho_max=100.0, **kw)
+    rd = opt(x0)
+    k = int(rd.iterations)
+    assert k == rh.iterations
+    np.testing.assert_array_equal(np.asarray(rd.function_values[:k]),
+                                  np.asarray(rh.function_values))
+    # the guarded run stays on the smooth branch (never the -1e6 well)
+    assert rh.function_values[-1] < 1e3, rh.function_values[-1]
