@@ -926,19 +926,31 @@ def bench_kdyn_rtr_workload(repeats=2):
     p = KinematicDynamo(KDynConfig(npts=24, n_iters=2000, dt=5e-4,
                                    dtype="float32",
                                    project_gradients=False))
-    # rho_max: the FIRST on-chip run of this row (2026-08-20) measured
-    # plain rho-acceptance stepping into the CNAB1 CFL-instability
-    # region — the discrete objective is unbounded below through it
-    # (J -> -3.5e9 "gain"; the reference's Wolfe curvature condition
-    # implicitly regularises against this). The model-breakdown guard
-    # rejects cliff trials (actual decrease orders beyond the quadratic
-    # prediction) and keeps the optimisation on the physical branch.
+    # MEASURED FINDING (r5, on-chip): this workload's gain objective is
+    # UNBOUNDED over the control sphere — concentrating u raises the
+    # induction growth rate without limit, and the discrete objective
+    # rewards marching into the CNAB1 CFL-instability region (uncapped
+    # RTR reaches gain 3.5e9; rho_max=100 alone slows it to 3.9e6; the
+    # reference's 10-iteration Wolfe+CG study result is line-search-
+    # regularised, not an optimum). So "J_final strictly better than
+    # CG's" is a step-size race here, not an optimisation-quality
+    # metric. The row records the PRINCIPLED configuration: trust
+    # radius capped at 0.25x the sphere scale (the measured largest cap
+    # whose 10-iteration trajectory stays on the physical branch —
+    # delta_max sweep, BASELINE.md r5) + the model-breakdown guard.
+    scale = float(np.sqrt(sum(float(r) for r in p.radii)))
     opt = jit_optimise_rtr(p.objective, p.gradient, p.inner_product,
                            p.radii, err_tol=1e-6, max_iters=10,
-                           rho_max=100.0)
+                           rho_max=100.0, delta_max=0.25 * scale)
     x0 = [jnp.asarray(np.asarray(x), jnp.float32)
           for x in p.generate_ic(seed=42)]
-    return _time_device_loop(opt, x0, repeats=repeats)
+    out = _time_device_loop(opt, x0, repeats=repeats)
+    out["regularisation"] = {
+        "note": "delta_max=0.25*sphere_scale + rho_max=100 — the gain "
+                "objective is unbounded (see bench_kdyn_rtr_workload "
+                "docstring / BASELINE.md r5); uncapped RTR measured "
+                "gain 3.5e9 through the CFL hole"}
+    return out
 
 
 def bench_mixing_rtr_workload(repeats=2):
