@@ -481,7 +481,25 @@ class OzakiOp:
             self._apply_T, _, _ = make_ozaki_contraction(
                 spec_t, A.shape[-2], y_axis, n_bits=n_bits,
                 b_override=b_ov, batched=batched)
-        self.slices_np = ozaki_split_np(A, b, p).astype(slice_dtype)
+        # the exact f64 split of the big operator stacks is pure-CPU
+        # work repeated per engine construction (~30-90 s at the mixing
+        # reference configs, and one bench run builds THREE df64
+        # engines) — serve it from the on-disk op cache, keyed by the
+        # operator bytes + split geometry. Cached as f32 (the split's
+        # native dtype); the slice_dtype cast happens outside the cache
+        # (bf16 is not npz-serialisable, and the cast is exact for
+        # <= 8-significand-bit slices).
+        import hashlib
+
+        from spheremanopt_tpu.utils import opcache
+
+        parts = {"kind": "ozaki_split",
+                 "a_sha": hashlib.sha256(A.tobytes()).hexdigest()[:24],
+                 "shape": tuple(A.shape), "b": int(b), "p": int(p),
+                 "src": opcache.source_digest(ozaki_split_np)}
+        (raw,) = opcache.cached_arrays(
+            parts, lambda: (ozaki_split_np(A, b, p),), ("slices",))
+        self.slices_np = raw.astype(slice_dtype)
         self.bits = b
 
     def apply(self, slices, y: DF) -> DF:

@@ -80,3 +80,26 @@ def test_corrupt_entry_rebuilds(tmp_path, monkeypatch):
         fh.write(b"torn")
     p2 = OptimalMixing(MixingConfig(**CFG))   # must rebuild, not crash
     np.testing.assert_array_equal(p1._S_np, p2._S_np)
+
+
+def test_ozaki_split_served_from_cache(tmp_path, monkeypatch):
+    """OzakiOp's exact f64 split is served from the on-disk op cache
+    (one bench run builds THREE df64 engines; the splits are ~30-90 s
+    of pure-CPU work at the mixing reference configs) — bitwise equal
+    through the roundtrip, keyed by operator bytes + split geometry."""
+    import numpy as np
+
+    from spheremanopt_tpu.ops.doublefloat import OzakiOp
+
+    monkeypatch.setenv("SMO_OP_CACHE", str(tmp_path))
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((64, 48))
+    op1 = OzakiOp(A, "nz,kzc->knc", "nz,knc->kzc")
+    files = list(tmp_path.glob("ops_*.npz"))
+    assert len(files) == 1          # split cached
+    op2 = OzakiOp(A, "nz,kzc->knc", "nz,knc->kzc")
+    np.testing.assert_array_equal(op1.slices_np, op2.slices_np)
+    assert len(list(tmp_path.glob("ops_*.npz"))) == 1   # served, not rebuilt
+    # a different operator gets its own entry (no key collision)
+    OzakiOp(A + 1.0, "nz,kzc->knc", "nz,knc->kzc")
+    assert len(list(tmp_path.glob("ops_*.npz"))) == 2
