@@ -448,6 +448,18 @@ def bench_kdyn(repeats_tpu=5, repeats_cpu=1):
         fast["df64_s"] = t_d
         fast["df64_rel_J"] = rj_d
         fast["df64_rel_g"] = rg_d
+        # df64 + hand-rolled DF adjoint (KDyn generalisation of the
+        # mixing DF-cotangent sweep, r5): grad rel-err vs the pinned
+        # f64 truth must break the ~1e-5 f32-reverse floor
+        del p_df
+        p_adj = KinematicDynamo(
+            KDynConfig(npts=24, n_iters=2000, dt=5e-4, dtype=dtype,
+                       project_gradients=False, solve_precision="df64",
+                       df_adjoint=True))
+        t_a, rj_a, rg_a = one(p_adj, repeats=2)
+        fast["df64adj_s"] = t_a
+        fast["df64adj_rel_J"] = rj_a
+        fast["df64adj_rel_g"] = rg_a
     # NOTE: KDyn method="pallas" is deliberately NOT benched: Mosaic
     # compile of the 22-einsum unaligned step body measures ~16 min per
     # program through the compile helper (OOM-SIGKILL at 2000 steps) —

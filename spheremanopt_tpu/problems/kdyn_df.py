@@ -78,7 +78,7 @@ class KDynDFEngine:
     f32 scalar -J; jax.grad of it is the discrete gradient."""
 
     def __init__(self, prob, n_bits: int = 48, slice_dtype=np.float32,
-                 batched: bool = False):
+                 batched: bool = False, with_adjoint: bool = False):
         if not df_probe():
             raise RuntimeError(
                 "doublefloat self-probe failed: this compiler elides "
@@ -88,8 +88,14 @@ class KDynDFEngine:
         self._n_iters = cfg.n_iters
         self._remat = cfg.remat
         self._integrated = cfg.cost == "Integrated"
+        self.with_adjoint = bool(with_adjoint)
 
-        kw = dict(n_bits=n_bits, slice_dtype=slice_dtype, batched=batched)
+        # with_adjoint: also build plain transposed df contractions over
+        # the same slice stacks — the hand-rolled DF-cotangent reverse
+        # sweep's building blocks (same design as mixing_df; bit width
+        # bounded over both contraction directions)
+        kw = dict(n_bits=n_bits, slice_dtype=slice_dtype, batched=batched,
+                  with_transpose=self.with_adjoint)
         # transforms, split from the EXACT f64 operators. Forward
         # (analysis) contracts the mg-sized grid axes; inverse
         # (synthesis) contracts the truncated n / n//2+1 mode axes.
@@ -228,3 +234,136 @@ class KDynDFEngine:
         line-search comparisons)."""
         J = self._objective_df(list(x_list))
         return jnp.stack([J.hi, J.lo])
+
+    # ==================================================================
+    # hand-rolled DOUBLE-FLOAT ADJOINT (df cotangents) — with_adjoint
+    # ==================================================================
+    #
+    # The KDyn counterpart of mixing_df's DF-cotangent sweep: the same
+    # discrete adjoint jax.grad evaluates in f32 (the measured 1.05e-5
+    # kdyn24 df64 gradient floor, BENCH r4/r5) carried as DF pairs,
+    # with every transform transposition an exact-split Ozaki
+    # contraction over the shared slice stacks. The Leray projection,
+    # the diagonal CNAB1 factors and the mean-mode pin are
+    # SELF-ADJOINT (symmetric real per mode), so the adjoint step
+    # reuses the forward's own df operators; cross products transpose
+    # via <a x b, c> = <b, c x a>.
+
+    def to_coeff_T(self, q: DF) -> DF:
+        """Adjoint of to_coeff: packed coeff cotangent -> real grid."""
+        q = df_mul_f(q, jnp.asarray(self._keep))
+        q = self._oFx.applyT_packed(self._sl(self._oFx), q)
+        q = self._oFy.applyT_packed(self._sl(self._oFy), q)
+        return self._oFz.applyT_to_real(self._sl(self._oFz), q)
+
+    def to_grid_T(self, q: DF) -> DF:
+        """Adjoint of to_grid: real grid cotangent -> packed coeffs."""
+        y = self._oBz.applyT_from_real(self._sl(self._oBz), q)
+        y = self._oBy.applyT_packed(self._sl(self._oBy), y)
+        return self._oBx.applyT_packed(self._sl(self._oBx), y)
+
+    def _induction_adjoint(self, b_c: DF, u_g: DF, q: DF):
+        """Adjoint of `_induction` at the stored state: packed cotangent
+        q -> (coeff cotangent of b_c, GRID cotangent of u_g)."""
+        k = _dfc(self._k_df)
+        kr = DF(k.hi[..., 0], k.lo[..., 0])
+        qr, qi = _ch(q, 0), _ch(q, 1)
+        # out = pack(-(kr x e_im), kr x e_re); <k x a, c> = <a, c x k>
+        er_cot = _cross(qi, kr)
+        ei_cot = df_neg(_cross(qr, kr))
+        cgrid = self.to_coeff_T(_pack2(er_cot, ei_cot))
+        bg = self.to_grid(b_c)
+        # z = cross(u, bg): bg_cot = c x u, u_cot = bg x c
+        cb = self.to_grid_T(_cross(cgrid, u_g))
+        cu = _cross(bg, cgrid)
+        return cb, cu
+
+    def _step_adjoint(self, b_c: DF, u_g: DF, cb1: DF):
+        """Adjoint of `_step`: cotangent of the step output -> (cotangent
+        of the step input, grid cotangent contribution of u)."""
+        q = _dfmap(lambda a: a.at[:, 0, 0, 0, :].set(0.0), cb1)
+        q = df_mul(q, _dfc(self._lhs_df))
+        q = self._leray(q)
+        cb = df_mul(q, _dfc(self._rhs_df))
+        dcb, du = self._induction_adjoint(b_c, u_g, q)
+        return df_add(cb, dcb), du
+
+    def _energy_adjoint(self, c: DF, scale: DF) -> DF:
+        """d(energy)/dc scaled: 2 * pw (.) c on both channels."""
+        pw = _dfc(self._pw_df)
+        two = jnp.float32(2.0)
+        re = df_mul(df_mul_f(df_mul(_ch(c, 0), pw), two), scale)
+        im = df_mul(df_mul_f(df_mul(_ch(c, 1), pw), two), scale)
+        return _pack2(re, im)
+
+    def _build_adjoint_objective(self):
+        """`(objective_adj, objective_adj_aux)` whose custom_vjp
+        backward IS the hand-rolled DF reverse sweep (same contract as
+        mixing_df._build_adjoint_objective; aux = the (hi, lo) J
+        pair)."""
+        integrated = self._integrated
+        n_iters = self._n_iters
+
+        def _fwd_scan(x):
+            b0 = df_from_f(x[0].astype(jnp.float32))
+            u = df_from_f(x[1].astype(jnp.float32))
+            b0_c = self.to_coeff(b0)
+            u_bl = self.to_grid(self.to_coeff(u))
+
+            def body(carry, _):
+                b, acc = carry
+                state = b
+                if integrated:
+                    acc = df_add(acc, self._energy(b))
+                b = self._step(b, u_bl)
+                return (b, acc), state
+
+            z = jnp.zeros((), jnp.float32)
+            (bN, acc), traj = jax.lax.scan(body, (b0_c, DF(z, z)),
+                                           xs=None, length=n_iters)
+            if integrated:
+                acc = df_add(acc, self._energy(bN))
+                J = df_neg(df_mul(acc, _dfc(self._dt_df)))
+            else:
+                J = df_neg(self._energy(bN))
+            return J, traj, bN, u_bl
+
+        @jax.custom_vjp
+        def objective_adj_aux(x_list):
+            J, _, _, _ = _fwd_scan(list(x_list))
+            return J.hi + J.lo, jnp.stack([J.hi, J.lo])
+
+        def fwd(x_list):
+            J, traj, bN, u_bl = _fwd_scan(list(x_list))
+            return ((J.hi + J.lo, jnp.stack([J.hi, J.lo])),
+                    (traj, bN, u_bl))
+
+        def bwd(res, cots):
+            traj, bN, u_bl = res
+            cj = df_from_f(cots[0])   # the pair cotangent is zero
+            if integrated:
+                scale = df_neg(df_mul(cj, _dfc(self._dt_df)))
+            else:
+                scale = df_neg(cj)
+            cb = self._energy_adjoint(bN, scale)
+            cu0 = DF(jnp.zeros_like(u_bl.hi), jnp.zeros_like(u_bl.lo))
+
+            def rbody(carry, state):
+                cb, cu = carry
+                cb, du = self._step_adjoint(state, u_bl, cb)
+                if integrated:
+                    cb = df_add(cb, self._energy_adjoint(state, scale))
+                return (cb, df_add(cu, du)), None
+
+            (cb, cu_bl), _ = jax.lax.scan(rbody, (cb, cu0), traj,
+                                          reverse=True)
+            gb = self.to_coeff_T(cb)
+            gu = self.to_coeff_T(self.to_grid_T(cu_bl))
+            return ([gb.hi + gb.lo, gu.hi + gu.lo],)
+
+        objective_adj_aux.defvjp(fwd, bwd)
+
+        def objective_adj(x_list):
+            return objective_adj_aux(x_list)[0]
+
+        return objective_adj, objective_adj_aux

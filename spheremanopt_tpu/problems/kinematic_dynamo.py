@@ -178,6 +178,16 @@ class KDynConfig:
                                  # df64 only: one batched einsum per
                                  # rhs slice (measured TPU dead end on
                                  # mixing; knob kept for other backends)
+    df_adjoint: bool = False     # df64 only: hand-rolled DOUBLE-FLOAT
+                                 # adjoint — DF cotangent pairs through
+                                 # exact transposed Ozaki contractions
+                                 # (kdyn_df adjoint section; same
+                                 # design as MixingConfig.df_adjoint),
+                                 # breaking the ~1e-5 f32-reverse-sweep
+                                 # gradient floor down to the
+                                 # f32-output class. Stores the DF
+                                 # coefficient trajectory (~0.4 GB at
+                                 # 24^3 x 2000).
 
 
 class KinematicDynamo:
@@ -433,17 +443,27 @@ class KinematicDynamo:
                 slice_dtype=(jnp.bfloat16
                              if cfg.df_slice_dtype == "bfloat16"
                              else np.dtype(cfg.df_slice_dtype)),
-                batched=bool(cfg.df_batched_einsums))
+                batched=bool(cfg.df_batched_einsums),
+                with_adjoint=bool(cfg.df_adjoint))
             self._objective_df = jax.jit(
                 lambda xs: self._dfe.objective(list(xs)))
             self._objective_df_pair = jax.jit(
                 lambda xs: self._dfe.objective_pair(list(xs)))
+            # df_adjoint: differentiate the custom_vjp objective whose
+            # backward IS the hand-rolled DF reverse sweep; otherwise
+            # jax.grad of the df forward (f32 reverse sweep)
+            _obj_adj_aux = None
+            if cfg.df_adjoint:
+                _obj_for_grad, _obj_adj_aux = \
+                    self._dfe._build_adjoint_objective()
+            else:
+                _obj_for_grad = self._dfe.objective
 
             def _grad_df(xs):
-                return _riesz(jax.grad(self._dfe.objective)(list(xs)))
+                return _riesz(jax.grad(_obj_for_grad)(list(xs)))
 
             def _obj_and_grad_df(xs):
-                J, raw = jax.value_and_grad(self._dfe.objective)(list(xs))
+                J, raw = jax.value_and_grad(_obj_for_grad)(list(xs))
                 return J, _riesz(raw)
 
             def _obj_and_grad_df_pair(xs):
@@ -453,9 +473,13 @@ class KinematicDynamo:
                 # f32 scalar would round every trial to ~ulp(J)).
                 # Gradient definition is IDENTICAL to _obj_and_grad_df
                 # (grad of hi + lo).
-                def f(xs_):
-                    Jdf = self._dfe._objective_df(list(xs_))
-                    return Jdf.hi + Jdf.lo, jnp.stack([Jdf.hi, Jdf.lo])
+                if _obj_adj_aux is not None:
+                    f = _obj_adj_aux   # DF-adjoint reverse sweep
+                else:
+                    def f(xs_):
+                        Jdf = self._dfe._objective_df(list(xs_))
+                        return (Jdf.hi + Jdf.lo,
+                                jnp.stack([Jdf.hi, Jdf.lo]))
 
                 (_, pair), raw = jax.value_and_grad(
                     f, has_aux=True)(list(xs))

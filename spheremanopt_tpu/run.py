@@ -150,13 +150,14 @@ def build_parser() -> argparse.ArgumentParser:
                          "48-bit default at identical gradient "
                          "accuracy (BASELINE.md r4 n_bits sweep)")
     ap.add_argument("--df-adjoint", action="store_true",
-                    help="mixing df64 only: hand-rolled DOUBLE-FLOAT "
-                         "adjoint — DF cotangent pairs through exact "
-                         "transposed Ozaki contractions, breaking the "
-                         "5.9e-4 f32-reverse-sweep gradient floor down "
-                         "to the f32-output class (~1e-7; the "
+                    help="df64 only (mixing + kdyn): hand-rolled "
+                         "DOUBLE-FLOAT adjoint — DF cotangent pairs "
+                         "through exact transposed Ozaki contractions, "
+                         "breaking the f32-reverse-sweep gradient "
+                         "floors (mixing 5.9e-4 -> 5.4e-8 measured "
+                         "on-chip) down to the f32-output class; the "
                          "deepest-accuracy mode, ~2x the df64 fused "
-                         "call)")
+                         "call")
     return ap
 
 
@@ -318,11 +319,11 @@ def make_problem(args):
                     "mapping (use default|high|compensated|highest|"
                     "df64)")
         if args.df_adjoint:
-            raise SystemExit(
-                "--df-adjoint is a mixing-only mode (the KDyn df64 "
-                "engine's reverse sweep is jax.grad; its measured "
-                "gradient floor is already the 1e-5 class — BENCH_r04 "
-                "kdyn24_df64_rel_g)")
+            if args.precision != "df64":
+                raise SystemExit("--df-adjoint requires --precision "
+                                 "df64 (it is the df64 engine's "
+                                 "reverse-sweep mode)")
+            kw["df_adjoint"] = True
         if args.remat is not None:
             kw["remat"] = False if args.remat == "none" else args.remat
         if args.mesh_shape is not None:

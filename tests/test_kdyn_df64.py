@@ -258,3 +258,72 @@ def test_cli_precision_flag_selects_df64():
     p, _x0, _defaults = make_problem(args)
     assert p.cfg.matmul_precision == "highest"
     assert p._dfe is None
+
+
+class TestKDynDFAdjoint:
+    """Hand-rolled DF-cotangent adjoint for KDyn (r5 generalisation of
+    the mixing DF adjoint; kdyn_df adjoint section). Both control
+    cotangents (dJ/dB0 and dJ/dU) come from the same DF reverse sweep;
+    the Leray/diagonal/mean-pin blocks are self-adjoint and reuse the
+    forward's df operators."""
+
+    @pytest.fixture(scope="class")
+    def probs(self):
+        kw = dict(npts=8, n_iters=20, dt=2e-3, rm=1.0)
+        p64 = KinematicDynamo(KDynConfig(dtype="float64", **kw))
+        p_adj = KinematicDynamo(KDynConfig(dtype="float32",
+                                           solve_precision="df64",
+                                           df_adjoint=True, **kw))
+        x0 = [np.asarray(a, np.float64) for a in p64.generate_ic(seed=3)]
+        return p64, p_adj, x0
+
+    def test_both_cotangents_match_f64_truth(self, probs):
+        p64, p_adj, x0 = probs
+        g64 = [np.asarray(g, np.float64) for g in p64.gradient(x0)]
+        x32 = [jnp.asarray(a, jnp.float32) for a in x0]
+        g_adj = [np.asarray(g, np.float64) for g in p_adj.gradient(x32)]
+        for ga, gt in zip(g_adj, g64):
+            rel = np.linalg.norm(ga - gt) / np.linalg.norm(gt)
+            # f32 input-cast + output-rounding class (measured 1.8e-7 /
+            # 2.3e-7 for dB0/dU; the plain-df64 f32 reverse sits ~2x
+            # higher already at this benign horizon)
+            assert rel < 1e-6, rel
+
+    def test_taylor_order_2(self, probs):
+        from spheremanopt_tpu.grad.testgrad import adjoint_gradient_test
+
+        _, p_adj, x0 = probs
+        x32 = [jnp.asarray(a, jnp.float32) for a in x0]
+        dx = [jnp.asarray(np.asarray(a), jnp.float32)
+              for a in p_adj.generate_ic(seed=9)]
+        # eps=1e-2: tiny-eps remainders floor at the hand-rolled
+        # adjoint's ~1e-7-relative accuracy (see the mixing DF-adjoint
+        # Taylor note, tests/test_mixing_df_adjoint.py)
+        r = adjoint_gradient_test(x32, dx, p_adj.objective_f64,
+                                  p_adj.gradient, p_adj.inner_product,
+                                  epsilon=1e-2, verbose=False)
+        assert abs(r.gamma2 - 2.0) < 0.05, r.gamma2
+
+    def test_fused_pair_form_matches_split_calls(self, probs):
+        _, p_adj, x0 = probs
+        x32 = [jnp.asarray(a, jnp.float32) for a in x0]
+        J, g = p_adj.objective_and_gradient(x32)
+        g2 = p_adj.gradient(x32)
+        for a, b in zip(g, g2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_integrated_cost_adjoint(self):
+        """The Integrated (time-summed energy) objective's DF adjoint:
+        per-step energy seeds accumulate through the reverse scan."""
+        kw = dict(npts=8, n_iters=15, dt=2e-3, rm=1.0, cost="Integrated")
+        p64 = KinematicDynamo(KDynConfig(dtype="float64", **kw))
+        p_adj = KinematicDynamo(KDynConfig(dtype="float32",
+                                           solve_precision="df64",
+                                           df_adjoint=True, **kw))
+        x0 = [np.asarray(a, np.float64) for a in p64.generate_ic(seed=3)]
+        g64 = [np.asarray(g, np.float64) for g in p64.gradient(x0)]
+        x32 = [jnp.asarray(a, jnp.float32) for a in x0]
+        g_adj = [np.asarray(g, np.float64) for g in p_adj.gradient(x32)]
+        for ga, gt in zip(g_adj, g64):
+            rel = np.linalg.norm(ga - gt) / np.linalg.norm(gt)
+            assert rel < 1e-6, rel
