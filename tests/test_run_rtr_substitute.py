@@ -69,3 +69,26 @@ def test_rtr_without_pallas_is_untouched():
                "--n-iters", "10"])
     p, _, _ = make_problem(a)
     assert p.cfg.method in ("matmul", "fft")   # CPU default path
+
+
+def test_df_adjoint_cli_wire(tmp_path):
+    """--df-adjoint composes with --precision df64 on BOTH problems
+    (mixing + kdyn) and is rejected loudly without it."""
+    from spheremanopt_tpu.run import build_parser, make_problem
+
+    a = build_parser().parse_args(
+        ["mixing", "--precision", "df64", "--df-adjoint",
+         "--dtype", "float32",   # the df64 engine is the f32 TPU mode
+         "--nx", "16", "--nz", "8", "--n-iters", "5"])
+    p, _, _ = make_problem(a)
+    assert p._dfe is not None and p._dfe.with_adjoint
+    a = build_parser().parse_args(
+        ["kdyn", "--precision", "df64", "--df-adjoint",
+         "--dtype", "float32", "--npts", "8", "--n-iters", "5"])
+    p, _, _ = make_problem(a)
+    assert p._dfe is not None and p._dfe.with_adjoint
+    for prob in ("mixing", "kdyn"):
+        a = build_parser().parse_args(
+            [prob, "--df-adjoint", "--n-iters", "5"])
+        with pytest.raises(SystemExit, match="df64"):
+            make_problem(a)
