@@ -112,8 +112,12 @@ def _wait_for_tpu(t_start: float, budget_s: float, reserve_s: float = 420.0,
         if state is not None:
             state["wedged"] = True
         probe_timeout = 30
+        # give up BEFORE sleeping when another sleep+probe cycle cannot
+        # fit inside max_wait_s — otherwise the intended one-cheap-probe
+        # fast skip (row_wait=45 while known-wedged) actually costs
+        # probe(30) + sleep(45) + probe(30) ~ 105 s per row
         if max_wait_s is not None and \
-                time.perf_counter() - t_wait0 >= max_wait_s:
+                time.perf_counter() - t_wait0 + 45.0 >= max_wait_s:
             return False
         if budget_s - (time.perf_counter() - t_start) < reserve_s:
             return False
@@ -1151,8 +1155,12 @@ def main():
             fresh[name + "_fwd_grad_ms"] = round(tpu_ms, 3)
             fresh[name + "_vs_baseline"] = round(cpu_ms / tpu_ms, 2)
         for k, v in r.items():
+            # None passes through as JSON null (e.g. a workload row's
+            # J_final when zero iterates were accepted — the RTR rows'
+            # guards make that reachable; round(float(None)) would
+            # TypeError and poison the whole run as 'contaminated')
             fresh[f"{name}_{k}"] = (
-                v if isinstance(v, dict)
+                v if isinstance(v, dict) or v is None
                 else f"{v:.2e}" if "rel" in k
                 else round(float(v), 4))
         extra.update(fresh)

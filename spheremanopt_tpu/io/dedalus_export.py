@@ -111,6 +111,10 @@ def export_dedalus_h5(out_dir: str, problem_name: str, problem, result,
     docstring). Returns {kind: path}."""
     import os
 
+    if problem_name not in ("sh23", "shb23", "kdyn", "mixing"):
+        # problems without Dedalus-layout counterparts (pca) — before
+        # touching the diagnostics dict, which they may not populate
+        return {}
     d = {k: np.asarray(v) for k, v in diagnostics.items()}
     t = d["sim_time"]
     xs = [np.asarray(x, np.float64) for x in result.x_opt]

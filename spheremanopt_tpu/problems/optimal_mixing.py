@@ -1076,9 +1076,13 @@ class OptimalMixing:
         )
         grads = [jnp.stack([self.to_grid(ua), self.to_grid(wa)])]
         if with_bc:
-            # reverse=True stacks ys in FORWARD time order; prepend the
-            # terminal-condition state's residuals (the sweep's first
-            # solve output is the last row)
+            # reverse=True stacks ys in FORWARD time order, so bc is
+            # the (T, 2, 3) series of the sweep's SOLVE outputs (the
+            # last row is the first adjoint solve). The terminal
+            # condition itself (ua0=wa0=0, ba0=-psi) is deliberately
+            # NOT monitored: it is not a tau-solve output and the
+            # mix-norm psi carries its own (Laplacian) BCs, so its wall
+            # values are not pinned at adjoint-solve roundoff.
             return grads, bc
         return grads
 

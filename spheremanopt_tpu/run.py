@@ -202,9 +202,24 @@ def make_problem(args):
                   "rho acceptance needs no df64 Wolfe bracketing)",
                   flush=True)
             args.precision = None
+            args.df_adjoint = False   # rides the df64 engine being dropped
         # --device-loop composes with rtr: optim/jit_rtr.py compiles the
         # whole trust-region loop (radius updates, rho acceptance, early
         # exit) into one executable
+    if getattr(args, "df_adjoint", False):
+        # single post-parse validation (was duplicated per problem
+        # branch AND silently ignored for sh23/shb23/pca — a user would
+        # believe they measured the DF-adjoint gradient when they had
+        # not)
+        if args.problem not in ("mixing", "kdyn"):
+            raise SystemExit(
+                "--df-adjoint applies to the df64 engines (mixing, "
+                f"kdyn) — {args.problem} has no df64 mode (its f32 "
+                "gradients are already at the 1e-6 class)")
+        if args.precision != "df64":
+            raise SystemExit("--df-adjoint requires --precision df64 "
+                             "(it is the df64 engine's reverse-sweep "
+                             "mode)")
     if args.method is not None:
         if args.problem == "kdyn" and args.method == "pallas":
             # validated capability, NOT a production path: Mosaic compile
@@ -318,11 +333,7 @@ def make_problem(args):
                     f"--precision {args.precision!r} has no kdyn "
                     "mapping (use default|high|compensated|highest|"
                     "df64)")
-        if args.df_adjoint:
-            if args.precision != "df64":
-                raise SystemExit("--df-adjoint requires --precision "
-                                 "df64 (it is the df64 engine's "
-                                 "reverse-sweep mode)")
+        if args.df_adjoint:   # validated centrally in make_problem
             kw["df_adjoint"] = True
         if args.remat is not None:
             kw["remat"] = False if args.remat == "none" else args.remat
@@ -351,11 +362,7 @@ def make_problem(args):
                       ("df_n_bits", args.df_n_bits)]:
         if val is not None:
             kw[name] = val
-    if args.df_adjoint:
-        if args.precision != "df64":
-            raise SystemExit("--df-adjoint requires --precision df64 "
-                             "(it is the df64 engine's reverse-sweep "
-                             "mode)")
+    if args.df_adjoint:   # validated centrally in make_problem
         kw["df_adjoint"] = True
     p = OptimalMixing(MixingConfig(**kw))
     return p, None, dict(alpha=100.0, max_iters=200)

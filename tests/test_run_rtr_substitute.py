@@ -92,3 +92,29 @@ def test_df_adjoint_cli_wire(tmp_path):
             [prob, "--df-adjoint", "--n-iters", "5"])
         with pytest.raises(SystemExit, match="df64"):
             make_problem(a)
+
+
+def test_df_adjoint_rejected_outside_df64_problems():
+    """--df-adjoint on problems without a df64 engine must fail loudly,
+    not silently drop the flag (r5 self-review finding)."""
+    from spheremanopt_tpu.run import build_parser, make_problem
+
+    a = build_parser().parse_args(
+        ["sh23", "--precision", "df64", "--df-adjoint", "--npts", "32"])
+    with pytest.raises(SystemExit, match="no df64 mode"):
+        make_problem(a)
+
+
+def test_rtr_substitution_also_drops_df_adjoint(capsys):
+    """--direction rtr --precision df64 --df-adjoint must substitute
+    (df_adjoint rides the dropped df64 engine), not abort with a
+    misleading 'requires --precision df64' (r5 self-review finding)."""
+    from spheremanopt_tpu.run import build_parser, make_problem
+
+    a = build_parser().parse_args(
+        ["mixing", "--direction", "rtr", "--precision", "df64",
+         "--df-adjoint", "--dtype", "float32",
+         "--nx", "16", "--nz", "8", "--n-iters", "5"])
+    p, _, _ = make_problem(a)
+    assert p._dfe is None
+    assert "substituting" in capsys.readouterr().out
