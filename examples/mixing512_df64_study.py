@@ -33,6 +33,12 @@ def main():
                     help="df64 Ozaki slice coverage; 32 is ~1.73x "
                          "faster at identical gradient accuracy "
                          "(BASELINE.md r4 n_bits sweep)")
+    ap.add_argument("--df-adjoint", action="store_true",
+                    help="hand-rolled DOUBLE-FLOAT adjoint (r5): DF "
+                         "cotangent pairs through exact transposed "
+                         "Ozaki contractions — gradient at the "
+                         "f32-output class (~5e-8 vs truth at 256x128) "
+                         "for ~2x the fused-call cost")
     ap.add_argument("--out", default="runs/mixing512_df64_study.npz")
     args = ap.parse_args()
 
@@ -53,7 +59,8 @@ def main():
     p = OptimalMixing(MixingConfig(nx=nx, nz=nz, dt=5e-3, n_iters=1000,
                                    s=1, dtype="float32",
                                    solve_precision="df64",
-                                   df_n_bits=args.n_bits))
+                                   df_n_bits=args.n_bits,
+                                   df_adjoint=args.df_adjoint))
     print(f"problem built: {time.time() - t0:.1f}s", flush=True)
     x0 = p.generate_ic(seed=42)
 
